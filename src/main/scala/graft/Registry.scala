@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Central registry: query name → (Spark implementation, optional DuckDB
+  * oracle SQL). Grows one entry per operator from SURVEY.md §2 plus the
+  * training-data pipeline extensions.
+  *
+  * Oracle-parity rules (learned the hard way, keep following them):
+  *  - every aggregate over doubles goes through an exact DECIMAL sum and
+  *    is cast back to DOUBLE, so the result is bit-identical regardless
+  *    of accumulation order on either engine;
+  *  - every query ends in a total ORDER BY;
+  *  - output column names/types are pinned identically on both sides;
+  *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
+  *    replace-all semantics.
+  */
+object Registry {
+
+  case class Q(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  def all: Seq[Q] = EtlQueries.all ++ AnalysisQueries.all ++ TextQueries.all ++
+    DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
+    StreamingQueries.all
+
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.fn).toMap
+
+  lazy val oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

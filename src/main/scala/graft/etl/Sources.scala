@@ -1,0 +1,81 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source layer — SURVEY.md §2.1.
+  *
+  * The harness substrate is the driver's Parquet tables
+  * (/root/testdata/sf* — TESTDATA.md); the reference's CSV-with-preamble
+  * scan (S1, cartera.py:68) is provided as a real text-pre-pass source for
+  * raw report files.
+  */
+object Sources {
+
+  val TableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Parquet table loader. Columnar scan → Catalyst gets pushdown +
+    * pruning for free; `.explain` must show PushedFilters / ReadSchema. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** S1 — CSV scan skipping N preamble lines and M footer lines
+    * (cartera.py:68, pending_orders.py:59: skiprows=6, skipfooter=1).
+    *
+    * Spark's CSV reader has no skiprows/skipfooter; we pre-pass the file
+    * as text, drop the preamble/footer by global line index, and feed the
+    * remaining lines to the CSV parser (header = first surviving line).
+    *
+    * Scale note: the footer drop needs the global line count, so this is
+    * two passes over the text. Report files with preambles are per-file
+    * small (daily exports, ≤ a few MB — BASELINE.md: 5k rows/day); for
+    * 100 TB inputs the data arrives in footerless splittable formats and
+    * goes through [[table]] instead.
+    */
+  def csvSkipping(
+      spark: SparkSession, path: String,
+      preamble: Int = 6, footer: Int = 1): DataFrame = {
+    import spark.implicits._
+    val lines = spark.read.textFile(path).rdd.zipWithIndex()
+    val n = lines.count()
+    val body = lines
+      .filter { case (_, i) => i >= preamble && i < n - footer }
+      .map(_._1)
+    spark.read
+      .option("header", "true")
+      .option("inferSchema", "true")
+      .csv(spark.createDataset(body))
+  }
+
+  /** P1 — tolerant rename map (cartera.py:77-87 etc.): renames that
+    * reference absent columns are ignored (`errors='ignore'` parity). */
+  def renameTolerant(df: DataFrame, renames: Map[String, String]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+
+  /** P2 — positional rename (wor2.py:256-262): column at index i renamed
+    * regardless of its header text. */
+  def renamePositional(df: DataFrame, byIndex: Map[Int, String]): DataFrame = {
+    val names = df.columns.zipWithIndex.map { case (n, i) =>
+      byIndex.getOrElse(i, n)
+    }
+    df.toDF(names.toIndexedSeq: _*)
+  }
+
+  /** P4 — tolerant final projection (pending_orders.py:151-155): keep
+    * exactly `cols`, in order, skipping the ones the frame lacks. */
+  def projectTolerant(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    df.select(present.map(df.col): _*)
+  }
+
+  /** Conditional schema handling (pending_orders.py:74-77): first present
+    * candidate column becomes `target`. */
+  def renameFirstPresent(df: DataFrame, candidates: Seq[String], target: String): DataFrame =
+    candidates.find(df.columns.contains) match {
+      case Some(c) => df.withColumnRenamed(c, target)
+      case None => df
+    }
+}

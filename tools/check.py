@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Dev-only local replica of the driver's correctness gate.
+
+Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
+
+Reads each <out_dir>/<name>/ parquet (Spark result) and runs the matching
+oracle SQL from <out_dir>/oracle_sql.json in DuckDB over the sf_dir parquet
+tables, then compares row count, schema (column names), and a hash of the
+values with columns sorted by name and rows sorted by all columns.
+
+NOT part of the shipped library (the engine is Scala/Spark only); this
+mirrors what the driver's t2 harness does so we can iterate locally.
+"""
+import sys, json, glob, hashlib
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    if len(df):
+        df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def cell(v):
+    if v is None or (isinstance(v, float) and np.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (np.floating,)):
+        return repr(float(v))
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, (list, np.ndarray)):
+        return "[" + ",".join(cell(x) for x in v) + "]"
+    return str(v)
+
+
+def table_hash(df: pd.DataFrame) -> str:
+    h = hashlib.sha256()
+    for _, row in df.iterrows():
+        h.update(("|".join(cell(v) for v in row)).encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    out_dir, sf_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    names = sorted(
+        p.split("/")[-1] for p in glob.glob(f"{out_dir}/*") if not p.endswith(".json"))
+    n_pass = n_fail = n_skip = 0
+    for name in names:
+        if only and name not in only:
+            continue
+        spark_df = pd.concat(
+            [pd.read_parquet(p) for p in glob.glob(f"{out_dir}/{name}/*.parquet")],
+            ignore_index=True) if glob.glob(f"{out_dir}/{name}/*.parquet") else pd.DataFrame()
+        if name not in oracle:
+            print(f"  [skip] {name}: no oracle (rows={len(spark_df)})")
+            n_skip += 1
+            continue
+        try:
+            ddb_df = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"  [FAIL] {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        s, d = canon(spark_df), canon(ddb_df)
+        problems = []
+        if list(s.columns) != list(d.columns):
+            problems.append(f"schema spark={list(s.columns)} ddb={list(d.columns)}")
+        if len(s) != len(d):
+            problems.append(f"rows spark={len(s)} ddb={len(d)}")
+        if not problems and table_hash(s) != table_hash(d):
+            neq = (s.astype(str) != d.astype(str))
+            bad_cols = [c for c in s.columns if neq[c].any()]
+            problems.append(f"hash mismatch in cols {bad_cols}")
+            for c in bad_cols[:2]:
+                i = neq[c].idxmax()
+                problems.append(f"  e.g. row {i} col {c}: spark={s[c][i]!r} ddb={d[c][i]!r}")
+        if problems:
+            print(f"  [FAIL] {name}: " + "; ".join(problems))
+            n_fail += 1
+        else:
+            print(f"  [ok]   {name} ({len(s)} rows)")
+            n_pass += 1
+    print(f"pass={n_pass} fail={n_fail} skip(no-oracle)={n_skip}")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
