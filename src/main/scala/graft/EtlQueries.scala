@@ -89,5 +89,131 @@ object EtlQueries {
          |FROM joined WHERE id_cliente IS NULL
          |ORDER BY nombre_cliente""".stripMargin))
 
-  def all: Seq[Q] = Seq(carteraLoad, carteraRejects)
+  // ------------------------------------------------------------- pending
+
+  private val ddbRid = "(l.l_orderkey * 8 + l.l_linenumber)"
+
+  private def ddbLineMoney(col: String): String =
+    s"format('{:,}', CAST(floor($col) AS BIGINT)) || '.' || " +
+      s"lpad(CAST(CAST(round(($col - floor($col)) * 100) AS BIGINT) AS VARCHAR), 2, '0')"
+
+  private val ddbPendingRaw =
+    s"""SELECT
+       |  CASE WHEN $ddbRid % 97 = 0 THEN 'ghost buyer ' || CAST($ddbRid AS VARCHAR)
+       |       ELSE '  ' || upper(c.c_name) || '!  ' END AS nombre_cliente,
+       |  '$$' || ${ddbLineMoney("l.l_extendedprice")} AS amount_raw,
+       |  'PO-' || lpad(CAST(l.l_orderkey AS VARCHAR), 10, '0') || '-' ||
+       |    CAST(l.l_linenumber AS VARCHAR) || '-EXPORTED' AS document_number_raw,
+       |  CASE WHEN $ddbRid % 111 = 0 THEN 'INVALID'
+       |       ELSE strftime(l.l_shipdate, '%-m/%-d/%Y') END AS fecha_raw,
+       |  CASE WHEN l.l_partkey % 53 = 0 THEN NULL ELSE p.p_type END AS class_item,
+       |  format('{:,}', CAST(l.l_quantity * 1000 AS BIGINT)) AS cantidad_raw,
+       |  CASE WHEN $ddbRid % 59 = 0 THEN NULL ELSE o.o_orderpriority END AS estado_raw
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
+
+  val pendingOrdersLoad: Q = Q(
+    "pending_orders_load",
+    (s, dir) => pipelines.PendingOrders.load(s, dir, Some("2024-06-01"))
+      .orderBy("document_number"),
+    Some(
+      s"""WITH raw AS ($ddbPendingRaw),
+         |dim AS (
+         |  SELECT CAST(c_custkey AS BIGINT) AS id_cliente,
+         |         NULLIF(CAST(c_nationkey AS BIGINT), 0) AS id_zone,
+         |         ${ddbClean("c_name")} AS k
+         |  FROM customer),
+         |j AS (
+         |  SELECT r.*, d.id_cliente, d.id_zone
+         |  FROM raw r LEFT JOIN dim d ON ${ddbClean("r.nombre_cliente")} = d.k),
+         |f AS (
+         |  SELECT *, COALESCE(try_strptime(fecha_raw, '%-m/%-d/%Y'), TIMESTAMP '1900-01-01') AS fecha_d
+         |  FROM j WHERE id_cliente IS NOT NULL)
+         |SELECT
+         |  id_cliente,
+         |  COALESCE(class_item, 'Descuento') AS class_item,
+         |  CAST(COALESCE(TRY_CAST(replace(cantidad_raw, ',', '') AS DOUBLE), 0.0) AS BIGINT) AS cantidad,
+         |  COALESCE(TRY_CAST(regexp_replace(amount_raw, '[\\$$,\\s]', '', 'g') AS DOUBLE), 0.0) AS amount_net,
+         |  substr(trim(document_number_raw), 1, 20) AS document_number,
+         |  COALESCE(substr(trim(estado_raw), 1, 50), 'Desconocido') AS estado,
+         |  strftime(fecha_d, '%Y-%m-%d') AS fecha,
+         |  COALESCE(id_zone, 1) AS id_zone,
+         |  monthname(fecha_d) AS nombre_mes,
+         |  CAST(month(fecha_d) AS BIGINT) AS mes,
+         |  CAST(day(fecha_d) AS BIGINT) AS dia,
+         |  CAST(year(fecha_d) AS BIGINT) AS anio,
+         |  '2024-06-01' AS fecha_carga
+         |FROM f
+         |ORDER BY document_number""".stripMargin))
+
+  // -------------------------------------------------------------- ventas
+
+  private val ddbVentasBase =
+    s"""SELECT
+       |  CASE WHEN $ddbRid % 97 = 0 THEN 'ghost shopper ' || CAST($ddbRid AS VARCHAR)
+       |       ELSE '  ' || c.c_name || '  ' END AS nombre_cliente,
+       |  strftime(l.l_shipdate, '%-m/%-d/%Y') AS fecha_raw,
+       |  CAST(l.l_orderkey AS VARCHAR) AS document_number,
+       |  l.l_returnflag AS tipo,
+       |  p.p_name AS item,
+       |  p.p_name || ' ' || p.p_brand AS descripcion,
+       |  p.p_type AS clase,
+       |  l.l_quantity AS cantidad_producto,
+       |  'EA' AS presentacion,
+       |  CASE WHEN $ddbRid % 113 = 0 THEN 'n/a'
+       |       ELSE '$$' || ${ddbLineMoney("l.l_extendedprice")} END AS amount_raw,
+       |  'Sales Order #' || CAST(l.l_orderkey AS VARCHAR) AS created_from,
+       |  l.l_shipdate AS __ship,
+       |  $ddbRid AS __rid
+       |FROM lineitem l
+       |JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |JOIN customer c ON o.o_custkey = c.c_custkey
+       |JOIN part p ON l.l_partkey = p.p_partkey""".stripMargin
+
+  private val ddbVentasPrep =
+    s"""WITH base AS ($ddbVentasBase),
+       |file AS (SELECT * FROM base UNION ALL SELECT * FROM base WHERE __rid % 131 = 0),
+       |dim AS (SELECT CAST(c_custkey AS BIGINT) AS id_cliente, lower(trim(c_name)) AS k FROM customer),
+       |prep AS (
+       |  SELECT f.*, d.id_cliente,
+       |         strptime(f.fecha_raw, '%-m/%-d/%Y') AS fecha,
+       |         TRY_CAST(regexp_replace(f.amount_raw, '[\\$$,\\s]', '', 'g') AS DOUBLE) AS amount
+       |  FROM file f JOIN dim d ON lower(trim(f.nombre_cliente)) = d.k)""".stripMargin
+
+  val ventasIncremental: Q = Q(
+    "ventas_incremental",
+    (s, dir) => pipelines.VentasTotales.load(s, dir)
+      .orderBy("document_number", "item", "cantidad_producto", "amount"),
+    Some(
+      s"""$ddbVentasPrep,
+         |existing AS (
+         |  SELECT DISTINCT id_cliente,
+         |         CAST(date_trunc('day', fecha) AS DATE) AS fk,
+         |         trim(document_number) AS dk, trim(item) AS ik
+         |  FROM prep WHERE __ship < DATE '${pipelines.VentasTotales.Cutoff}')
+         |SELECT p.id_cliente, strftime(p.fecha, '%Y-%m-%d') AS fecha, p.document_number,
+         |       p.tipo, p.item, p.descripcion, p.clase, p.cantidad_producto,
+         |       p.presentacion, p.amount, p.created_from
+         |FROM prep p
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM existing e
+         |  WHERE e.id_cliente = p.id_cliente
+         |    AND e.fk = CAST(date_trunc('day', p.fecha) AS DATE)
+         |    AND e.dk = trim(p.document_number)
+         |    AND e.ik = trim(p.item))
+         |ORDER BY document_number, item, cantidad_producto, amount""".stripMargin))
+
+  /** A2 — non-numeric amount diagnostic (ventas_totales.py:124-128). */
+  val ventasDq: Q = Q(
+    "ventas_dq_nonnumeric",
+    (s, dir) => pipelines.VentasTotales.nonNumericAmountCount(s, dir),
+    Some(
+      s"""$ddbVentasPrep
+         |SELECT CAST(SUM(CASE WHEN amount IS NULL AND amount_raw IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_amounts
+         |FROM prep""".stripMargin))
+
+  def all: Seq[Q] = Seq(
+    carteraLoad, carteraRejects, pendingOrdersLoad, ventasIncremental, ventasDq)
 }

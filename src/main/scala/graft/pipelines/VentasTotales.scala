@@ -1,0 +1,139 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{Dedup, Expressions => E, Sources}
+
+/** Entry point 2 — the Ventas_Totales incremental load with anti-join
+  * dedup vs the target (ventas_totales.py, SURVEY.md §3).
+  *
+  * Capability surface: strict-format date parse (D2), light name
+  * normalization (F2), dict-map lookup join (J2), non-numeric amount
+  * diagnostic (A2), and the J4 anti-join with per-key normalization on
+  * both sides. Within-batch duplicates are preserved (§3 quirk 4): the
+  * synthesized file carries a duplicated row subset, and both copies
+  * load.
+  *
+  * Harness model of "incremental": rows shipped before [[Cutoff]] are
+  * already in the target (loaded by a prior run); the incoming file
+  * carries everything. The anti-join must insert exactly the
+  * on-or-after-cutoff rows, twice for the duplicated subset.
+  */
+object VentasTotales {
+
+  val Cutoff = "2000-01-01"
+
+  private def rid = col("l_orderkey") * 8 + col("l_linenumber")
+
+  /** The raw sales file (S2/S3): one row per order line, messy. */
+  def rawFile(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Sources.table(spark, sfDir, "lineitem")
+    val orders = Sources.table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Sources.table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_name"))
+    val part = Sources.table(spark, sfDir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
+    val moneyInt = format_number(floor(col("l_extendedprice")).cast("long"), 0)
+    val moneyFrac = lpad(
+      round((col("l_extendedprice") - floor(col("l_extendedprice"))) * 100)
+        .cast("long").cast("string"), 2, "0")
+    val base = li
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(
+        when(rid % 97 === 0, concat(lit("ghost shopper "), rid.cast("string")))
+          .otherwise(concat(lit("  "), col("c_name"), lit("  ")))
+          .as("Company Name"),
+        date_format(col("l_shipdate"), "M/d/yyyy").as("Date"),
+        col("l_orderkey").cast("string").as("Document Number"),
+        col("l_returnflag").as("Type"),
+        col("p_name").as("Item"),
+        concat(col("p_name"), lit(" "), col("p_brand")).as("Description"),
+        col("p_type").as("Class"),
+        col("l_quantity").as("Quantity"),
+        lit("EA").as("UOM"),
+        when(rid % 113 === 0, lit("n/a"))
+          .otherwise(concat(lit("$"), moneyInt, lit("."), moneyFrac))
+          .as("Amount"),
+        concat(lit("Sales Order #"), col("l_orderkey").cast("string"))
+          .as("Created From"),
+        lit("Closed").as("Status"),
+        col("l_shipdate").as("__ship"),
+        rid.as("__rid"))
+    // Within-batch duplicate subset (§3 quirk 4): these rows appear twice
+    // in the file and BOTH must insert — no dropDuplicates anywhere.
+    base.unionAll(base.filter(col("__rid") % 131 === 0))
+  }
+
+  /** Rename + parse + dict-lookup enrichment (the file → insertable rows). */
+  def prepared(spark: SparkSession, sfDir: String): DataFrame = {
+    val renamed = Sources.renameTolerant(
+      rawFile(spark, sfDir).drop("Status"),
+      Map(
+        "Company Name" -> "nombre_cliente",
+        "Date" -> "fecha_raw",
+        "Document Number" -> "document_number",
+        "Type" -> "tipo",
+        "Item" -> "item",
+        "Description" -> "descripcion",
+        "Class" -> "clase",
+        "Quantity" -> "cantidad_producto",
+        "UOM" -> "presentacion",
+        "Amount" -> "amount_raw",
+        "Created From" -> "created_from"))
+    // J2 dict-map lookup: lower+trim both sides (F2); duplicate dim names
+    // are last-write-wins in pandas — dim names are unique here, and
+    // Lookups.enrichFromDim encodes the tie-break for the general case.
+    val dim = Sources.table(spark, sfDir, "customer")
+      .select(
+        col("c_custkey").cast("long").as("id_cliente"),
+        E.normLower(col("c_name")).as("nombre_lower"))
+    renamed
+      .withColumn("nombre_lower", E.normLower(col("nombre_cliente")))
+      .join(broadcast(dim), Seq("nombre_lower"), "left")
+      .filter(col("id_cliente").isNotNull)
+      .withColumn("fecha", E.parseDateStrict(col("fecha_raw")))
+      .withColumn("amount",
+        regexp_replace(col("amount_raw"), "[\\$,\\s]", "").try_cast("double"))
+  }
+
+  /** A2 — data-quality diagnostic: count of non-numeric Amount values
+    * (ventas_totales.py:124-128). */
+  def nonNumericAmountCount(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .agg(sum(when(col("amount").isNull && col("amount_raw").isNotNull, 1L)
+        .otherwise(0L)).as("non_numeric_amounts"))
+
+  /** The already-loaded target (S6 key scan): everything shipped before
+    * the cutoff, keys only. */
+  def existingTarget(spark: SparkSession, sfDir: String): DataFrame =
+    prepared(spark, sfDir)
+      .filter(col("__ship") < to_date(lit(Cutoff)))
+      .select(col("id_cliente"), col("fecha"), col("document_number"), col("item"))
+
+  /** The incremental load: J4 anti-join with key normalization on both
+    * sides (ventas_totales.py:186-209). */
+  def load(spark: SparkSession, sfDir: String): DataFrame = {
+    val incoming = prepared(spark, sfDir)
+    val normalization: Seq[(String, Column => Column)] = Seq(
+      "id_cliente" -> (_.cast("long")),
+      "fecha" -> (c => date_trunc("day", c).cast("date")),
+      "document_number" -> (c => trim(c.cast("string"))),
+      "item" -> (c => trim(c.cast("string"))))
+    Dedup.antiJoinNewNormalized(incoming, existingTarget(spark, sfDir), normalization)
+      .select(
+        col("id_cliente"),
+        E.formatDateIso(col("fecha")).as("fecha"),
+        col("document_number"),
+        col("tipo"),
+        col("item"),
+        col("descripcion"),
+        col("clase"),
+        col("cantidad_producto"),
+        col("presentacion"),
+        col("amount"),
+        col("created_from"))
+  }
+}
