@@ -58,7 +58,8 @@ object Lookups {
     "KamEast" -> 9, "E-Commerce" -> 10, "Outlet & Donation" -> 11)
 
   val ProductoMapping: Map[String, Int] = Map(
-    "Portafolio Crocs" -> 1, "Hey Dude" -> 2, "Accesorios" -> 3,
-    "Jibbitz" -> 4, "Literide" -> 5, "Classic" -> 6, "Clogs" -> 7,
-    "Sandalias" -> 8, "Botas" -> 9, "Infantil" -> 10, "Otros" -> 11)
+    "Ricky Joy Yogurt" -> 1, "Mellow Cones" -> 2, "Crazy Legs" -> 3,
+    "Ricky Joy Gels" -> 4, "Jelly Fruits" -> 5, "Plis" -> 6,
+    "SSC Roll On" -> 7, "Freeze Dried" -> 8, "3D Gummies" -> 9,
+    "SC Gel" -> 10, "Cotton Candy" -> 11)
 }

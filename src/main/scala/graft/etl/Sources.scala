@@ -32,11 +32,21 @@ object Sources {
     * small (daily exports, ≤ a few MB — BASELINE.md: 5k rows/day); for
     * 100 TB inputs the data arrives in footerless splittable formats and
     * goes through [[table]] instead.
+    *
+    * Limitations (documented, asserted): offsets are applied by GLOBAL
+    * line index, so `path` must be a single report file — a directory or
+    * glob of several files would leak interior preambles/footers into the
+    * data. Quoted CSV fields containing newlines also break the line-based
+    * pre-pass (the reference's engine='python' handles both per-file).
     */
   def csvSkipping(
       spark: SparkSession, path: String,
       preamble: Int = 6, footer: Int = 1): DataFrame = {
     import spark.implicits._
+    val local = new java.io.File(path)
+    require(!local.isDirectory,
+      s"csvSkipping needs a single report file, got a directory: $path " +
+        "(per-file preambles/footers would leak into the data)")
     val lines = spark.read.textFile(path).rdd.zipWithIndex()
     val n = lines.count()
     val body = lines

@@ -88,7 +88,13 @@ object Cartera {
   }
 
   /** The full snapshot load. `loadDate` pins D7 for oracle determinism;
-    * production default is the run date. */
+    * production default is the run date.
+    *
+    * id_zone fallback (SURVEY §3 quirk 7): the reference fills a failed
+    * lookup with the raw zona STRING (cartera.py:125 — mixed-type column);
+    * here the numeric id is regex-extracted from the harness zone format
+    * `NATION_(\d+)`, and any other unmatched zone yields null. When real
+    * zone strings arrive, keep the raw zona in a separate column instead. */
   def load(spark: SparkSession, sfDir: String, loadDate: Option[String] = None): DataFrame = {
     val stamp = loadDate.map(d => to_date(lit(d))).getOrElse(current_date())
     enriched(spark, sfDir)

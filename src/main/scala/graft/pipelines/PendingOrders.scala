@@ -91,6 +91,10 @@ object PendingOrders {
       E.parseIntThousands(col("cantidad_raw")).cast("long").as("cantidad"),
       E.parseMoney(col("amount_raw")).as("amount_net"),
       E.truncate(col("document_number_raw"), 20).as("document_number"),
+      // Quirk decision (SURVEY §3 quirk 6): reference does astype(str)
+      // BEFORE fillna, so null estado becomes the string 'nan' and its
+      // fillna('Desconocido') is dead code (pending_orders.py:146-149).
+      // We implement the documented intent — null → 'Desconocido'.
       E.truncateWithDefault(col("estado_raw"), 50, "Desconocido").as("estado"),
       E.formatDateIso(col("fecha_d")).as("fecha"),
       coalesce(col("id_zone"), lit(1L)).as("id_zone"),

@@ -100,7 +100,15 @@ object VentasTotales {
   }
 
   /** A2 — data-quality diagnostic: count of non-numeric Amount values
-    * (ventas_totales.py:124-128). */
+    * (ventas_totales.py:124-128).
+    *
+    * Deliberate population difference vs the reference: the count here is
+    * over [[prepared]] (after the id_cliente inner-join filter, including
+    * the within-batch duplicate union, excluding null raws); the reference
+    * computes it on the full renamed file before client mapping and counts
+    * genuinely-null amounts as non-numeric. The oracle encodes the same
+    * population, so the check stays consistent — revisit if a consumer
+    * needs the pre-filter diagnostic. */
   def nonNumericAmountCount(spark: SparkSession, sfDir: String): DataFrame =
     prepared(spark, sfDir)
       .agg(sum(when(col("amount").isNull && col("amount_raw").isNotNull, 1L)
