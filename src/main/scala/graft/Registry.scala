@@ -23,7 +23,7 @@ object Registry {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  def all: Seq[Q] = EtlQueries.all ++ AnalysisQueries.all ++ TextQueries.all ++
+  def all: Seq[Q] = EtlQueries.all ++ WorQueries.all ++ AnalysisQueries.all ++ TextQueries.all ++
     DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
     StreamingQueries.all
 
