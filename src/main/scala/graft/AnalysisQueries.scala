@@ -52,5 +52,122 @@ object AnalysisQueries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin))
 
-  def all: Seq[Q] = Seq(trendByMonth, q1Agg)
+  /** Daily per-client balance snapshots — `events` plays the snapshot
+    * history (FIXTURES.md §3: ts→FechaCarga, user_id→cliente,
+    * value→balance). Shared base for A5/W1/A6. */
+  private def snapshots(s: org.apache.spark.sql.SparkSession, dir: String) =
+    graft.etl.Sources.events(s, dir)
+      .groupBy(
+        col("user_id").as("id_cliente"),
+        to_date(col("ts")).as("fecha_carga"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double").as("open_balance"))
+
+  private val ddbSnapshots =
+    """SELECT user_id AS id_cliente, CAST(ts AS DATE) AS fecha_carga,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS open_balance
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** A5 — latest-snapshot selection via scalar-subquery max (Cartera PDF
+    * §7: `WHERE FechaCarga = (SELECT MAX(FechaCarga) ...)`). The 1-row
+    * max aggregate is broadcast so the fact side never shuffles for the
+    * filter. */
+  val latestSnapshot: Q = Q(
+    "latest_snapshot",
+    (s, dir) => {
+      val snaps = snapshots(s, dir)
+      val maxDate = snaps.agg(max(col("fecha_carga")).as("__max_fc"))
+      snaps
+        .join(broadcast(maxDate), col("fecha_carga") === col("__max_fc"))
+        .select(
+          col("id_cliente"),
+          date_format(col("fecha_carga"), "yyyy-MM-dd").as("fecha_carga"),
+          col("open_balance"))
+        .orderBy("id_cliente")
+    },
+    Some(
+      s"""WITH snaps AS ($ddbSnapshots)
+         |SELECT id_cliente, strftime(fecha_carga, '%Y-%m-%d') AS fecha_carga, open_balance
+         |FROM snaps
+         |WHERE fecha_carga = (SELECT MAX(fecha_carga) FROM snaps)
+         |ORDER BY id_cliente""".stripMargin))
+
+  /** A6 — DISTINCT TOP-k snapshot dates (Cartera PDF §7:
+    * `SELECT DISTINCT TOP 2 FechaCarga ... ORDER BY FechaCarga DESC`). */
+  val distinctTopSnapshots: Q = Q(
+    "distinct_top_snapshots",
+    (s, dir) => graft.etl.Sources.events(s, dir)
+      .select(to_date(col("ts")).as("fecha_carga"))
+      .distinct()
+      .orderBy(desc("fecha_carga"))
+      .limit(2)
+      .select(date_format(col("fecha_carga"), "yyyy-MM-dd").as("fecha_carga")),
+    Some(
+      """SELECT strftime(fecha_carga, '%Y-%m-%d') AS fecha_carga FROM (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS fecha_carga FROM events
+        |  ORDER BY fecha_carga DESC LIMIT 2)
+        |ORDER BY fecha_carga DESC""".stripMargin))
+
+  /** W1 — day-over-day snapshot comparison (Cartera PDF §7 "Comparación
+    * Mensual"): restrict to the 2 latest snapshot dates (A6), then
+    * `LAG(open_balance) OVER (PARTITION BY id_cliente ORDER BY
+    * fecha_carga)`. */
+  val snapshotLag: Q = Q(
+    "snapshot_lag",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val snaps = snapshots(s, dir)
+      val top2 = snaps.select(col("fecha_carga")).distinct()
+        .orderBy(desc("fecha_carga")).limit(2)
+      val w = Window.partitionBy(col("id_cliente")).orderBy(col("fecha_carga"))
+      snaps
+        .join(broadcast(top2), Seq("fecha_carga"))
+        .withColumn("prev_balance", lag(col("open_balance"), 1).over(w))
+        .select(
+          col("id_cliente"),
+          date_format(col("fecha_carga"), "yyyy-MM-dd").as("fecha_carga"),
+          col("open_balance"),
+          col("prev_balance"),
+          (col("open_balance").cast("decimal(18,2)") -
+            col("prev_balance").cast("decimal(18,2)")).cast("double")
+            .as("variacion"))
+        .orderBy("id_cliente", "fecha_carga")
+    },
+    Some(
+      s"""WITH snaps AS ($ddbSnapshots),
+         |top2 AS (SELECT DISTINCT fecha_carga FROM snaps ORDER BY fecha_carga DESC LIMIT 2),
+         |lagged AS (
+         |  SELECT s.id_cliente, s.fecha_carga, s.open_balance,
+         |         LAG(s.open_balance) OVER (PARTITION BY s.id_cliente ORDER BY s.fecha_carga) AS prev_balance
+         |  FROM snaps s JOIN top2 USING (fecha_carga))
+         |SELECT id_cliente, strftime(fecha_carga, '%Y-%m-%d') AS fecha_carga,
+         |       open_balance, prev_balance,
+         |       CAST(CAST(open_balance AS DECIMAL(18,2)) - CAST(prev_balance AS DECIMAL(18,2)) AS DOUBLE) AS variacion
+         |FROM lagged
+         |ORDER BY id_cliente, fecha_carga""".stripMargin))
+
+  /** J6 + A4 — fact ⋈ dim grouped totals (Pending Orders PDF §7 "Análisis
+    * por Cliente y Zona"): orders ⋈ customer, grouped by client + zone,
+    * ordered by total DESC. */
+  val clientZoneTotals: Q = Q(
+    "client_zone_totals",
+    (s, dir) => table(s, dir, "orders")
+      .join(broadcast(table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name").as("nombre_cliente"), col("c_nationkey").as("id_zone"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy(desc("total"), col("nombre_cliente")),
+    Some(
+      """SELECT c_name AS nombre_cliente, c_nationkey AS id_zone,
+        |       count(*) AS n_docs,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2
+        |ORDER BY total DESC, nombre_cliente""".stripMargin))
+
+  def all: Seq[Q] = Seq(
+    trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
+    clientZoneTotals)
 }

@@ -20,6 +20,17 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** `events` loader: the driver writes `ts` as parquet TIMESTAMP(NANOS),
+    * which Spark's vectorized reader rejects. Read nanos as long (legacy
+    * conf) and convert to a micros timestamp — integral DIV, not double
+    * division: nanos since epoch (~1.7e18) exceeds a double's 2^53 exact
+    * range. Session timezone is pinned UTC, matching DuckDB's naive read. */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+  }
+
   /** S1 — CSV scan skipping N preamble lines and M footer lines
     * (cartera.py:68, pending_orders.py:59: skiprows=6, skipfooter=1).
     *
