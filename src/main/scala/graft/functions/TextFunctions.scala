@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the training-data pipeline
+  * (language-ID, quality scoring, token counting, fingerprinting).
+  *
+  * Everything is Catalyst built-ins + higher-order array functions — no
+  * UDFs, so the expressions stay inside whole-stage codegen and are
+  * pushable/prunable. Hashing uses an explicit polynomial fold (not
+  * Spark's murmur3 `hash()`) so the DuckDB oracle can reproduce results
+  * bit-for-bit with `list_reduce` — the formulas are engine-agnostic.
+  */
+object TextFunctions {
+
+  /** Large prime modulus for polynomial hashes; (p-1)*31 + 127 fits a
+    * 64-bit long with huge headroom, so the fold never overflows. */
+  val HashMod: Long = 1000000007L
+
+  /** Whitespace tokenization of the lowercased, trimmed text. */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: runs of letters, runs of digits, or single
+    * non-alphanumeric glyphs — the shape a byte-pair tokenizer's
+    * pre-tokenizer produces. Counted, not materialized. */
+  val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(lower(text), lit(BpePattern))
+
+  /** Punctuation-character ratio over non-space characters (case-folded
+    * first so letters never count as punctuation). */
+  def punctRatio(text: Column): Column = {
+    val nonSpace = length(regexp_replace(lower(text), "\\s", ""))
+    val punct = length(regexp_replace(regexp_replace(lower(text), "\\s", ""), "[a-z0-9]", ""))
+    punct.cast("double") / greatest(nonSpace.cast("double"), lit(1.0))
+  }
+
+  /** English stopword lexicon (tiny, deterministic). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "of", "to", "in", "is", "it", "for",
+    "on", "with", "as", "at", "by")
+
+  /** Count of tokens that are members of `lexicon`. */
+  def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(lexicon), t)))
+
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    lexiconHits(toks, Stopwords).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0))
+  }
+
+  /** Mean token length. */
+  def avgTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0))
+  }
+
+  /** Composite quality score in [0,1]: rewards reasonable length,
+    * low punctuation density, natural-language stopword density, and
+    * word lengths near English norms. Weights are fixed constants; the
+    * arithmetic order is pinned (left-to-right) for oracle parity. */
+  def qualityScore(text: Column): Column = {
+    val lenTerm = least(tokenCount(text).cast("double"), lit(100.0)) / lit(100.0)
+    val punctTerm = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
+    val stopTerm = least(stopwordRatio(text) * lit(4.0), lit(1.0))
+    val wordTerm = lit(1.0) - least(abs(avgTokenLen(text) - lit(5.0)) / lit(5.0), lit(1.0))
+    lenTerm * lit(0.25) + punctTerm * lit(0.25) + stopTerm * lit(0.25) + wordTerm * lit(0.25)
+  }
+
+  /** Per-language function-word lexicons for the n-gram/stopword
+    * language-ID heuristic. */
+  val LangLexicons: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "for", "a", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "un", "por"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "im", "ein"),
+    "fr" -> Seq("le", "les", "de", "et", "des", "un", "une", "est", "dans", "pour"))
+
+  /** Language-ID: argmax of lexicon hit counts, ties broken by lexicon
+    * order (en > es > de > fr), all-zero → 'und'. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangLexicons.map { case (lang, lex) => lang -> lexiconHits(toks, lex) }
+    val best = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Content fingerprint: md5 of the whitespace-normalized lowercased
+    * text — engine-agnostic (hex string identical in DuckDB). */
+  def fingerprintMd5(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial hash of a string: fold (acc*31 + ascii(c)) mod p
+    * over its characters. Reproducible in DuckDB via list_reduce; also
+    * the token-hash primitive for MinHash/SimHash. Spark's split keeps a
+    * trailing empty element (limit -1), so empties are filtered before
+    * the fold. */
+  def polyHash(s: Column): Column =
+    aggregate(
+      filter(split(s, ""), c => c =!= ""),
+      lit(0L),
+      (acc, c) => (acc * 31 + ascii(c)) % HashMod)
+
+  /** Rolling-hash document fingerprint over the normalized text. */
+  def fingerprintRolling(text: Column): Column =
+    polyHash(regexp_replace(lower(trim(text)), "\\s+", " "))
+}
