@@ -1,9 +1,280 @@
 package graft
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Registry.Q
+import graft.etl.Sources.table
+import graft.functions.{HashFunctions => H, TextFunctions => T}
 
-/** Deduplication operators over the `documents` table (exact, MinHash-LSH,
-  * SimHash, n-gram Jaccard, embedding-cosine near-dup). */
+/** Deduplication operators for the training-data pipeline: exact
+  * (hash-groupBy), word-n-gram Jaccard (inverted-index join), MinHash+LSH
+  * (banded signatures), SimHash (Hamming LSH), and embedding-cosine
+  * near-dup (sign-LSH buckets). Every stage is a distributed
+  * DataFrame plan — shingle explode → shuffle on shingle/band/bucket —
+  * with no driver-side loops, and every query hash-matches a DuckDB
+  * oracle built from the same hash constants.
+  *
+  * The testdata documents/embeddings contain no true duplicates, so each
+  * query plants deterministic copies in-query (exact copies of doc_id%7,
+  * near copies with an appended trailer for doc_id%11, vector copies for
+  * vec_id%13) — the same in-query fixture pattern the ETL pipelines use.
+  */
 object DedupQueries {
-  def all: Seq[Q] = Seq()
+
+  private val Trailer = " near duplicate trailer appended for dedup testing"
+
+  /** The dedup corpus: documents ∪ exact copies (%7) ∪ near copies (%11). */
+  def corpus(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    d.unionAll(
+        d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+      .unionAll(
+        d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 2000000).as("doc_id"),
+            concat(col("text"), lit(Trailer)).as("text")))
+  }
+
+  private val ddbCorpus =
+    s"""corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text || '$Trailer' FROM documents WHERE doc_id % 11 = 0)""".stripMargin
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup: group by content fingerprint (at scale you shuffle the
+    * 128-bit hash, never the raw text), keep the smallest doc_id. */
+  val exact: Q = Q(
+    "dedup_exact",
+    (s, dir) => corpus(s, dir)
+      .groupBy(T.fingerprintMd5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+      .select(col("keeper_id"), col("n_copies"))
+      .orderBy("keeper_id"),
+    Some(
+      s"""WITH $ddbCorpus
+         |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
+         |FROM corpus
+         |GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |ORDER BY keeper_id""".stripMargin))
+
+  // ---------------------------------------------------- n-gram Jaccard
+
+  /** Exploded distinct shingles per doc (the inverted index). */
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    corpus(s, dir)
+      .select(col("doc_id"), explode(H.shingles(T.tokens(col("text")))).as("g"))
+
+  private val ddbShingleIndex =
+    s"""toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus),
+       |sh AS (SELECT doc_id, ${H.shinglesSql("t")} AS s FROM toks),
+       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh)""".stripMargin
+
+  /** N-gram Jaccard near-dup: candidate pairs via the shingle inverted
+    * index (|A∩B| = co-occurrence count), exact Jaccard from set sizes.
+    * One shuffle on shingle, one on the pair — no O(n²) cross join. */
+  val ngramJaccard: Q = Q(
+    "dedup_ngram_jaccard",
+    (s, dir) => {
+      val ex = shingleIndex(s, dir)
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = ex.toDF("i", "g")
+        .join(ex.toDF("j", "g"), Seq("g"))
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      inter
+        .join(sizes.toDF("i", "na"), Seq("i"))
+        .join(sizes.toDF("j", "nb"), Seq("j"))
+        .select(col("i"), col("j"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= 0.6)
+        .orderBy("i", "j")
+    },
+    Some(
+      s"""WITH $ddbCorpus,
+         |$ddbShingleIndex,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+         |  FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i, j, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+         |ORDER BY i, j""".stripMargin))
+
+  // -------------------------------------------------------- MinHash LSH
+
+  /** MinHash signatures + banded LSH: shingle → polyHash → K affine-mix
+    * mins per doc → band-key self-join for candidates → signature-overlap
+    * Jaccard estimate. The candidate join shuffles on the band key, so
+    * cost scales with collisions, not with n². */
+  val minhashLsh: Q = Q(
+    "dedup_minhash_lsh",
+    (s, dir) => {
+      val exh = shingleIndex(s, dir).select(col("doc_id"), T.polyHash(col("g")).as("h"))
+      val aggs = H.signatureAggs(col("h"))
+      val sig = exh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      val bands = (0 until H.NumBands)
+        .map(b => sig.select(col("doc_id"),
+          concat(lit(s"$b|"), H.bandKey(b)).as("bk")))
+        .reduce(_ unionAll _)
+      val cands = bands.toDF("i", "bk")
+        .join(bands.toDF("j", "bk"), Seq("bk"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j")).distinct()
+      val sl = sig.toDF(sig.columns.map("l_" + _).toIndexedSeq: _*)
+      val sr = sig.toDF(sig.columns.map("r_" + _).toIndexedSeq: _*)
+      cands
+        .join(sl, col("i") === col("l_doc_id"))
+        .join(sr, col("j") === col("r_doc_id"))
+        .select(col("i"), col("j"),
+          H.estJaccard(n => col("l_" + n), n => col("r_" + n)).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .orderBy("i", "j")
+    },
+    Some {
+      val mins = (0 until H.MinHashK)
+        .map(i => s"min(${H.mixSql(i, "h")}) AS m$i").mkString(", ")
+      def bandKeySql(b: Int): String =
+        s"'$b|' || " + (0 until H.BandRows)
+          .map(r => s"CAST(m${b * H.BandRows + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+      val bandSelects = (0 until H.NumBands)
+        .map(b => s"SELECT doc_id, ${bandKeySql(b)} AS bk FROM sig")
+        .mkString(" UNION ALL ")
+      val matches = (0 until H.MinHashK)
+        .map(i => s"CASE WHEN sl.m$i = sr.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $ddbCorpus,
+         |$ddbShingleIndex,
+         |exh AS (SELECT doc_id, ${T.polyHashSql("g")} AS h FROM ex),
+         |sig AS (SELECT doc_id, $mins FROM exh GROUP BY doc_id),
+         |bands AS ($bandSelects),
+         |cands AS (
+         |  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
+         |  FROM bands l JOIN bands r USING (bk) WHERE l.doc_id < r.doc_id),
+         |est AS (
+         |  SELECT c.i, c.j, CAST($matches AS DOUBLE) / ${H.MinHashK}.0 AS est_jaccard
+         |  FROM cands c
+         |  JOIN sig sl ON c.i = sl.doc_id
+         |  JOIN sig sr ON c.j = sr.doc_id)
+         |SELECT i, j, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY i, j""".stripMargin
+    })
+
+  // ------------------------------------------------------------ SimHash
+
+  private def simhashDocs(s: SparkSession, dir: String): DataFrame = {
+    val exh = corpus(s, dir)
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), T.polyHash(col("tok")).as("h"))
+    val aggs = H.bitSumAggs(col("h"))
+    exh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), H.simhashFromSums.as("simhash"))
+  }
+
+  private val ddbSimhashDocs: String = {
+    val sums = (0 until H.SimHashBits)
+      .map(j => s"sum(CASE WHEN ${H.mixSql(j, "h")} % 2 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+    val fold = (0 until H.SimHashBits)
+      .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+      .mkString(" + ")
+    s"""exh AS (
+       |  SELECT doc_id, ${T.polyHashSql("tok")} AS h FROM (
+       |    SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+       |    FROM corpus)),
+       |sums AS (SELECT doc_id, $sums FROM exh GROUP BY doc_id),
+       |docs AS (SELECT doc_id, $fold AS simhash FROM sums)""".stripMargin
+  }
+
+  /** Per-document 32-bit SimHash sketches. */
+  val simhashSketches: Q = Q(
+    "dedup_simhash_sketches",
+    (s, dir) => simhashDocs(s, dir).orderBy("doc_id"),
+    Some(
+      s"""WITH $ddbCorpus,
+         |$ddbSimhashDocs
+         |SELECT doc_id, simhash FROM docs ORDER BY doc_id""".stripMargin))
+
+  /** SimHash near-dup pairs: block on 8-bit bands of the sketch (≤1
+    * flipped bit touches at most 1 of the 4 bands, so every qualifying
+    * pair shares a band — pigeonhole), verify with bit_count(xor).
+    * Threshold 1 bit: these synthetic docs share one small vocabulary,
+    * so their sketches crowd together (16% of ALL pairs fall within 6
+    * bits) — a loose threshold would make the result quadratic at scale. */
+  val simhashPairs: Q = Q(
+    "dedup_simhash_pairs",
+    (s, dir) => {
+      val docs = simhashDocs(s, dir)
+      val bands = (0 until 4)
+        .map(b => docs.select(col("doc_id"), col("simhash"),
+          concat(lit(s"$b|"), H.simhashBand(col("simhash"), b)).as("bk")))
+        .reduce(_ unionAll _)
+      bands.toDF("i", "sh_i", "bk")
+        .join(bands.toDF("j", "sh_j", "bk"), Seq("bk"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 1)
+        .orderBy("i", "j")
+    },
+    Some {
+      val bandSelects = (0 until 4)
+        .map(b => s"SELECT doc_id, simhash, '$b|' || CAST((simhash >> ${8 * b}) % 256 AS VARCHAR) AS bk FROM docs")
+        .mkString(" UNION ALL ")
+      s"""WITH $ddbCorpus,
+         |$ddbSimhashDocs,
+         |bands AS ($bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j,
+         |         bit_count(xor(l.simhash, r.simhash)) AS hamming
+         |  FROM bands l JOIN bands r USING (bk) WHERE l.doc_id < r.doc_id)
+         |SELECT i, j, hamming FROM pairs
+         |WHERE hamming <= 1
+         |ORDER BY i, j""".stripMargin
+    })
+
+  // ------------------------------------------- embedding-cosine near-dup
+
+  /** Embedding near-dup: sign-LSH sketch buckets (16 hyperplanes) for
+    * candidates, exact order-pinned cosine ≥ 0.95 to confirm. The bucket
+    * join shuffles on the 16-bit sketch — never the n² cross join. */
+  val embeddingNearDup: Q = Q(
+    "dedup_embedding_cosine",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val vecs = e.unionAll(
+        e.filter(col("vec_id") % 13 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      val sk = vecs.withColumn("sketch", H.hyperplaneSketch(col("embedding"), 64))
+      sk.toDF("i", "emb_i", "sketch")
+        .join(sk.toDF("j", "emb_j", "sketch"), Seq("sketch"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          H.cosine(col("emb_i"), col("emb_j")).as("cosine"))
+        .filter(col("cosine") >= 0.95)
+        .orderBy("i", "j")
+    },
+    Some(
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 13 = 0),
+         |sk AS (SELECT vec_id, embedding, ${H.hyperplaneSketchSql("embedding", 64)} AS sketch FROM vecs),
+         |pairs AS (
+         |  SELECT l.vec_id AS i, r.vec_id AS j,
+         |         ${H.cosineSql("l.embedding", "r.embedding")} AS cosine
+         |  FROM sk l JOIN sk r USING (sketch) WHERE l.vec_id < r.vec_id)
+         |SELECT i, j, cosine FROM pairs
+         |WHERE cosine >= 0.95
+         |ORDER BY i, j""".stripMargin))
+
+  def all: Seq[Q] = Seq(
+    exact, ngramJaccard, minhashLsh, simhashSketches, simhashPairs,
+    embeddingNearDup)
 }

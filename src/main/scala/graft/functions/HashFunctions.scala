@@ -1,0 +1,156 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MinHash / SimHash / random-hyperplane LSH primitives for near-dup
+  * detection and ANN bucketing.
+  *
+  * All hash families are explicit affine mixes of [[TextFunctions.polyHash]]
+  * values — `h_i(x) = (a_i·x + b_i) mod p` with hardcoded deterministic
+  * coefficients — so the DuckDB oracle reproduces every signature
+  * bit-for-bit. a·x stays below 2^63 (a, x < p ≈ 2^30), so the arithmetic
+  * never overflows a long in either engine.
+  */
+object HashFunctions {
+
+  import TextFunctions.HashMod
+
+  /** Affine-mix coefficients: a_i odd-ish multipliers, b_i offsets, all
+    * < p. Fixed formula, not seeded randomness — the oracle SQL embeds
+    * the same literals. */
+  def mixA(i: Int): Long = (1000003L * (2L * i + 1)) % HashMod
+  def mixB(i: Int): Long = (998244353L * (i + 1)) % HashMod
+
+  def mix(i: Int, h: Column): Column =
+    (lit(mixA(i)) * h + lit(mixB(i))) % lit(HashMod)
+
+  /** SQL rendering of [[mix]] over an expression (shared with oracles). */
+  def mixSql(i: Int, h: String): String =
+    s"(${mixA(i)} * $h + ${mixB(i)}) % $HashMod"
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word n-gram shingles of the whitespace tokens (n=3): the unit of
+    * near-duplicate comparison. Docs with < n tokens yield no shingles. */
+  def shingles(toks: Column, n: Int = 3): Column =
+    when(size(toks) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+      .otherwise(array().cast("array<string>"))
+
+  /** DuckDB rendering of [[shingles]] (list_distinct + generate_series). */
+  def shinglesSql(toks: String, n: Int = 3): String = {
+    val parts = (0 until n).map(k => s"$toks[i + $k]").mkString(" || ' ' || ")
+    s"CASE WHEN len($toks) >= $n THEN list_distinct(list_transform(generate_series(1, len($toks) - ${n - 1}), i -> $parts)) ELSE [] END"
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** Number of minhash components and the LSH banding shape (4 bands of
+    * 4 rows): collision probability ≈ 1-(1-j⁴)⁴ — steep around j≈0.6. */
+  val MinHashK = 16
+  val BandRows = 4
+  val NumBands: Int = MinHashK / BandRows
+
+  /** Aggregate expressions for the minhash signature: min over the doc's
+    * shingle hashes of each affine mix. Input column `h` = shingle hash;
+    * produces columns m0..m{K-1} via groupBy(doc).agg(...). */
+  def signatureAggs(h: Column): Seq[Column] =
+    (0 until MinHashK).map(i => min(mix(i, h)).as(s"m$i"))
+
+  /** Band key: the band's minhash components concatenated — equal keys ⇔
+    * all components equal. */
+  def bandKey(b: Int): Column =
+    concat_ws(",", (0 until BandRows).map(r => col(s"m${b * BandRows + r}")): _*)
+
+  /** Estimated Jaccard from two signatures: fraction of equal components. */
+  def estJaccard(left: String => Column, right: String => Column): Column =
+    (0 until MinHashK)
+      .map(i => when(left(s"m$i") === right(s"m$i"), 1).otherwise(0))
+      .reduce(_ + _).cast("double") / lit(MinHashK.toDouble)
+
+  // -------------------------------------------------------------- simhash
+
+  /** SimHash width: 32 bits, one independent affine mix per bit (a
+    * random-projection-per-bit formulation: bit_j of the sketch is the
+    * sign of Σ_tokens ±1 weighted by parity of mix_j(token hash)). */
+  val SimHashBits = 32
+
+  /** Per-bit signed-count aggregates over exploded token hashes `h`:
+    * groupBy(doc).agg(bitSumAggs...) → columns s0..s31. */
+  def bitSumAggs(h: Column): Seq[Column] =
+    (0 until SimHashBits).map { j =>
+      sum(when(mix(j, h) % 2 === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+
+  /** Fold the per-bit sums into the 32-bit sketch (positive sum → 1). */
+  def simhashFromSums: Column =
+    (0 until SimHashBits)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** 8-bit band of a simhash — Hamming-LSH blocking key. */
+  def simhashBand(simhash: Column, b: Int): Column =
+    shiftright(simhash, 8 * b) % 256
+
+  // ------------------------------------- random-hyperplane LSH (vectors)
+
+  /** Sign-LSH planes: integer weights w_{k,d} = ((a_k·(d+1) + b_k) mod
+    * 1009) - 504, zero-mean over dims, identical literals in the oracle. */
+  val NumPlanes = 16
+
+  def planeWeight(k: Int, d: Int): Double =
+    (((mixA(k) * (d + 1) + mixB(k)) % 1009) - 504).toDouble
+
+  /** Dot product of a float-array embedding with plane k, as an explicit
+    * left-to-right double fold (order-pinned for oracle parity). */
+  def planeDot(embedding: Column, k: Int, dims: Int): Column = {
+    val w = typedlit((0 until dims).map(d => planeWeight(k, d)))
+    aggregate(
+      zip_with(embedding, w, (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** 16-bit sign sketch of an embedding. */
+  def hyperplaneSketch(embedding: Column, dims: Int): Column =
+    (0 until NumPlanes)
+      .map(k => when(planeDot(embedding, k, dims) > 0, lit(1L << k)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Cosine similarity as order-pinned double folds (dot and norms run
+    * left-to-right; sqrt is IEEE-exact — bit-identical across engines). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  // ------------------------------------------------- DuckDB SQL builders
+
+  /** DuckDB: left-fold sum of a double list (list_sum's summation order
+    * is not contractually left-to-right, so fold explicitly). */
+  def foldSumSql(listExpr: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $listExpr), (acc, x) -> acc + x)"
+
+  def dotSql(a: String, b: String): String =
+    foldSumSql(s"list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
+
+  def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  /** DuckDB literal for plane k's weight list. */
+  def planeWeightsSql(k: Int, dims: Int): String =
+    (0 until dims).map(d => planeWeight(k, d)).mkString("[", ", ", "]")
+
+  def planeDotSql(embedding: String, k: Int, dims: Int): String =
+    dotSql(embedding, planeWeightsSql(k, dims))
+
+  def hyperplaneSketchSql(embedding: String, dims: Int): String =
+    (0 until NumPlanes)
+      .map(k => s"CASE WHEN ${planeDotSql(embedding, k, dims)} > 0 THEN ${1L << k} ELSE 0 END")
+      .mkString("(", " + ", ")")
+}

@@ -113,4 +113,8 @@ object TextFunctions {
   /** Rolling-hash document fingerprint over the normalized text. */
   def fingerprintRolling(text: Column): Column =
     polyHash(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** DuckDB rendering of [[polyHash]] over a string expression. */
+  def polyHashSql(expr: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $HashMod)"""
 }
