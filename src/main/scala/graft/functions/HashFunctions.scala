@@ -114,9 +114,11 @@ object HashFunctions {
       lit(0.0), (acc, v) => acc + v)
   }
 
-  /** 16-bit sign sketch of an embedding. */
-  def hyperplaneSketch(embedding: Column, dims: Int): Column =
-    (0 until NumPlanes)
+  /** Sign sketch of an embedding over `planes` hyperplanes (bit k = sign
+    * of plane-k dot). Fewer planes → coarser buckets → higher recall per
+    * probe: 16 for near-dup buckets, 8 for ANN probing. */
+  def hyperplaneSketch(embedding: Column, dims: Int, planes: Int = NumPlanes): Column =
+    (0 until planes)
       .map(k => when(planeDot(embedding, k, dims) > 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
 
@@ -149,8 +151,8 @@ object HashFunctions {
   def planeDotSql(embedding: String, k: Int, dims: Int): String =
     dotSql(embedding, planeWeightsSql(k, dims))
 
-  def hyperplaneSketchSql(embedding: String, dims: Int): String =
-    (0 until NumPlanes)
+  def hyperplaneSketchSql(embedding: String, dims: Int, planes: Int = NumPlanes): String =
+    (0 until planes)
       .map(k => s"CASE WHEN ${planeDotSql(embedding, k, dims)} > 0 THEN ${1L << k} ELSE 0 END")
       .mkString("(", " + ", ")")
 }
