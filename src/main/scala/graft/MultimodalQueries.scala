@@ -1,8 +1,178 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 import graft.Registry.Q
+import graft.etl.Sources.table
+import graft.functions.{TextFunctions => T}
 
-/** Multimodal-column plumbing (binary payloads + typed metadata). */
+/** Multimodal-column plumbing: media as opaque `binary` payloads with
+  * typed metadata, plus decode / feature-extract / resize / frame-sample
+  * stages.
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A
+  * DETERMINISTIC FAKE (documented per operator): byte-level arithmetic
+  * over the payload stands in for pixel decoding. Everything around it —
+  * binary schema, metadata struct, per-partition typed iteration, batch
+  * shape, exploded frame rows — is real Spark plumbing, and every
+  * operator still hash-matches a DuckDB oracle over the same bytes.
+  *
+  * The media table is synthesized from `documents`: the UTF-8 text bytes
+  * play the payload (ASCII in the testdata, so byte i == ascii(char i)
+  * on both engines — the oracles lean on that equivalence).
+  */
 object MultimodalQueries {
-  def all: Seq[Q] = Seq()
+
+  /** Typed row for the per-partition decode path. */
+  final case class MediaRow(
+      media_id: Long, payload: Array[Byte], format: String,
+      width: Int, height: Int, n_frames: Int)
+
+  final case class MediaFeatures(
+      media_id: Long, n_bytes: Long, mean_byte: Double, checksum: Long)
+
+  /** The media catalog: binary payload + typed metadata derived
+    * deterministically from doc_id. */
+  def media(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(array(lit("png"), lit("jpeg"), lit("wav")),
+        (col("doc_id") % 3).cast("int") + 1).as("format"),
+      (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
+      (lit(48) + (col("doc_id") % 5) * 24).cast("int").as("height"),
+      (lit(1) + col("doc_id") % 7).cast("int").as("n_frames"))
+
+  private val ddbMedia =
+    """media AS (
+      |  SELECT doc_id AS media_id, encode(text) AS payload,
+      |         ['png', 'jpeg', 'wav'][CAST(doc_id % 3 AS INT) + 1] AS format,
+      |         CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+      |         CAST(48 + (doc_id % 5) * 24 AS INT) AS height,
+      |         CAST(1 + doc_id % 7 AS INT) AS n_frames,
+      |         text
+      |  FROM documents)""".stripMargin
+
+  /** Catalog scan: metadata + byte length + payload hex prefix (Spark hex
+    * is uppercase, DuckDB's lowercase — pinned via lower()). */
+  val catalog: Q = Q(
+    "mm_media_catalog",
+    (s, dir) => media(s, dir).select(
+      col("media_id"), col("format"), col("width"), col("height"),
+      col("n_frames"),
+      length(col("payload")).cast("long").as("n_bytes"),
+      lower(substring(hex(col("payload")), 1, 16)).as("hex_prefix"))
+      .orderBy("media_id"),
+    Some(
+      s"""WITH $ddbMedia
+         |SELECT media_id, format, width, height, n_frames,
+         |       octet_length(payload) AS n_bytes,
+         |       lower(substr(hex(payload), 1, 16)) AS hex_prefix
+         |FROM media
+         |ORDER BY media_id""".stripMargin))
+
+  /** DECODE (stubbed codec): per-partition typed iteration — the shape a
+    * real decoder plugs into (batch of MediaRow in, features out). The
+    * "decode" is a deterministic fake: mean byte value and a rolling
+    * checksum of the first 64 payload bytes. */
+  val decodeFeatures: Q = Q(
+    "mm_decode_features",
+    (s, dir) => {
+      import s.implicits._
+      media(s, dir)
+        .select(col("media_id"), col("payload"), col("format"),
+          col("width"), col("height"), col("n_frames"))
+        .as[MediaRow]
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val head = r.payload.take(64)
+            val n = math.max(head.length, 1)
+            val mean = head.foldLeft(0L)((acc, b) => acc + (b & 0xff)).toDouble / n
+            val checksum = head.foldLeft(0L)((acc, b) =>
+              (acc * 31 + (b & 0xff)) % T.HashMod)
+            MediaFeatures(r.media_id, r.payload.length.toLong, mean, checksum)
+          }
+        }
+        .toDF()
+        .orderBy("media_id")
+    },
+    Some(
+      s"""WITH $ddbMedia
+         |SELECT media_id,
+         |       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+         |       CAST(${TextQueriesShared.byteSum("substr(text, 1, 64)")} AS DOUBLE)
+         |         / greatest(length(substr(text, 1, 64)), 1) AS mean_byte,
+         |       ${T.polyHashSql("substr(text, 1, 64)")} AS checksum
+         |FROM media
+         |ORDER BY media_id""".stripMargin))
+
+  /** RESIZE (stubbed codec): halves the declared dims and "re-encodes" by
+    * striding every 2nd byte of the first 128 — the Spark side does it
+    * with pure array expressions (no UDF). */
+  val resize: Q = Q(
+    "mm_resize",
+    (s, dir) => {
+      val strided = array_join(
+        transform(sequence(lit(1), lit(64)),
+          i => substring(col("text_v"), (i * 2).cast("int"), lit(1))), "")
+      media(s, dir)
+        .withColumn("text_v", col("payload").cast("string"))
+        .select(
+          col("media_id"),
+          (col("width") / 2).cast("int").as("new_width"),
+          (col("height") / 2).cast("int").as("new_height"),
+          T.polyHash(strided).as("resized_checksum"))
+        .orderBy("media_id")
+    },
+    Some(
+      s"""WITH $ddbMedia
+         |SELECT media_id,
+         |       CAST(width / 2 AS INT) AS new_width,
+         |       CAST(height / 2 AS INT) AS new_height,
+         |       ${T.polyHashSql("array_to_string(list_transform(generate_series(1, 64), i -> substr(text, i * 2, 1)), '')")} AS resized_checksum
+         |FROM media
+         |ORDER BY media_id""".stripMargin))
+
+  /** FRAME-SAMPLE (stubbed codec): up to 4 evenly-strided "frames" per
+    * media row, exploded to (media_id, frame_idx, frame_checksum) rows —
+    * the row-explosion shape a video pipeline produces. */
+  val frameSample: Q = Q(
+    "mm_frame_sample",
+    (s, dir) => {
+      val nSample = least(col("n_frames"), lit(4))
+      // floor() on both engines: Spark's int cast truncates but DuckDB's
+      // rounds, so the division result must be floored before casting.
+      val stride = floor(length(col("payload")) / col("n_frames")).cast("int")
+      media(s, dir)
+        .withColumn("text_v", col("payload").cast("string"))
+        .select(col("media_id"), col("text_v"), nSample.as("k"), stride.as("stride"))
+        .select(col("media_id"),
+          explode(sequence(lit(0), col("k") - 1)).as("frame_idx"),
+          col("text_v"), col("stride"))
+        .select(col("media_id"), col("frame_idx"),
+          T.polyHash(substring(col("text_v"),
+            (col("frame_idx") * col("stride") + 1).cast("int"), lit(16)))
+            .as("frame_checksum"))
+        .orderBy("media_id", "frame_idx")
+    },
+    Some(
+      s"""WITH $ddbMedia,
+         |frames AS (
+         |  SELECT media_id, text,
+         |         CAST(floor(octet_length(payload) / n_frames) AS INT) AS stride,
+         |         unnest(generate_series(0, least(n_frames, 4) - 1)) AS frame_idx
+         |  FROM media)
+         |SELECT media_id, frame_idx,
+         |       ${T.polyHashSql("substr(text, frame_idx * stride + 1, 16)")} AS frame_checksum
+         |FROM frames
+         |ORDER BY media_id, frame_idx""".stripMargin))
+
+  def all: Seq[Q] = Seq(catalog, decodeFeatures, resize, frameSample)
+}
+
+/** Small shared SQL fragments for the multimodal oracles. */
+object TextQueriesShared {
+  /** Sum of ascii byte values of a (ASCII) string expression. */
+  def byteSum(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> acc + x)"
 }
