@@ -1,9 +1,59 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import graft.Registry.Q
+import graft.etl.Sources
+import graft.streaming.EventStream
 
-/** Event/stream analytics over the `events` table (windowed aggregation,
-  * sessionization; Structured Streaming wrappers live in graft.streaming). */
+/** Batch-checkable faces of the streaming transformations: the SAME
+  * functions that run over readStream (streaming/EventStream.scala) are
+  * applied to the batch events table here, so the DuckDB oracle verifies
+  * the transformation logic; the streaming execution path is exercised
+  * by the streaming spec. */
 object StreamingQueries {
-  def all: Seq[Q] = Seq()
+
+  /** Tumbling 1h window per event type (watermarked in stream mode). */
+  val windowedCounts: Q = Q(
+    "stream_windowed_counts",
+    (s, dir) => EventStream.windowedCounts(Sources.events(s, dir))
+      .orderBy("window_start", "event_type"),
+    Some(
+      """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |       event_type,
+        |       count(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start, event_type""".stripMargin))
+
+  /** Per-user gap sessionization (typed flatMapGroups in batch; the
+    * streaming twin keeps the open session in GroupState). */
+  val sessions: Q = Q(
+    "stream_sessionization",
+    (s, dir) => {
+      import s.implicits._
+      EventStream.sessionsBatch(
+        Sources.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+          .as[EventStream.SessionEvent])
+        .toDF()
+        .orderBy("user_id", "session_start_us")
+    },
+    Some(
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |o AS (SELECT user_id, ts_us,
+         |             lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+         |      FROM e),
+         |f AS (SELECT user_id, ts_us,
+         |             CASE WHEN prev IS NULL OR ts_us - prev > ${EventStream.SessionGapUs} THEN 1 ELSE 0 END AS brk
+         |      FROM o),
+         |g AS (SELECT user_id, ts_us,
+         |             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us ROWS UNBOUNDED PRECEDING) AS sid
+         |      FROM f)
+         |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+         |       count(*) AS n_events
+         |FROM g GROUP BY user_id, sid
+         |ORDER BY user_id, session_start_us""".stripMargin))
+
+  def all: Seq[Q] = Seq(windowedCounts, sessions)
 }

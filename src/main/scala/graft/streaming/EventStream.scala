@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` table.
+  *
+  * The reference has no streams (SURVEY.md §2.9) — this is the
+  * training-data-pipeline extension: the same transformations run in
+  * batch (where the driver's oracle can check them) and over
+  * `readStream` (exercised by the streaming spec). Transformations are
+  * written once against DataFrame/Dataset and reused in both modes —
+  * `withWatermark` is a no-op in batch, so the shared code is honest.
+  */
+object EventStream {
+
+  /** Event schema as the driver writes it (ts = parquet TIMESTAMP(NANOS),
+    * surfaced as nanos-long under the legacy reader conf). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming file source over an events directory: the stream-shaped
+    * twin of Sources.events (new parquet files are discovered per
+    * micro-batch; maxFilesPerTrigger bounds batch size). */
+  def fileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling-window counts/sums per event type with a 2-hour watermark:
+    * the canonical streaming aggregation. Works identically on a batch
+    * frame (watermark no-op; window() is a regular grouping expression). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  // -------------------------------------------------------- sessionization
+
+  final case class SessionEvent(user_id: Long, ts_us: Long)
+  final case class UserSession(
+      user_id: Long, session_start_us: Long, session_end_us: Long, n_events: Long)
+
+  /** Session gap: 6 hours, in microseconds. */
+  val SessionGapUs: Long = 6L * 3600 * 1000000
+
+  private def toSessions(uid: Long, sorted: Seq[Long]): Iterator[UserSession] = {
+    if (sorted.isEmpty) Iterator.empty
+    else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      var start = sorted.head
+      var end = sorted.head
+      var n = 1L
+      sorted.tail.foreach { t =>
+        if (t - end > SessionGapUs) {
+          out += UserSession(uid, start, end, n)
+          start = t; end = t; n = 1L
+        } else { end = t; n += 1 }
+      }
+      out += UserSession(uid, start, end, n)
+      out.iterator
+    }
+  }
+
+  /** Batch sessionization: per-user gap-split over the sorted event
+    * times, via typed flatMapGroups — the same per-group imperative shape
+    * the streaming state handler uses. One shuffle on user_id. */
+  def sessionsBatch(events: Dataset[SessionEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroups { (uid, it) =>
+        toSessions(uid, it.map(_.ts_us).toSeq.sorted)
+      }
+  }
+
+  /** Streaming sessionization with explicit state:
+    * flatMapGroupsWithState keeps the open session per user and emits a
+    * session whenever a new event lands beyond the gap. (Demo semantics:
+    * event-time ordering within a micro-batch, no timeout flush of the
+    * final open session — the spec drives and asserts this.) */
+  def sessionsStreaming(events: Dataset[SessionEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[SessionEvent], state: GroupState[UserSession]) =>
+          val ts = batch.map(_.ts_us).toSeq.sorted
+          var open = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          ts.foreach { t =>
+            open match {
+              case Some(s) if t - s.session_end_us > SessionGapUs =>
+                closed += s
+                open = Some(UserSession(uid, t, t, 1L))
+              case Some(s) =>
+                open = Some(s.copy(session_end_us = t, n_events = s.n_events + 1))
+              case None =>
+                open = Some(UserSession(uid, t, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

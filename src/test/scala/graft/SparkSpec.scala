@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for specs (one per suite; small core count
+  * keeps the suite fast — scale behavior is the bench's job). */
+trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName(getClass.getSimpleName)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** Smallest driver testdata (read-only). */
+  val Sf = "/root/testdata/sf0.001"
+
+  override def afterAll(): Unit = {
+    // One JVM-wide session is shared across suites (getOrCreate); leave it
+    // to the JVM teardown rather than stopping it per suite.
+    super.afterAll()
+  }
+}

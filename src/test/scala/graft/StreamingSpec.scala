@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{SessionEvent, UserSession}
+
+/** Streaming execution-path specs: the batch faces of these transforms
+  * are oracle-checked by the driver; here the same code runs under the
+  * streaming engine (MemoryStream micro-batches, state, file source). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Hour = 3600L * 1000000
+
+  test("sessionsStreaming: state carries across micro-batches, gap closes sessions") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = EventStream.sessionsStreaming(input.toDS())
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two events 1h apart — same session, nothing closes
+      input.addData(SessionEvent(7L, 0L), SessionEvent(7L, Hour))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 0)
+      // batch 2: an event 7h later (> 6h gap) closes the open session
+      input.addData(SessionEvent(7L, 8L * Hour))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").as[UserSession].collect()
+      assert(closed.toSeq == Seq(UserSession(7L, 0L, Hour, 2L)))
+      // batch 3: another far event closes the second session
+      input.addData(SessionEvent(7L, 16L * Hour))
+      q.processAllAvailable()
+      assert(spark.table("sessions_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("windowedCounts over a streaming source matches the batch result") {
+    // Stage the events parquet as a stream directory (one file = one batch)
+    val dir = Files.createTempDirectory("events_stream")
+    val batch = graft.etl.Sources.events(spark, Sf)
+    batch.write.mode("overwrite").parquet(dir.toString)
+
+    val streamed = EventStream.windowedCounts(
+      spark.readStream
+        .schema(batch.schema)
+        .parquet(dir.toString))
+    val q = streamed.writeStream.format("memory").queryName("win_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_out")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq)
+      val want = EventStream.windowedCounts(batch)
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq)
+      assert(got.length == want.length && got.sameElements(want))
+    } finally q.stop()
+  }
+
+  test("fileStream wrapper reads the raw nanos schema") {
+    // fileStream targets the driver's raw events layout; point it at a
+    // copy of the raw file (nanos timestamps) and check one micro-batch.
+    val dir = Files.createTempDirectory("raw_events")
+    Files.copy(
+      java.nio.file.Path.of(s"$Sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    val q = EventStream.fileStream(spark, dir.toString)
+      .groupBy(col("event_type")).count()
+      .writeStream.format("memory").queryName("raw_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("raw_out").count() > 0)
+    } finally q.stop()
+  }
+}
