@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.Registry.Q
 import graft.etl.Sources.table
 import graft.functions.{HashFunctions => H, TextFunctions => T}
@@ -61,15 +62,20 @@ object DedupQueries {
 
   // ---------------------------------------------------- n-gram Jaccard
 
-  /** Exploded distinct shingles per doc (the inverted index). */
+  /** Exploded distinct hashed shingles per doc (the inverted index).
+    * Shingles travel as 64-bit hashes, never strings: cheaper equality,
+    * smaller shuffle, same Jaccard modulo ~2^-30 collisions — and the
+    * oracle computes the identical hashes. */
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     corpus(s, dir)
-      .select(col("doc_id"), explode(H.shingles(T.tokens(col("text")))).as("g"))
+      .select(col("doc_id"), H.tokenHashes(T.tokens(col("text"))).as("hs"))
+      .select(col("doc_id"), explode(H.shingleHashesFrom(col("hs"))).as("h"))
 
   private val ddbShingleIndex =
     s"""toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus),
-       |sh AS (SELECT doc_id, ${H.shinglesSql("t")} AS s FROM toks),
-       |ex AS (SELECT doc_id, unnest(s) AS g FROM sh)""".stripMargin
+       |th AS (SELECT doc_id, list_transform(t, tok -> ${T.polyHashSql("tok")}) AS hs FROM toks),
+       |sh AS (SELECT doc_id, ${H.shingleHashesSql("hs")} AS s FROM th),
+       |ex AS (SELECT doc_id, unnest(s) AS h FROM sh)""".stripMargin
 
   /** N-gram Jaccard near-dup: candidate pairs via the shingle inverted
     * index (|A∩B| = co-occurrence count), exact Jaccard from set sizes.
@@ -77,10 +83,12 @@ object DedupQueries {
   val ngramJaccard: Q = Q(
     "dedup_ngram_jaccard",
     (s, dir) => {
-      val ex = shingleIndex(s, dir)
+      // The inverted index feeds three plan branches (sizes + both join
+      // sides); persist it so the corpus scan + shingle explode runs once.
+      val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = ex.toDF("i", "g")
-        .join(ex.toDF("j", "g"), Seq("g"))
+      val inter = ex.toDF("i", "h")
+        .join(ex.toDF("j", "h"), Seq("h"))
         .filter(col("i") < col("j"))
         .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
       inter
@@ -98,7 +106,7 @@ object DedupQueries {
          |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
          |inter AS (
          |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-         |  FROM ex a JOIN ex b USING (g) WHERE a.doc_id < b.doc_id
+         |  FROM ex a JOIN ex b USING (h) WHERE a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT i, j, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
          |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
@@ -114,9 +122,13 @@ object DedupQueries {
   val minhashLsh: Q = Q(
     "dedup_minhash_lsh",
     (s, dir) => {
-      val exh = shingleIndex(s, dir).select(col("doc_id"), T.polyHash(col("g")).as("h"))
+      val exh = shingleIndex(s, dir) // already (doc_id, shingle hash h)
       val aggs = H.signatureAggs(col("h"))
+      // The signature table feeds 4 band projections x 2 join sides plus
+      // the 2 signature re-joins — without a persist Spark recomputes the
+      // scan->shingle->hash->groupBy subtree ~10 times.
       val sig = exh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val bands = (0 until H.NumBands)
         .map(b => sig.select(col("doc_id"),
           concat(lit(s"$b|"), H.bandKey(b)).as("bk")))
@@ -150,8 +162,7 @@ object DedupQueries {
         .mkString(" + ")
       s"""WITH $ddbCorpus,
          |$ddbShingleIndex,
-         |exh AS (SELECT doc_id, ${T.polyHashSql("g")} AS h FROM ex),
-         |sig AS (SELECT doc_id, $mins FROM exh GROUP BY doc_id),
+         |sig AS (SELECT doc_id, $mins FROM ex GROUP BY doc_id),
          |bands AS ($bandSelects),
          |cands AS (
          |  SELECT DISTINCT l.doc_id AS i, r.doc_id AS j
@@ -210,7 +221,7 @@ object DedupQueries {
   val simhashPairs: Q = Q(
     "dedup_simhash_pairs",
     (s, dir) => {
-      val docs = simhashDocs(s, dir)
+      val docs = simhashDocs(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val bands = (0 until 4)
         .map(b => docs.select(col("doc_id"), col("simhash"),
           concat(lit(s"$b|"), H.simhashBand(col("simhash"), b)).as("bk")))
@@ -253,6 +264,7 @@ object DedupQueries {
         e.filter(col("vec_id") % 13 === 0)
           .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
       val sk = vecs.withColumn("sketch", H.hyperplaneSketch(col("embedding"), 64))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       sk.toDF("i", "emb_i", "sketch")
         .join(sk.toDF("j", "emb_j", "sketch"), Seq("sketch"))
         .filter(col("i") < col("j"))

@@ -47,6 +47,33 @@ object HashFunctions {
     s"CASE WHEN len($toks) >= $n THEN list_distinct(list_transform(generate_series(1, len($toks) - ${n - 1}), i -> $parts)) ELSE [] END"
   }
 
+  /** Per-token polyHash array — materialize this as its own column
+    * before [[shingleHashesFrom]] so each token's characters are folded
+    * exactly once (ArrayAggregate has no codegen; re-evaluating the
+    * transform per shingle would triple the interpreted work). */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, t => TextFunctions.polyHash(t))
+
+  /** Distinct hashed 3-gram shingles from a precomputed token-hash array:
+    * combine is ((h1·8191 + h2) mod p · 8191 + h3) mod p — overflow-safe
+    * (p·8191 < 2^43) and mirrored verbatim in the oracle. */
+  def shingleHashesFrom(hs: Column, n: Int = 3): Column =
+    when(size(hs) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(hs) - (n - 1)), i =>
+          (1 until n).foldLeft(element_at(hs, i)) { (acc, k) =>
+            (acc * 8191 + element_at(hs, i + k)) % lit(TextFunctions.HashMod)
+          })))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** DuckDB rendering of [[shingleHashes]]. */
+  def shingleHashesSql(toks: String, n: Int = 3): String = {
+    val combine = (1 until n).foldLeft("hs[i]") { (acc, k) =>
+      s"(($acc * 8191 + hs[i + $k]) % ${TextFunctions.HashMod})"
+    }
+    s"CASE WHEN len(hs) >= $n THEN list_distinct(list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $combine)) ELSE [] END"
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Number of minhash components and the LSH banding shape (4 bands of

@@ -214,7 +214,10 @@ object Wor {
     * J3 zone map w/ default 1, P6 reject, P4 projection, week coercion,
     * J5 anti-join on (id_cliente, id_zone, mes, anio). */
   def forecastLoad(spark: SparkSession, sfDir: String): DataFrame = {
+    // Both anti-join sides derive from the same prepared frame; persist so
+    // the workbook synthesis + clean + enrich subtree runs once.
     val prepared = forecastAllRows(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val existing = prepared.filter(col("mes") <= LoadedThroughMonth)
     Dedup.antiJoinNew(prepared, existing,
       Seq("id_cliente", "id_zone", "mes", "anio"))
@@ -242,6 +245,7 @@ object Wor {
     * a target that already holds every key inserts zero rows. */
   def forecastRerun(spark: SparkSession, sfDir: String): DataFrame = {
     val prepared = forecastAllRows(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.antiJoinNew(prepared, prepared,
       Seq("id_cliente", "id_zone", "mes", "anio"))
   }
@@ -263,6 +267,7 @@ object Wor {
     val prepared = Sources.projectTolerant(df,
       Seq("cuota_dinero", "cuota_volumen", "id_producto", "id_zone",
         "nombre_mes", "mes", "anio"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val existing = prepared.filter(col("mes") <= LoadedThroughMonth)
     Dedup.antiJoinNew(prepared, existing,
       Seq("id_producto", "id_zone", "mes", "anio"))
