@@ -1,0 +1,43 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for large joins — the 100 TB story (SURVEY.md §7.4).
+  *
+  * First line of defense is AQE's runtime skew-join splitting (on by
+  * default in Spark 4). Salting is for the cases AQE can't fix: a
+  * shuffle key whose hot values overwhelm single tasks in a SORT/HASH
+  * join against a side that can be replicated.
+  *
+  * Shape: the skewed (big) side gets a deterministic salt in [0, n);
+  * the replicated (smaller, but not broadcastable) side is exploded n×,
+  * once per salt value; the join key becomes (key, salt). Each hot key's
+  * rows then spread over n tasks instead of one.
+  */
+object Skew {
+
+  /** Deterministic salt from stable row attributes (NOT rand(): retries
+    * and speculative tasks must salt identically or the join drops rows). */
+  def salt(n: Int, stableCols: Column*): Column =
+    pmod(hash(stableCols: _*), lit(n))
+
+  /** Salt the skewed side: adds `__salt` derived from `stableCols`. */
+  def saltSkewed(df: DataFrame, n: Int, stableCols: Column*): DataFrame =
+    df.withColumn("__salt", salt(n, stableCols: _*))
+
+  /** Replicate the other side once per salt value. */
+  def replicateForSalt(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("__salt", explode(sequence(lit(0), lit(n - 1))))
+
+  /** Salted equi-join: equivalent rows to `skewed.join(other, keys, how)`
+    * with hot keys spread over `n` tasks. `other` is replicated n× — use
+    * only when that side is orders of magnitude smaller than the skewed
+    * side (but too big to broadcast). */
+  def saltedJoin(
+      skewed: DataFrame, other: DataFrame, keys: Seq[String],
+      n: Int, how: String = "inner"): DataFrame =
+    saltSkewed(skewed, n, keys.map(skewed(_)): _*)
+      .join(replicateForSalt(other, n), keys :+ "__salt", how)
+      .drop("__salt")
+}

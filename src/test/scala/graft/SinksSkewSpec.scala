@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.etl.{Sinks, Skew}
+
+class SinksSkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S7 probe round-trips") {
+    assert(Sinks.probe(spark))
+  }
+
+  test("snapshot parquet sink partitions by the stamp column (pruning path)") {
+    val dir = Files.createTempDirectory("sink")
+    val df = Seq((1L, "2024-06-01"), (2L, "2024-06-02")).toDF("id", "fecha_carga")
+    Sinks.appendSnapshotParquet(df, dir.toString, "fecha_carga")
+    // appends accumulate
+    Sinks.appendSnapshotParquet(df, dir.toString, "fecha_carga")
+    assert(Files.exists(dir.resolve("fecha_carga=2024-06-01")))
+    val back = spark.read.parquet(dir.toString)
+    assert(back.count() == 4)
+    assert(back.filter(col("fecha_carga") === "2024-06-02").count() == 2)
+  }
+
+  test("salted join returns the same rows as the plain join") {
+    val skewed = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
+      .toDF("k", "v") // heavy key 1
+    val dim = Seq((1L, "hot"), (2L, "cold"), (7L, "warm")).toDF("k", "name")
+    val plain = skewed.join(dim, Seq("k")).orderBy("v")
+      .collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), n = 8).orderBy("v")
+      .select("k", "v", "name")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+  }
+
+  test("salt is deterministic per key tuple") {
+    val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("x", "y")
+    val out = df.select(Skew.salt(16, col("x"), col("y")).as("s")).collect()
+    assert(out(0).getInt(0) == out(1).getInt(0))
+    assert(out.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 16))
+  }
+}
