@@ -99,12 +99,21 @@ object TextFunctions {
   def fingerprintMd5(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 
-  /** Rolling polynomial hash of a string: fold (acc*31 + ascii(c)) mod p
-    * over its characters. Reproducible in DuckDB via list_reduce; also
-    * the token-hash primitive for MinHash/SimHash. Spark's split keeps a
-    * trailing empty element (limit -1), so empties are filtered before
-    * the fold. */
+  /** Rolling polynomial hash of a string: fold (acc*31 + codeUnit) mod p.
+    * Compiled as the native codegen expression graft.plans.PolyHash (the
+    * HOF formulation below can't whole-stage-codegen); reproducible in
+    * DuckDB via list_reduce ([[polyHashSql]]) — the token-hash primitive
+    * for fingerprints, MinHash and SimHash. */
   def polyHash(s: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.plans.PolyHash(org.apache.spark.sql.graftbridge.Bridge.expression(s)))
+
+  /** The pure-built-in formulation of [[polyHash]] (higher-order fold
+    * over per-character slices): kept as the semantic reference — the
+    * spec pins polyHash == polyHashHof on arbitrary strings. Spark's
+    * split keeps a trailing empty element (limit -1), so empties are
+    * filtered before the fold. */
+  def polyHashHof(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => c =!= ""),
       lit(0L),

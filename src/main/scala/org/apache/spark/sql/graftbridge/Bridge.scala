@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Thin private[sql] bridge: lets graft wrap its native Catalyst
+  * expressions (graft.plans) into Columns without depending on a
+  * session-level function registry, and registers the SQL names on a
+  * live session (the SparkSessionExtensions path only applies at session
+  * construction). Lives under org.apache.spark.sql to reach the
+  * package-private classic converters. */
+object Bridge {
+
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's SQL functions on an already-built session (e.g.
+    * `SELECT graft_polyhash(text) FROM docs`). */
+  def registerGraftFunctions(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_polyhash"),
+      new ExpressionInfo(classOf[graft.plans.PolyHash].getName, "graft_polyhash"),
+      (children: Seq[Expression]) => graft.plans.PolyHash(children.head))
+}
