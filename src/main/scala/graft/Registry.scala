@@ -23,9 +23,9 @@ object Registry {
       fn: (SparkSession, String) => DataFrame,
       oracle: Option[String])
 
-  def all: Seq[Q] = EtlQueries.all ++ WorQueries.all ++ AnalysisQueries.all ++ TextQueries.all ++
-    DedupQueries.all ++ SimilarityQueries.all ++ MultimodalQueries.all ++
-    StreamingQueries.all
+  def all: Seq[Q] = EtlQueries.all ++ WorQueries.all ++ AnalysisQueries.all ++
+    DqQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+    SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -25,11 +25,12 @@ object Lookups {
       dimCols: Seq[String], tieBreak: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(key)).orderBy(col(tieBreak).desc)
+    val keep = (key +: dimCols).distinct
     val dedupedDim = dim
-      .select((key +: dimCols).distinct.map(col): _*)
+      .select((keep :+ tieBreak).distinct.map(col): _*)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .select(keep.map(col): _*)
     fact.join(broadcast(dedupedDim), Seq(key), "left")
   }
 

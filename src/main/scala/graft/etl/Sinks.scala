@@ -47,4 +47,18 @@ object Sinks {
       .mode("append")
       .partitionBy(stampCol)
       .parquet(path)
+
+  /** Bucketed managed table: pre-shuffles once at write time so repeated
+    * large joins/aggregations on `keys` are exchange-free at read time —
+    * the co-located-join strategy for fact⋈fact at 100 TB (broadcast
+    * covers fact⋈dim; bucketing covers what broadcast can't). Both join
+    * sides must agree on bucket count and keys. */
+  def writeBucketed(
+      df: DataFrame, table: String, buckets: Int, keys: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

@@ -35,6 +35,28 @@ class SinksSkewSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val a = (1 to 500).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 500).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+    Sinks.writeBucketed(a, "bkt_a", 4, Seq("k"))
+    Sinks.writeBucketed(b, "bkt_b", 4, Seq("k"))
+    val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-located: sort-merge join reads both sides bucket-aligned —
+    // no hashpartitioning Exchange on either side
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(joined.count() == 500)
+  }
+
+  test("J2 dim tie-break: duplicate dim keys resolve last-write-wins (pandas dict parity)") {
+    val fact = Seq("acme").toDF("k")
+    val dim = Seq(("acme", 1L, 10L), ("acme", 2L, 20L), ("other", 3L, 30L))
+      .toDF("k", "id", "ord")
+    val out = graft.etl.Lookups.enrichFromDim(fact, dim, "k", Seq("id"), tieBreak = "ord")
+      .collect()
+    assert(out.length == 1 && out(0).getAs[Long]("id") == 2L)
+  }
+
   test("salt is deterministic per key tuple") {
     val df = Seq(("a", 1), ("a", 1), ("b", 2)).toDF("x", "y")
     val out = df.select(Skew.salt(16, col("x"), col("y")).as("s")).collect()
