@@ -55,5 +55,24 @@ object StreamingQueries {
          |FROM g GROUP BY user_id, sid
          |ORDER BY user_id, session_start_us""".stripMargin))
 
-  def all: Seq[Q] = Seq(windowedCounts, sessions)
+  /** Watermarked ingest dedup over a feed with planted duplicate
+    * deliveries (event_id%5 arrives twice). */
+  val dedupIngest: Q = Q(
+    "stream_dedup_ingest",
+    (s, dir) => {
+      val e = Sources.events(s, dir)
+      val withDups = e.unionAll(e.filter(col("event_id") % 5 === 0))
+      EventStream.dedupedIngest(withDups)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+        .orderBy("event_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+        |u AS (SELECT * FROM e UNION ALL SELECT * FROM e WHERE event_id % 5 = 0)
+        |SELECT DISTINCT event_id, ts_us, event_type, value FROM u
+        |ORDER BY event_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(windowedCounts, sessions, dedupIngest)
 }

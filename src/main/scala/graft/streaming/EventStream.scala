@@ -52,6 +52,14 @@ object EventStream {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Watermarked ingest dedup: at-least-once delivery upstream becomes
+    * effectively-once downstream — duplicates of an event id arriving
+    * within the watermark window are dropped (streaming keeps seen-id
+    * state until the watermark passes; in batch the same call is a plain
+    * dropDuplicates). */
+  def dedupedIngest(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
   // -------------------------------------------------------- sessionization
 
   final case class SessionEvent(user_id: Long, ts_us: Long)

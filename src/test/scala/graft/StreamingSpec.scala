@@ -61,6 +61,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupedIngest drops duplicate event ids across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDS().toDF("event_id", "ts")
+    val q = EventStream.dedupedIngest(events)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(s: Long) = new java.sql.Timestamp(s * 1000)
+      input.addData((1L, t(10)), (2L, t(11)))
+      q.processAllAvailable()
+      input.addData((2L, t(11)), (3L, t(12))) // 2 is a duplicate delivery
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("fileStream wrapper reads the raw nanos schema") {
     // fileStream targets the driver's raw events layout; point it at a
     // copy of the raw file (nanos timestamps) and check one micro-batch.
