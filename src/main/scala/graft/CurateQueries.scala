@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Registry.Q
+import graft.etl.Sources.table
+import graft.functions.{TextFunctions => T}
+
+/** Capstone: the operators composed into an end-to-end training-corpus
+  * curation pass — what this engine exists to run at 100 TB. One
+  * pipeline over `documents`:
+  *
+  *   1. profile every doc (tokens, quality, language);
+  *   2. exact-dedup on the content fingerprint (keep smallest doc_id);
+  *   3. gate on quality ≥ 0.5, predicted language 'en', ≥ 20 tokens;
+  *   4. emit keep/drop with the FIRST failing reason per doc.
+  *
+  * Plan shape: one scan, one shuffle (the fingerprint groupBy for the
+  * keeper id) — gates are pure column predicates evaluated in the same
+  * stage as the profile. At 100 TB nothing changes structurally: the
+  * fingerprint shuffle is the only data movement.
+  */
+object CurateQueries {
+
+  private val MinTokens = 20
+  private val MinQuality = 0.5
+
+  val curate: Q = Q(
+    "curate_corpus",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+      val profiled = d.select(
+        col("doc_id"),
+        T.fingerprintMd5(col("text")).as("fp"),
+        T.tokenCount(col("text")).as("n_tokens"),
+        T.qualityScore(col("text")).as("quality"),
+        T.langId(col("text")).as("lang_pred"))
+      val keepers = profiled.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"))
+      profiled
+        .join(keepers, Seq("fp"))
+        .select(
+          col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"),
+          when(col("doc_id") =!= col("keeper_id"), lit("duplicate"))
+            .when(col("quality") < MinQuality, lit("low_quality"))
+            .when(col("lang_pred") =!= "en", lit("wrong_lang"))
+            .when(col("n_tokens") < MinTokens, lit("too_short"))
+            .otherwise(lit("keep")).as("verdict"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // DuckDB mirror of the same profile + gates (fragments match
+      // TextQueries' oracles).
+      val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+      val stopHits = {
+        val l = T.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($toks, t -> list_contains($l, t)))"
+      }
+      val nonSpace = "length(regexp_replace(lower(text), '\\s', '', 'g'))"
+      val punct =
+        s"length(regexp_replace(regexp_replace(lower(text), '\\s', '', 'g'), '[a-z0-9]', '', 'g'))"
+      val punctRatio = s"CAST($punct AS DOUBLE) / greatest(CAST($nonSpace AS DOUBLE), 1.0)"
+      val stopRatio = s"CAST($stopHits AS DOUBLE) / greatest(CAST(len($toks) AS DOUBLE), 1.0)"
+      val avgLen =
+        s"CAST(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / greatest(CAST(len($toks) AS DOUBLE), 1.0)"
+      val quality =
+        s"""(least(CAST(len($toks) AS DOUBLE), 100.0) / 100.0) * 0.25
+           | + (1.0 - least($punctRatio * 4.0, 1.0)) * 0.25
+           | + least($stopRatio * 4.0, 1.0) * 0.25
+           | + (1.0 - least(abs($avgLen - 5.0) / 5.0, 1.0)) * 0.25""".stripMargin
+      val langHits = T.LangLexicons.map { case (lang, lex) =>
+        val l = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+        lang -> s"len(list_filter($toks, t -> list_contains($l, t)))"
+      }
+      val best = langHits.map(_._2).mkString("greatest(", ", ", ")")
+      val langCase = langHits
+        .map { case (lang, h) => s"WHEN $h = $best AND $h > 0 THEN '$lang'" }
+        .mkString("CASE ", " ", " ELSE 'und' END")
+      s"""WITH profiled AS (
+         |  SELECT doc_id,
+         |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+         |         len($toks) AS n_tokens,
+         |         $quality AS quality,
+         |         $langCase AS lang_pred
+         |  FROM documents),
+         |keepers AS (SELECT fp, min(doc_id) AS keeper_id FROM profiled GROUP BY fp)
+         |SELECT p.doc_id, p.n_tokens, p.quality, p.lang_pred,
+         |       CASE WHEN p.doc_id <> k.keeper_id THEN 'duplicate'
+         |            WHEN p.quality < $MinQuality THEN 'low_quality'
+         |            WHEN p.lang_pred <> 'en' THEN 'wrong_lang'
+         |            WHEN p.n_tokens < $MinTokens THEN 'too_short'
+         |            ELSE 'keep' END AS verdict
+         |FROM profiled p JOIN keepers k USING (fp)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  def all: Seq[Q] = Seq(curate)
+}

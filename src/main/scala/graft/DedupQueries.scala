@@ -255,14 +255,37 @@ object DedupQueries {
 
   /** Embedding near-dup: sign-LSH sketch buckets (16 hyperplanes) for
     * candidates, exact order-pinned cosine ≥ 0.95 to confirm. The bucket
-    * join shuffles on the 16-bit sketch — never the n² cross join. */
+    * join shuffles on the 16-bit sketch — never the n² cross join.
+    *
+    * Planted near-copies are PERTURBED, not identical: a deterministic
+    * ±0.03/dim wiggle derived from each element's own value (cosine ≈
+    * 0.99 vs the original on these unit-norm vectors) — so the threshold
+    * and the LSH recall trade-off are genuinely exercised (a perturbed
+    * copy whose sketch bit flips is legitimately missed; the oracle
+    * mirrors the same recall).
+    *
+    * Hazard note (debugged the hard way): a transform lambda of shape
+    * `(element, index) => f(element, index, outerColumn)` evaluated
+    * DIFFERENT values for the same row depending on surrounding plan
+    * context (Spark 4.1.2 nested-lambda binding) — DuckDB and a scalar
+    * fold agreed, Spark didn't. The perturbation therefore uses a
+    * value-only lambda (no index, no outer references), which is the
+    * same shape as every other HOF in this codebase and evaluates
+    * consistently. */
   val embeddingNearDup: Q = Q(
     "dedup_embedding_cosine",
     (s, dir) => {
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val perturbed = transform(col("embedding"), x => {
+        val xd = x.cast("double")
+        val bucket = ((floor(xd * 1000).cast("long") % 7) + 7) % 7
+        (xd + (bucket.cast("double") - 3.0) * 0.01).cast("float")
+      })
       val vecs = e.unionAll(
         e.filter(col("vec_id") % 13 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+          .select((col("vec_id") + 100000).as("vec_id"),
+            perturbed.as("embedding")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val sk = vecs.withColumn("sketch", H.hyperplaneSketch(col("embedding"), 64))
         .persist(StorageLevel.MEMORY_AND_DISK)
       sk.toDF("i", "emb_i", "sketch")
@@ -276,7 +299,11 @@ object DedupQueries {
     Some(
       s"""WITH vecs AS (
          |  SELECT vec_id, embedding FROM embeddings
-         |  UNION ALL SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 13 = 0),
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |         list_transform(embedding,
+         |           x -> CAST(CAST(x AS DOUBLE) + (CAST((CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) % 7 + 7) % 7 AS DOUBLE) - 3.0) * 0.01 AS REAL))
+         |  FROM embeddings WHERE vec_id % 13 = 0),
          |sk AS (SELECT vec_id, embedding, ${H.hyperplaneSketchSql("embedding", 64)} AS sketch FROM vecs),
          |pairs AS (
          |  SELECT l.vec_id AS i, r.vec_id AS j,
