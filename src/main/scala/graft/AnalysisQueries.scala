@@ -167,7 +167,30 @@ object AnalysisQueries {
         |GROUP BY 1, 2
         |ORDER BY total DESC, nombre_cliente""".stripMargin))
 
+  /** Semi-structured parsing: the events `props` column is a JSON string
+    * (`{"k": 69}`); parse it with an explicit schema (from_json — typed,
+    * codegen'd, no string re-parsing downstream) and aggregate on the
+    * extracted field. */
+  val propsJson: Q = Q(
+    "events_props_json",
+    (s, dir) => graft.etl.Sources.events(s, dir)
+      .select(col("event_type"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).getField("k").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+      .orderBy("event_type", "k_bucket"),
+    Some(
+      """SELECT event_type,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       count(*) AS n,
+        |       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY event_type, k_bucket""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
-    clientZoneTotals)
+    clientZoneTotals, propsJson)
 }
