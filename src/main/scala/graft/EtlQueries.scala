@@ -205,6 +205,20 @@ object EtlQueries {
          |    AND e.ik = trim(p.item))
          |ORDER BY document_number, item, cantidad_producto, amount""".stripMargin))
 
+  /** Re-run recovery (Ventas PDF §9): same file vs fully-loaded target
+    * inserts zero rows — idempotence of the J4 anti-join. */
+  val ventasRerunZero: Q = Q(
+    "ventas_rerun_zero",
+    (s, dir) => pipelines.VentasTotales.rerun(s, dir)
+      .orderBy("document_number", "item"),
+    Some(
+      s"""$ddbVentasPrep
+         |SELECT p.id_cliente, strftime(p.fecha, '%Y-%m-%d') AS fecha, p.document_number,
+         |       p.tipo, p.item, p.descripcion, p.clase, p.cantidad_producto,
+         |       p.presentacion, p.amount, p.created_from
+         |FROM prep p WHERE FALSE
+         |ORDER BY document_number, item""".stripMargin))
+
   /** A2 — non-numeric amount diagnostic (ventas_totales.py:124-128). */
   val ventasDq: Q = Q(
     "ventas_dq_nonnumeric",
@@ -215,5 +229,6 @@ object EtlQueries {
          |FROM prep""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    carteraLoad, carteraRejects, pendingOrdersLoad, ventasIncremental, ventasDq)
+    carteraLoad, carteraRejects, pendingOrdersLoad, ventasIncremental,
+    ventasRerunZero, ventasDq)
 }

@@ -151,4 +151,31 @@ object VentasTotales {
         col("amount"),
         col("created_from"))
   }
+
+  /** Re-run recovery scenario (Ventas PDF §9 "Escenario de Recuperación"):
+    * processing the same file against a target that already holds every
+    * key inserts zero rows. */
+  def rerun(spark: SparkSession, sfDir: String): DataFrame = {
+    val incoming = prepared(spark, sfDir)
+    val allKeys = incoming
+      .select(col("id_cliente"), col("fecha"), col("document_number"), col("item"))
+    val normalization: Seq[(String, Column => Column)] = Seq(
+      "id_cliente" -> (_.cast("long")),
+      "fecha" -> (c => date_trunc("day", c).cast("date")),
+      "document_number" -> (c => trim(c.cast("string"))),
+      "item" -> (c => trim(c.cast("string"))))
+    Dedup.antiJoinNewNormalized(incoming, allKeys, normalization)
+      .select(
+        col("id_cliente"),
+        E.formatDateIso(col("fecha")).as("fecha"),
+        col("document_number"),
+        col("tipo"),
+        col("item"),
+        col("descripcion"),
+        col("clase"),
+        col("cantidad_producto"),
+        col("presentacion"),
+        col("amount"),
+        col("created_from"))
+  }
 }
