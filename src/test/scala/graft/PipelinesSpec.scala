@@ -57,6 +57,31 @@ class PipelinesSpec extends SparkSpec {
     assert(Wor.forecastRerun(spark, Sf).count() == 0)
   }
 
+  test("wor zona extraction: ZoneN spacing, Kam names, case-insensitive (F10)") {
+    import spark.implicits._
+    val df = Seq("Forecast_Zone3_Enero", "Forecast_KamEast_Mayo",
+      "forecast_kamcentral_JULIO", "Avancedeventa_Category_Zone1_Agosto")
+      .toDF("table_name")
+    val out = df.select(Wor.zonaDisplay(col("table_name")).as("z"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("Zone 3", "KamEast", "kamcentral", "Zone 1"))
+    // reference normalizes via ZONE_MAPPING afterwards: unmatched
+    // casing falls to the default zone id 1 (wor2.py:330)
+    val ids = df.select(graft.etl.Lookups.zoneId(
+      Wor.zonaDisplay(col("table_name")), graft.etl.Lookups.ZoneMapping).as("id"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(ids == Seq(3, 9, 1, 1))
+  }
+
+  test("wor month stamp: Spanish month from table name -> EN name + number") {
+    import spark.implicits._
+    val df = Seq("Forecast_Zone2_Agosto").toDF("table_name")
+    val out = Wor.monthStamp(df).collect()(0)
+    assert(out.getAs[String]("nombre_mes") == "August")
+    assert(out.getAs[Int]("mes") == 8)
+    assert(out.getAs[Int]("anio") == Wor.WorYear)
+  }
+
   test("wor cuotas: product reject path drops non-catalog names") {
     val out = Wor.cuotasCategoriaLoad(spark, Sf)
     assert(out.filter(col("id_producto").isNull).count() == 0)
