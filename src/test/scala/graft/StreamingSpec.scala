@@ -61,6 +61,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedCounts watermark: windows finalize in append mode; late data is dropped") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDS().toDF("ts", "event_type", "value")
+    val q = EventStream.windowedCounts(events)
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    def t(min: Long) = new java.sql.Timestamp(min * 60000)
+    try {
+      // two events in the [0:00,1:00) window
+      input.addData((t(10), "click", 1.0), (t(20), "click", 2.0))
+      q.processAllAvailable()
+      // append mode holds the window open until the watermark passes
+      assert(spark.table("wm_out").count() == 0)
+      // an event 4h later advances the watermark (2h lag) past the window
+      input.addData((t(240), "view", 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("wm_out").collect()
+      assert(closed.length == 1)
+      assert(closed(0).getAs[String]("event_type") == "click")
+      assert(closed(0).getAs[Long]("n_events") == 2L)
+      // a late event for the finalized window is dropped, not re-emitted
+      input.addData((t(30), "click", 9.0))
+      q.processAllAvailable()
+      assert(spark.table("wm_out").count() == 1)
+    } finally q.stop()
+  }
+
   test("dedupedIngest drops duplicate event ids across micro-batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(Long, java.sql.Timestamp)]
