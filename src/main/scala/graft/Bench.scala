@@ -14,6 +14,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JVM/codegen/shuffle-machinery spin-up otherwise
+    // lands entirely on whichever query happens to run first.
+    spark.range(2000000).selectExpr("sum(id)").collect()
     // Sorted order: deterministic run-to-run and across rounds, so
     // per-query timings in BENCH_r{N}.json are comparable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
