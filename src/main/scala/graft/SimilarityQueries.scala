@@ -112,5 +112,71 @@ object SimilarityQueries {
          |ORDER BY query_id, rank""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(knnBrute, annLsh)
+  /** IVF-style ANN: a deterministic subset of the vectors acts as the
+    * coarse-quantizer centroids (an inverted file's cluster heads —
+    * k-means would refine them; selection is what matters structurally).
+    * Every vector is assigned to its nearest centroid (one broadcast
+    * join + per-vector argmax window, no n² pairs); each query probes
+    * its nProbe=2 nearest inverted lists and ranks only their members.
+    * The candidate join shuffles on the centroid id — cost follows list
+    * sizes (~corpus/K), independent of corpus² — and the centroid count
+    * grows with the data (every 37th vector). */
+  val annIvf: Q = Q(
+    "sim_ann_ivf",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val centroids = e.filter(col("vec_id") % 37 === 3)
+        .toDF("centroid_id", "c_emb")
+      val wAssign = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("centroid_id").asc)
+      val assigned = e.crossJoin(broadcast(centroids))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"),
+          H.cosine(col("embedding"), col("c_emb")).as("sim"))
+        .withColumn("crank", row_number().over(wAssign))
+      val lists = assigned.filter(col("crank") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+          col("centroid_id"))
+      val probes = assigned.filter(col("vec_id") % QueryMod === 0)
+        .filter(col("crank") <= 2)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("centroid_id"))
+      val wTop = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      probes.join(lists, Seq("centroid_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
+        .withColumn("rank", row_number().over(wTop))
+        .filter(col("rank") <= 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb FROM e WHERE vec_id % 37 = 3),
+         |assigned AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY e.vec_id
+         |           ORDER BY ${H.cosineSql("e.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS crank
+         |  FROM e CROSS JOIN c),
+         |lists AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS n_emb, centroid_id
+         |  FROM assigned WHERE crank = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+         |  FROM assigned WHERE vec_id % $QueryMod = 0 AND crank <= 2),
+         |scored AS (
+         |  SELECT p.query_id, l.neighbor_id,
+         |         ${H.cosineSql("p.q_emb", "l.n_emb")} AS cosine
+         |  FROM probes p JOIN lists l USING (centroid_id)
+         |  WHERE l.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin))
+
+  def all: Seq[Q] = Seq(knnBrute, annLsh, annIvf)
 }
