@@ -61,6 +61,21 @@ object Wor {
 
   private def arrayLit(xs: Seq[String]): Column = array(xs.map(lit): _*)
 
+  /** S4 classification (wor2.py:104-155): a table name matching one of
+    * the three patterns lands in the 'category' or 'forecast' bucket —
+    * `Proyeccion_Vendedor` tables match the extraction regex but neither
+    * classification substring, so they are silently dropped (SURVEY §3
+    * quirk 2). Null = not classified. */
+  def classifyTable(tableName: Column): Column = {
+    val months = MesesEs.mkString("|")
+    val pattern = s"(?i)^(Avancedeventa_Category|Proyeccion_Vendedor|Forecast)_" +
+      s"(Zone[1-6]|KamEast|KamCentral)_($months)$$"
+    val matches = regexp_extract(tableName, pattern, 1) =!= ""
+    when(matches && tableName.contains("Avancedeventa_Category"), lit("category"))
+      .when(matches && tableName.contains("Forecast"), lit("forecast"))
+      .otherwise(lit(null: String))
+  }
+
   // ------------------------------------------------------------- fixtures
 
   /** The category named-table family, as extracted from the workbook
