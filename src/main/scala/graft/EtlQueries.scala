@@ -148,6 +148,22 @@ object EtlQueries {
          |FROM f
          |ORDER BY document_number""".stripMargin))
 
+  /** A1 for the pending pipeline — distinct unmatched buyer names
+    * (pending_orders.py:116-118; raw name, not the cleaned key). */
+  val pendingRejects: Q = Q(
+    "pending_rejects",
+    (s, dir) => pipelines.PendingOrders.rejects(s, dir)
+      .orderBy("nombre_cliente"),
+    Some(
+      s"""WITH raw AS ($ddbPendingRaw),
+         |dim AS (SELECT ${ddbClean("c_name")} AS k FROM customer),
+         |j AS (
+         |  SELECT r.nombre_cliente
+         |  FROM raw r LEFT JOIN dim d ON ${ddbClean("r.nombre_cliente")} = d.k
+         |  WHERE d.k IS NULL)
+         |SELECT DISTINCT nombre_cliente FROM j
+         |ORDER BY nombre_cliente""".stripMargin))
+
   // -------------------------------------------------------------- ventas
 
   private val ddbVentasBase =
@@ -229,6 +245,6 @@ object EtlQueries {
          |FROM prep""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    carteraLoad, carteraRejects, pendingOrdersLoad, ventasIncremental,
-    ventasRerunZero, ventasDq)
+    carteraLoad, carteraRejects, pendingOrdersLoad, pendingRejects,
+    ventasIncremental, ventasRerunZero, ventasDq)
 }

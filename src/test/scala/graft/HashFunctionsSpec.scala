@@ -65,6 +65,18 @@ class HashFunctionsSpec extends SparkSpec {
     assert(s1 == s2 && s1 >= 0 && s1 < (1L << H.NumPlanes))
   }
 
+  test("affine mixes stay within [0, p) for the extreme hash inputs (no long overflow)") {
+    val p = T.HashMod
+    for (i <- Seq(0, 15, 31)) {
+      // worst case: h = p-1 with the largest coefficients
+      val worst = H.mixA(i) * (p - 1) + H.mixB(i)
+      assert(worst > 0, s"mix $i overflows a long") // no wraparound
+      assert(H.mixA(i) > 0 && H.mixA(i) < p && H.mixB(i) >= 0 && H.mixB(i) < p)
+    }
+    // shingle combine bound: acc < p, so acc*8191 + h < p*8192 < 2^63
+    assert(BigInt(p) * 8192 < BigInt(Long.MaxValue))
+  }
+
   test("text metrics: known-answer checks") {
     val df = Seq("The cat and the dog!").toDF("text")
     val out = df.select(
