@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Registry.Q
+import graft.etl.Sources.table
+import graft.functions.{TextFunctions => T}
+
+/** Training-batch preparation operators: sequence packing (fill
+  * fixed-token-budget bins) and deterministic source-mix sampling —
+  * the steps between a curated corpus and a training dataloader.
+  */
+object PackQueries {
+
+  /** Token budget per packed sequence bin. */
+  private val BinBudget = 512L
+
+  /** Number of parallel packing shards: cumulative-sum packing is
+    * inherently sequential, so it runs per shard — each shard's window
+    * is an independent partition, which is what makes this scale (one
+    * global cumsum would serialize 100 TB through one task). Shard
+    * assignment is deterministic (doc_id mod). */
+  private val Shards = 8
+
+  /** Greedy-by-order sequence packing: within a shard, docs are taken in
+    * doc_id order and a doc goes to bin floor(exclusive-prefix-tokens /
+    * budget) — the streaming-friendly approximation of first-fit (docs
+    * longer than the budget get a bin of their own, never split). */
+  val pack: Q = Q(
+    "pack_sequences",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"),
+          (col("doc_id") % Shards).cast("int").as("shard"),
+          least(T.tokenCount(col("text")).cast("long"), lit(BinBudget))
+            .as("n_tokens"))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          floor((col("cum_tokens") - col("n_tokens")) / BinBudget)
+            .cast("long").as("bin_idx"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH docs AS (
+         |  SELECT doc_id,
+         |         CAST(doc_id % $Shards AS INT) AS shard,
+         |         least(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT), $BinBudget) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+         |  FROM docs)
+         |SELECT doc_id, shard, n_tokens,
+         |       CAST(floor((cum_tokens - n_tokens) / $BinBudget) AS BIGINT) AS bin_idx
+         |FROM c
+         |ORDER BY doc_id""".stripMargin))
+
+  /** Deterministic source-mix sampling: each source gets a per-mille
+    * keep quota; a doc is kept iff its content-hash bucket falls under
+    * the quota. Hash-gated (not rand()): reproducible across retries,
+    * engines, and partitionings — the property a training-data recipe
+    * needs. Quota here: even sources upsampled (800 per-mille), odd
+    * downsampled (250 per-mille). */
+  val sampleMix: Q = Q(
+    "sample_mix",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (T.fingerprintRolling(col("text")) % 1000).as("bucket"),
+        when(regexp_extract(col("source"), "src(\\d+)", 1)
+          .try_cast("int") % 2 === 0, lit(800)).otherwise(lit(250))
+          .as("quota"))
+      .filter(col("bucket") < col("quota"))
+      .select(col("doc_id"), col("source"), col("bucket"))
+      .orderBy("doc_id"),
+    Some {
+      val fp = T.polyHashSql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+      s"""SELECT doc_id, source, bucket FROM (
+         |  SELECT doc_id, source,
+         |         $fp % 1000 AS bucket,
+         |         CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 0
+         |              THEN 800 ELSE 250 END AS quota
+         |  FROM documents)
+         |WHERE bucket < quota
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  def all: Seq[Q] = Seq(pack, sampleMix)
+}
