@@ -104,5 +104,79 @@ object TextQueries {
          |FROM documents
          |ORDER BY doc_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(tokenCount, qualityScore, langIdQ, fingerprint)
+  /** PII/boilerplate redaction: emails, URLs, phone numbers → tags. The
+    * testdata text is clean word salad, so the interesting cases are
+    * planted deterministically (every 9th doc gets a contact footer). */
+  val redact: Q = Q(
+    "text_redact_pii",
+    (s, dir) => table(s, dir, "documents")
+      .withColumn("text_in",
+        when(col("doc_id") % 9 === 0,
+          concat(col("text"),
+            lit(" contact bob@example.com or https://ex.org/x?a=1 or 555-867-5309 now")))
+          .otherwise(col("text")))
+      .select(
+        col("doc_id"),
+        T.redactPii(col("text_in")).as("text_redacted"),
+        (length(col("text_in")) - length(T.redactPii(col("text_in"))))
+          .as("chars_removed"))
+      .orderBy("doc_id"),
+    Some {
+      val textIn =
+        "CASE WHEN doc_id % 9 = 0 THEN text || ' contact bob@example.com or https://ex.org/x?a=1 or 555-867-5309 now' ELSE text END"
+      s"""SELECT doc_id,
+         |       ${T.redactPiiSql(textIn)} AS text_redacted,
+         |       length($textIn) - length(${T.redactPiiSql(textIn)}) AS chars_removed
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  /** Repetition scoring (C4/Gopher-style quality rule): the fraction of
+    * a doc's 3-gram instances occupied by its single most frequent
+    * 3-gram — near-1 means the doc is one phrase on loop. Distributed as
+    * explode → per-(doc, gram) count → per-doc max/sum. */
+  val repetition: Q = Q(
+    "text_repetition",
+    (s, dir) => {
+      import graft.functions.{HashFunctions => H}
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), H.tokenHashes(col("toks")).as("hs"))
+        .select(col("doc_id"),
+          explode(
+            // all 3-gram instances (NOT distinct — multiplicity is the point)
+            when(size(col("hs")) >= 3,
+              transform(sequence(lit(1), size(col("hs")) - 2), i =>
+                (element_at(col("hs"), i) * 8191 + element_at(col("hs"), i + 1))
+                  .%(lit(T.HashMod)) * 8191 + element_at(col("hs"), i + 2)))
+              .otherwise(array().cast("array<bigint>")))
+            .as("g"))
+      grams
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          max(col("c")).as("top_gram_count"),
+          sum(col("c")).as("n_grams"))
+        .withColumn("repetition_ratio",
+          col("top_gram_count").cast("double") / col("n_grams").cast("double"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH toks AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
+         |th AS (SELECT doc_id, list_transform(t, tok -> ${T.polyHashSql("tok")}) AS hs FROM toks),
+         |grams AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(hs) >= 3 THEN list_transform(generate_series(1, len(hs) - 2),
+         |      i -> ((hs[i] * 8191 + hs[i + 1]) % ${T.HashMod}) * 8191 + hs[i + 2])
+         |    ELSE [] END) AS g
+         |  FROM th),
+         |pc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
+         |SELECT doc_id, max(c) AS top_gram_count, CAST(sum(c) AS BIGINT) AS n_grams,
+         |       CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS repetition_ratio
+         |FROM pc GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(
+    tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition)
 }

@@ -123,6 +123,27 @@ object TextFunctions {
   def fingerprintRolling(text: Column): Column =
     polyHash(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** PII / boilerplate redaction patterns (applied in order; order
+    * matters — emails before bare domains would, e.g., half-redact). */
+  val RedactionRules: Seq[(String, String)] = Seq(
+    "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}" -> "<EMAIL>",
+    "https?://[^\\s]+" -> "<URL>",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b" -> "<PHONE>")
+
+  /** Redact emails, URLs and phone numbers from (lowercased) text. */
+  def redactPii(text: Column): Column =
+    RedactionRules.foldLeft(lower(text)) { case (c, (pattern, tag)) =>
+      regexp_replace(c, pattern, tag)
+    }
+
+  /** DuckDB rendering of [[redactPii]] ('g' flag = Spark's replace-all;
+    * DuckDB string literals keep backslashes raw, so patterns embed
+    * verbatim). */
+  def redactPiiSql(expr: String): String =
+    RedactionRules.foldLeft(s"lower($expr)") { case (e, (pattern, tag)) =>
+      s"regexp_replace($e, '$pattern', '$tag', 'g')"
+    }
+
   /** DuckDB rendering of [[polyHash]] over a string expression. */
   def polyHashSql(expr: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % $HashMod)"""
