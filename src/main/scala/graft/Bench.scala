@@ -21,11 +21,18 @@ object Bench {
     // per-query timings in BENCH_r{N}.json are comparable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      // Queries persist() their reused subtrees; drop those caches so
-      // later queries don't run under accumulated memory pressure.
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      // A failed query must not masquerade as a fast one: report -1.
+      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      // Cache teardown happens OUTSIDE the timed region — queries that
+      // persist() subtrees must not pay for the drop in their own number.
       spark.catalog.clearCache()
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

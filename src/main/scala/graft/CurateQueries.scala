@@ -48,33 +48,12 @@ object CurateQueries {
         .orderBy("doc_id")
     },
     Some {
-      // DuckDB mirror of the same profile + gates (fragments match
-      // TextQueries' oracles).
-      val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-      val stopHits = {
-        val l = T.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"len(list_filter($toks, t -> list_contains($l, t)))"
-      }
-      val nonSpace = "length(regexp_replace(lower(text), '\\s', '', 'g'))"
-      val punct =
-        s"length(regexp_replace(regexp_replace(lower(text), '\\s', '', 'g'), '[a-z0-9]', '', 'g'))"
-      val punctRatio = s"CAST($punct AS DOUBLE) / greatest(CAST($nonSpace AS DOUBLE), 1.0)"
-      val stopRatio = s"CAST($stopHits AS DOUBLE) / greatest(CAST(len($toks) AS DOUBLE), 1.0)"
-      val avgLen =
-        s"CAST(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / greatest(CAST(len($toks) AS DOUBLE), 1.0)"
-      val quality =
-        s"""(least(CAST(len($toks) AS DOUBLE), 100.0) / 100.0) * 0.25
-           | + (1.0 - least($punctRatio * 4.0, 1.0)) * 0.25
-           | + least($stopRatio * 4.0, 1.0) * 0.25
-           | + (1.0 - least(abs($avgLen - 5.0) / 5.0, 1.0)) * 0.25""".stripMargin
-      val langHits = T.LangLexicons.map { case (lang, lex) =>
-        val l = lex.map(w => s"'$w'").mkString("[", ", ", "]")
-        lang -> s"len(list_filter($toks, t -> list_contains($l, t)))"
-      }
-      val best = langHits.map(_._2).mkString("greatest(", ", ", ")")
-      val langCase = langHits
-        .map { case (lang, h) => s"WHEN $h = $best AND $h > 0 THEN '$lang'" }
-        .mkString("CASE ", " ", " ELSE 'und' END")
+      // DuckDB mirror of the same profile + gates — fragments shared
+      // with TextQueries' oracles via TextOracleSql (single source).
+      val toks = TextOracleSql.toks
+      val quality = TextOracleSql.quality
+      val langCase = TextOracleSql.langCase
+
       s"""WITH profiled AS (
          |  SELECT doc_id,
          |         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,

@@ -7,12 +7,13 @@ import graft.etl.Sources.table
 /** Data-quality profiling (SURVEY.md §7.2 step 7): one-pass per-column
   * profile — row count, null count, distinct count, numeric/string
   * min-max — the DQ surface a load job reports before committing a
-  * batch.
+  * batch. One scan: all 28 aggregates run in a single agg (the multi-
+  * distinct is planned as one Expand over the same scan), then `stack`
+  * pivots the single row into one row per column.
   *
-  * Distinct counts here are exact so the DuckDB oracle can hash-match
-  * (count_distinct is one shuffle per column at these scales); at 100 TB
-  * swap `countDistinct` for `approx_count_distinct` (HLL, mergeable,
-  * no extra shuffle) and drop the oracle to a rows-only check — the
+  * Distinct counts here are exact so the DuckDB oracle can hash-match;
+  * at 100 TB swap `countDistinct` for `approx_count_distinct` (HLL,
+  * mergeable, no Expand) and drop the oracle to a rows-only check — the
   * HLL sketches of the two engines are not bit-compatible.
   */
 object DqQueries {
@@ -29,22 +30,28 @@ object DqQueries {
     "dq_profile",
     (s, dir) => {
       val li = table(s, dir, "lineitem")
-      val perCol = Profiled.map { c =>
-        li.agg(
-          lit(c.name).as("col_name"),
-          count(lit(1)).as("n"),
-          sum(when(col(c.name).isNull, 1L).otherwise(0L)).as("n_null"),
-          countDistinct(col(c.name)).as("n_distinct"),
+      val aggExprs = Profiled.zipWithIndex.flatMap { case (c, i) =>
+        Seq(
+          count(lit(1)).as(s"n_$i"),
+          sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(s"null_$i"),
+          countDistinct(col(c.name)).as(s"dist_$i"),
           (if (c.numeric) min(col(c.name)).cast("double")
-           else lit(null).cast("double")).as("min_num"),
+           else lit(null).cast("double")).as(s"minn_$i"),
           (if (c.numeric) max(col(c.name)).cast("double")
-           else lit(null).cast("double")).as("max_num"),
+           else lit(null).cast("double")).as(s"maxn_$i"),
           (if (c.numeric) lit(null).cast("string")
-           else min(col(c.name)).cast("string")).as("min_str"),
+           else min(col(c.name)).cast("string")).as(s"mins_$i"),
           (if (c.numeric) lit(null).cast("string")
-           else max(col(c.name)).cast("string")).as("max_str"))
+           else max(col(c.name)).cast("string")).as(s"maxs_$i"))
       }
-      perCol.reduce(_ unionAll _).orderBy("col_name")
+      val one = li.agg(aggExprs.head, aggExprs.tail: _*)
+      val stackArgs = Profiled.zipWithIndex.map { case (c, i) =>
+        s"'${c.name}', n_$i, null_$i, dist_$i, minn_$i, maxn_$i, mins_$i, maxs_$i"
+      }.mkString(", ")
+      one.selectExpr(
+        s"stack(${Profiled.size}, $stackArgs) AS " +
+          "(col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str)")
+        .orderBy("col_name")
     },
     Some {
       val selects = Profiled.map { c =>

@@ -100,7 +100,7 @@ object MultimodalQueries {
       s"""WITH $ddbMedia
          |SELECT media_id,
          |       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
-         |       CAST(${TextQueriesShared.byteSum("substr(text, 1, 64)")} AS DOUBLE)
+         |       CAST(${TextOracleSql.byteSum("substr(text, 1, 64)")} AS DOUBLE)
          |         / greatest(length(substr(text, 1, 64)), 1) AS mean_byte,
          |       ${T.polyHashSql("substr(text, 1, 64)")} AS checksum
          |FROM media
@@ -168,11 +168,4 @@ object MultimodalQueries {
          |ORDER BY media_id, frame_idx""".stripMargin))
 
   def all: Seq[Q] = Seq(catalog, decodeFeatures, resize, frameSample)
-}
-
-/** Small shared SQL fragments for the multimodal oracles. */
-object TextQueriesShared {
-  /** Sum of ascii byte values of a (ASCII) string expression. */
-  def byteSum(expr: String): String =
-    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> acc + x)"
 }

@@ -81,7 +81,7 @@ object PackQueries {
       s"""SELECT doc_id, source, bucket FROM (
          |  SELECT doc_id, source,
          |         $fp % 1000 AS bucket,
-         |         CASE WHEN CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 0
+         |         CASE WHEN TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) % 2 = 0
          |              THEN 800 ELSE 250 END AS quota
          |  FROM documents)
          |WHERE bucket < quota

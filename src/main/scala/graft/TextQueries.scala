@@ -10,12 +10,8 @@ import graft.functions.{TextFunctions => T}
   * engine-agnostic formula in Spark and in the DuckDB oracle. */
 object TextQueries {
 
-  private val ddbToks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
-
-  private def ddbLexHits(lex: Seq[String]): String = {
-    val l = lex.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"len(list_filter($ddbToks, t -> list_contains($l, t)))"
-  }
+  import TextOracleSql.{toks => ddbToks}
+  private def ddbLexHits(lex: Seq[String]): String = TextOracleSql.lexHits(lex)
 
   val tokenCount: Q = Q(
     "text_token_count",
@@ -32,15 +28,9 @@ object TextQueries {
          |FROM documents
          |ORDER BY doc_id""".stripMargin))
 
-  private val ddbNonSpace = "length(regexp_replace(lower(text), '\\s', '', 'g'))"
-  private val ddbPunct =
-    "length(regexp_replace(regexp_replace(lower(text), '\\s', '', 'g'), '[a-z0-9]', '', 'g'))"
-  private val ddbPunctRatio =
-    s"CAST($ddbPunct AS DOUBLE) / greatest(CAST($ddbNonSpace AS DOUBLE), 1.0)"
-  private val ddbStopRatio =
-    s"CAST(${ddbLexHits(T.Stopwords)} AS DOUBLE) / greatest(CAST(len($ddbToks) AS DOUBLE), 1.0)"
-  private val ddbAvgLen =
-    s"CAST(list_sum(list_transform($ddbToks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / greatest(CAST(len($ddbToks) AS DOUBLE), 1.0)"
+  private val ddbPunctRatio = TextOracleSql.punctRatio
+  private val ddbStopRatio = TextOracleSql.stopRatio
+  private val ddbAvgLen = TextOracleSql.avgLen
 
   val qualityScore: Q = Q(
     "text_quality_score",
@@ -179,4 +169,45 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition)
+}
+
+/** Shared DuckDB fragments for the text formulas — the single source of
+  * truth for every oracle that embeds them (TextQueries, CurateQueries,
+  * MultimodalQueries). Each fragment mirrors the corresponding
+  * TextFunctions column builder token-for-token. */
+object TextOracleSql {
+  import graft.functions.{TextFunctions => T}
+
+  val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+  def lexHits(lex: Seq[String]): String = {
+    val l = lex.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"len(list_filter($toks, t -> list_contains($l, t)))"
+  }
+
+  val nonSpace = "length(regexp_replace(lower(text), '\\s', '', 'g'))"
+  val punct =
+    "length(regexp_replace(regexp_replace(lower(text), '\\s', '', 'g'), '[a-z0-9]', '', 'g'))"
+  val punctRatio =
+    s"CAST($punct AS DOUBLE) / greatest(CAST($nonSpace AS DOUBLE), 1.0)"
+  val stopRatio =
+    s"CAST(${lexHits(T.Stopwords)} AS DOUBLE) / greatest(CAST(len($toks) AS DOUBLE), 1.0)"
+  val avgLen =
+    s"CAST(list_sum(list_transform($toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / greatest(CAST(len($toks) AS DOUBLE), 1.0)"
+  val quality =
+    s"(least(CAST(len($toks) AS DOUBLE), 100.0) / 100.0) * 0.25" +
+      s" + (1.0 - least($punctRatio * 4.0, 1.0)) * 0.25" +
+      s" + least($stopRatio * 4.0, 1.0) * 0.25" +
+      s" + (1.0 - least(abs($avgLen - 5.0) / 5.0, 1.0)) * 0.25"
+
+  val langCase: String = {
+    val hits = T.LangLexicons.map { case (lang, lex) => lang -> lexHits(lex) }
+    val best = hits.map(_._2).mkString("greatest(", ", ", ")")
+    hits.map { case (lang, h) => s"WHEN $h = $best AND $h > 0 THEN '$lang'" }
+      .mkString("CASE ", " ", " ELSE 'und' END")
+  }
+
+  /** Sum of ascii byte values of an (ASCII) string expression. */
+  def byteSum(expr: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split($expr, ''), c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> acc + x)"
 }

@@ -18,8 +18,6 @@ object WorQueries {
   private val ddbProducts = Wor.ProductNames
     .map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
 
-  private val ddbZonas = Wor.ZonaTokens.map(z => s"'$z'").mkString("[", ", ", "]")
-
   /** ZONE_MAPPING over the zone_idx domain: Zone1-6 → 1-6, KamEast → 9,
     * KamCentral → 8 (wor2.py:50-62). */
   private val ddbZoneId =

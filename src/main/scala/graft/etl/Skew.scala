@@ -33,11 +33,23 @@ object Skew {
   /** Salted equi-join: equivalent rows to `skewed.join(other, keys, how)`
     * with hot keys spread over `n` tasks. `other` is replicated n× — use
     * only when that side is orders of magnitude smaller than the skewed
-    * side (but too big to broadcast). */
+    * side (but too big to broadcast).
+    *
+    * `how` is restricted to inner/left/left_semi/left_anti: in a right or
+    * full outer join the n unmatched replicas of an `other`-only key
+    * would each emit a null-padded row (n copies instead of 1) — the
+    * replication trick is only row-equivalent when unmatched `other`
+    * rows produce no output. */
   def saltedJoin(
       skewed: DataFrame, other: DataFrame, keys: Seq[String],
-      n: Int, how: String = "inner"): DataFrame =
+      n: Int, how: String = "inner"): DataFrame = {
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "leftanti", "left_anti")
+    require(allowed.contains(how.toLowerCase.replace(" ", "")),
+      s"saltedJoin supports $allowed; '$how' would multiply unmatched " +
+        "replicated-side rows")
     saltSkewed(skewed, n, keys.map(skewed(_)): _*)
       .join(replicateForSalt(other, n), keys :+ "__salt", how)
       .drop("__salt")
+  }
 }

@@ -54,8 +54,12 @@ object Sources {
       spark: SparkSession, path: String,
       preamble: Int = 6, footer: Int = 1): DataFrame = {
     import spark.implicits._
-    val local = new java.io.File(path)
-    require(!local.isDirectory,
+    // Hadoop FS check so file:/, hdfs://, s3:// paths are validated too
+    // (a bare java.io.File test silently passes URI-style paths). Globs
+    // don't resolve to a status and are the caller's responsibility.
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!(fs.exists(hPath) && fs.getFileStatus(hPath).isDirectory),
       s"csvSkipping needs a single report file, got a directory: $path " +
         "(per-file preambles/footers would leak into the data)")
     val lines = spark.read.textFile(path).rdd.zipWithIndex()

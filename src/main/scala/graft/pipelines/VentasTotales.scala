@@ -114,68 +114,61 @@ object VentasTotales {
       .agg(sum(when(col("amount").isNull && col("amount_raw").isNotNull, 1L)
         .otherwise(0L)).as("non_numeric_amounts"))
 
+  /** The dedup key columns (ventas_totales.py:169). */
+  private val KeyCols = Seq("id_cliente", "fecha", "document_number", "item")
+
+  /** J4 key normalization, applied to BOTH sides of the anti-join
+    * (ventas_totales.py:186-203). Single source of truth — load, rerun
+    * and the target scan must stay in lockstep. */
+  private val DedupNormalization: Seq[(String, Column => Column)] = Seq(
+    "id_cliente" -> (_.cast("long")),
+    "fecha" -> (c => date_trunc("day", c).cast("date")),
+    "document_number" -> (c => trim(c.cast("string"))),
+    "item" -> (c => trim(c.cast("string"))))
+
+  /** The destination-table projection (Ventas_Totales columns). */
+  private def toTargetColumns(df: DataFrame): DataFrame =
+    df.select(
+      col("id_cliente"),
+      E.formatDateIso(col("fecha")).as("fecha"),
+      col("document_number"),
+      col("tipo"),
+      col("item"),
+      col("descripcion"),
+      col("clase"),
+      col("cantidad_producto"),
+      col("presentacion"),
+      col("amount"),
+      col("created_from"))
+
   /** The already-loaded target (S6 key scan): everything shipped before
     * the cutoff, keys only. */
   def existingTarget(spark: SparkSession, sfDir: String): DataFrame =
     prepared(spark, sfDir)
       .filter(col("__ship") < to_date(lit(Cutoff)))
-      .select(col("id_cliente"), col("fecha"), col("document_number"), col("item"))
+      .select(KeyCols.map(col): _*)
 
   /** The incremental load: J4 anti-join with key normalization on both
-    * sides (ventas_totales.py:186-209). */
-  def load(spark: SparkSession, sfDir: String): DataFrame = {
-    // NB: the existing-target side recomputes the prepared subtree (the
-    // harness derives both sides from the same tables); measured at
-    // sf0.1, recomputing the columnar scan+joins is ~4x cheaper than
-    // persisting 1.2M wide cached rows, so this stays cache-free.
-    val incoming = prepared(spark, sfDir)
-    val existing = incoming
-      .filter(col("__ship") < to_date(lit(Cutoff)))
-      .select(col("id_cliente"), col("fecha"), col("document_number"), col("item"))
-    val normalization: Seq[(String, Column => Column)] = Seq(
-      "id_cliente" -> (_.cast("long")),
-      "fecha" -> (c => date_trunc("day", c).cast("date")),
-      "document_number" -> (c => trim(c.cast("string"))),
-      "item" -> (c => trim(c.cast("string"))))
-    Dedup.antiJoinNewNormalized(incoming, existing, normalization)
-      .select(
-        col("id_cliente"),
-        E.formatDateIso(col("fecha")).as("fecha"),
-        col("document_number"),
-        col("tipo"),
-        col("item"),
-        col("descripcion"),
-        col("clase"),
-        col("cantidad_producto"),
-        col("presentacion"),
-        col("amount"),
-        col("created_from"))
-  }
+    * sides (ventas_totales.py:186-209).
+    *
+    * NB: the existing-target side recomputes the prepared subtree (the
+    * harness derives both sides from the same tables); measured at
+    * sf0.1, recomputing the columnar scan+joins is ~4x cheaper than
+    * persisting 1.2M wide cached rows, so this stays cache-free. */
+  def load(spark: SparkSession, sfDir: String): DataFrame =
+    toTargetColumns(
+      Dedup.antiJoinNewNormalized(
+        prepared(spark, sfDir), existingTarget(spark, sfDir),
+        DedupNormalization))
 
   /** Re-run recovery scenario (Ventas PDF §9 "Escenario de Recuperación"):
     * processing the same file against a target that already holds every
     * key inserts zero rows. */
   def rerun(spark: SparkSession, sfDir: String): DataFrame = {
     val incoming = prepared(spark, sfDir)
-    val allKeys = incoming
-      .select(col("id_cliente"), col("fecha"), col("document_number"), col("item"))
-    val normalization: Seq[(String, Column => Column)] = Seq(
-      "id_cliente" -> (_.cast("long")),
-      "fecha" -> (c => date_trunc("day", c).cast("date")),
-      "document_number" -> (c => trim(c.cast("string"))),
-      "item" -> (c => trim(c.cast("string"))))
-    Dedup.antiJoinNewNormalized(incoming, allKeys, normalization)
-      .select(
-        col("id_cliente"),
-        E.formatDateIso(col("fecha")).as("fecha"),
-        col("document_number"),
-        col("tipo"),
-        col("item"),
-        col("descripcion"),
-        col("clase"),
-        col("cantidad_producto"),
-        col("presentacion"),
-        col("amount"),
-        col("created_from"))
+    toTargetColumns(
+      Dedup.antiJoinNewNormalized(
+        incoming, incoming.select(KeyCols.map(col): _*),
+        DedupNormalization))
   }
 }
