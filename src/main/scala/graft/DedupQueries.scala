@@ -62,20 +62,74 @@ object DedupQueries {
 
   // ---------------------------------------------------- n-gram Jaccard
 
-  /** Exploded distinct hashed shingles per doc (the inverted index).
-    * Shingles travel as 64-bit hashes, never strings: cheaper equality,
-    * smaller shuffle, same Jaccard modulo ~2^-30 collisions — and the
-    * oracle computes the identical hashes. */
-  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
-    corpus(s, dir)
+  /** Document-frequency cap on shingles: a shingle shared by k docs
+    * contributes k² candidate pairs to the inverted-index self-join, so
+    * one hot boilerplate phrase ("click here to subscribe") makes the
+    * join quadratic on a real web corpus. Shingles with df above the cap
+    * carry no near-dup signal (they are boilerplate by definition) and
+    * are dropped BEFORE the join — from the Jaccard universe and the
+    * MinHash signatures alike, with the oracle mirroring the same
+    * filter. 128 is above the max organic df in the testdata at the
+    * verification scale (46 at sf0.01, so results there are unchanged)
+    * while catching planted boilerplate at sf0.1 (the near-dup trailer,
+    * df 455). The drop is not silent: [[shingleDfCapReport]] is an
+    * oracle-checked query reporting how much the cap removed. */
+  val ShingleDfCap = 128
+
+  /** Uncapped exploded distinct hashed shingles of a (doc_id, text)
+    * frame. Shingles travel as 64-bit hashes, never strings: cheaper
+    * equality, smaller shuffle, same Jaccard modulo ~2^-30 collisions —
+    * and the oracle computes the identical hashes. */
+  def rawShingleIndexOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), H.tokenHashes(T.tokens(col("text"))).as("hs"))
       .select(col("doc_id"), explode(H.shingleHashesFrom(col("hs"))).as("h"))
+
+  /** The inverted index the joins consume: [[rawShingleIndexOf]] minus
+    * shingles hotter than [[ShingleDfCap]]. The df window shuffles on
+    * the shingle hash — the same key the candidate join shuffles on. */
+  def shingleIndexOf(docs: DataFrame, cap: Int = ShingleDfCap): DataFrame = {
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    rawShingleIndexOf(docs)
+      .withColumn("df", count(lit(1)).over(byShingle))
+      .filter(col("df") <= cap)
+      .drop("df")
+  }
+
+  private def rawShingleIndex(s: SparkSession, dir: String): DataFrame =
+    rawShingleIndexOf(corpus(s, dir))
+
+  private def shingleIndex(s: SparkSession, dir: String): DataFrame =
+    shingleIndexOf(corpus(s, dir))
 
   private val ddbShingleIndex =
     s"""toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus),
        |th AS (SELECT doc_id, list_transform(t, tok -> ${T.polyHashSql("tok")}) AS hs FROM toks),
        |sh AS (SELECT doc_id, ${H.shingleHashesSql("hs")} AS s FROM th),
-       |ex AS (SELECT doc_id, unnest(s) AS h FROM sh)""".stripMargin
+       |ex AS (SELECT doc_id, h FROM (SELECT doc_id, unnest(s) AS h FROM sh)
+       |       QUALIFY count(*) OVER (PARTITION BY h) <= $ShingleDfCap)""".stripMargin
+
+  /** No-silent-caps report: how many distinct shingles (and how many
+    * index postings) the df-cap removed. 0/0 at the verification scale;
+    * nonzero exactly when boilerplate would otherwise blow up the join. */
+  val shingleDfCapReport: Q = Q(
+    "dedup_shingle_dfcap",
+    (s, dir) => rawShingleIndex(s, dir)
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .agg(
+        sum(when(col("df") > ShingleDfCap, 1L).otherwise(0L))
+          .as("dropped_shingles"),
+        sum(when(col("df") > ShingleDfCap, col("df")).otherwise(0L))
+          .as("dropped_postings")),
+    Some(
+      s"""WITH $ddbCorpus,
+         |toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus),
+         |th AS (SELECT doc_id, list_transform(t, tok -> ${T.polyHashSql("tok")}) AS hs FROM toks),
+         |sh AS (SELECT doc_id, ${H.shingleHashesSql("hs")} AS s FROM th),
+         |dfs AS (SELECT h, count(*) AS df FROM (SELECT doc_id, unnest(s) AS h FROM sh) GROUP BY h)
+         |SELECT CAST(sum(CASE WHEN df > $ShingleDfCap THEN 1 ELSE 0 END) AS BIGINT) AS dropped_shingles,
+         |       CAST(sum(CASE WHEN df > $ShingleDfCap THEN df ELSE 0 END) AS BIGINT) AS dropped_postings
+         |FROM dfs""".stripMargin))
 
   /** N-gram Jaccard near-dup: candidate pairs via the shingle inverted
     * index (|A∩B| = co-occurrence count), exact Jaccard from set sizes.
@@ -315,5 +369,5 @@ object DedupQueries {
 
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, minhashLsh, simhashSketches, simhashPairs,
-    embeddingNearDup)
+    embeddingNearDup, shingleDfCapReport)
 }

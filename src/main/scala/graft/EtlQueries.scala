@@ -244,7 +244,20 @@ object EtlQueries {
          |SELECT CAST(SUM(CASE WHEN amount IS NULL AND amount_raw IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_amounts
          |FROM prep""".stripMargin))
 
+  /** A2, reference population (ventas_totales.py:124-128): the same
+    * diagnostic computed on the full renamed file BEFORE client mapping,
+    * counting null raws as non-numeric — the population the reference
+    * actually measures. */
+  val ventasDqPrefilter: Q = Q(
+    "ventas_dq_nonnumeric_prefilter",
+    (s, dir) => pipelines.VentasTotales.nonNumericAmountCountPrefilter(s, dir),
+    Some(
+      s"""WITH base AS ($ddbVentasBase),
+         |file AS (SELECT * FROM base UNION ALL SELECT * FROM base WHERE __rid % 131 = 0)
+         |SELECT CAST(SUM(CASE WHEN TRY_CAST(regexp_replace(amount_raw, '[\\$$,\\s]', '', 'g') AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_amounts
+         |FROM file""".stripMargin))
+
   def all: Seq[Q] = Seq(
     carteraLoad, carteraRejects, pendingOrdersLoad, pendingRejects,
-    ventasIncremental, ventasRerunZero, ventasDq)
+    ventasIncremental, ventasRerunZero, ventasDq, ventasDqPrefilter)
 }

@@ -15,12 +15,20 @@ object PackQueries {
   /** Token budget per packed sequence bin. */
   private val BinBudget = 512L
 
-  /** Number of parallel packing shards: cumulative-sum packing is
-    * inherently sequential, so it runs per shard — each shard's window
-    * is an independent partition, which is what makes this scale (one
-    * global cumsum would serialize 100 TB through one task). Shard
-    * assignment is deterministic (doc_id mod). */
-  private val Shards = 8
+  /** Target docs per packing shard. Cumulative-sum packing is inherently
+    * sequential, so it runs per shard — each shard's window is an
+    * independent partition, which is what makes this scale (one global
+    * cumsum would serialize 100 TB through one task). The shard COUNT is
+    * derived from the input size ([[packShards]]), so parallelism grows
+    * with the data instead of being capped at a constant; assignment is
+    * deterministic (doc_id mod). */
+  private val DocsPerShard = 64L
+
+  /** Shard count for an n-doc input: ceil(n / [[DocsPerShard]]), ≥ 1.
+    * 8 at the sf0.01 verification scale (n = 500) — the oracle derives
+    * the same count with a scalar subquery, so it tracks any scale. */
+  def packShards(n: Long): Long =
+    math.max(1L, (n + DocsPerShard - 1) / DocsPerShard)
 
   /** Greedy-by-order sequence packing: within a shard, docs are taken in
     * doc_id order and a doc goes to bin floor(exclusive-prefix-tokens /
@@ -29,9 +37,11 @@ object PackQueries {
   val pack: Q = Q(
     "pack_sequences",
     (s, dir) => {
-      val docs = table(s, dir, "documents")
+      val d = table(s, dir, "documents")
+      val shards = packShards(d.count())
+      val docs = d
         .select(col("doc_id"),
-          (col("doc_id") % Shards).cast("int").as("shard"),
+          (col("doc_id") % shards).cast("int").as("shard"),
           least(T.tokenCount(col("text")).cast("long"), lit(BinBudget))
             .as("n_tokens"))
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
@@ -44,11 +54,14 @@ object PackQueries {
         .orderBy("doc_id")
     },
     Some(
-      s"""WITH docs AS (
-         |  SELECT doc_id,
-         |         CAST(doc_id % $Shards AS INT) AS shard,
-         |         least(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT), $BinBudget) AS n_tokens
+      s"""WITH params AS (
+         |  SELECT GREATEST(1, CAST(CEIL(COUNT(*) / $DocsPerShard.0) AS BIGINT)) AS shards
          |  FROM documents),
+         |docs AS (
+         |  SELECT doc_id,
+         |         CAST(doc_id % params.shards AS INT) AS shard,
+         |         least(CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS BIGINT), $BinBudget) AS n_tokens
+         |  FROM documents, params),
          |c AS (
          |  SELECT doc_id, shard, n_tokens,
          |         SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

@@ -67,9 +67,11 @@ object VentasTotales {
     base.unionAll(base.filter(col("__rid") % 131 === 0))
   }
 
-  /** Rename + parse + dict-lookup enrichment (the file → insertable rows). */
-  def prepared(spark: SparkSession, sfDir: String): DataFrame = {
-    val renamed = Sources.renameTolerant(
+  /** The renamed file before any client mapping — the population the
+    * reference's A2 diagnostic runs on (ventas_totales.py:121-128: drop
+    * Status, rename, THEN count non-numeric amounts). */
+  def renamedFile(spark: SparkSession, sfDir: String): DataFrame =
+    Sources.renameTolerant(
       rawFile(spark, sfDir).drop("Status"),
       Map(
         "Company Name" -> "nombre_cliente",
@@ -83,6 +85,10 @@ object VentasTotales {
         "UOM" -> "presentacion",
         "Amount" -> "amount_raw",
         "Created From" -> "created_from"))
+
+  /** Rename + parse + dict-lookup enrichment (the file → insertable rows). */
+  def prepared(spark: SparkSession, sfDir: String): DataFrame = {
+    val renamed = renamedFile(spark, sfDir)
     // J2 dict-map lookup: lower+trim both sides (F2); duplicate dim names
     // are last-write-wins in pandas — dim names are unique here, and
     // Lookups.enrichFromDim encodes the tie-break for the general case.
@@ -107,11 +113,25 @@ object VentasTotales {
     * the within-batch duplicate union, excluding null raws); the reference
     * computes it on the full renamed file before client mapping and counts
     * genuinely-null amounts as non-numeric. The oracle encodes the same
-    * population, so the check stays consistent — revisit if a consumer
-    * needs the pre-filter diagnostic. */
+    * population, so the check stays consistent —
+    * [[nonNumericAmountCountPrefilter]] is the reference-population
+    * variant. */
   def nonNumericAmountCount(spark: SparkSession, sfDir: String): DataFrame =
     prepared(spark, sfDir)
       .agg(sum(when(col("amount").isNull && col("amount_raw").isNotNull, 1L)
+        .otherwise(0L)).as("non_numeric_amounts"))
+
+  /** A2, reference population (ventas_totales.py:124-128 exactly): the
+    * diagnostic over the FULL renamed file — before the client mapping
+    * and its inner-join filter — counting genuinely-null raws as
+    * non-numeric (pandas `to_numeric(errors='coerce').isna().sum()`).
+    * Kept alongside [[nonNumericAmountCount]] (the post-filter variant
+    * measuring quality of what actually loads). */
+  def nonNumericAmountCountPrefilter(spark: SparkSession, sfDir: String): DataFrame =
+    renamedFile(spark, sfDir)
+      .agg(sum(when(
+        regexp_replace(col("amount_raw"), "[\\$,\\s]", "")
+          .try_cast("double").isNull, 1L)
         .otherwise(0L)).as("non_numeric_amounts"))
 
   /** The dedup key columns (ventas_totales.py:169). */

@@ -69,34 +69,33 @@ object EventStream {
   /** Session gap: 6 hours, in microseconds. */
   val SessionGapUs: Long = 6L * 3600 * 1000000
 
-  private def toSessions(uid: Long, sorted: Seq[Long]): Iterator[UserSession] = {
-    if (sorted.isEmpty) Iterator.empty
-    else {
-      val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-      var start = sorted.head
-      var end = sorted.head
-      var n = 1L
-      sorted.tail.foreach { t =>
-        if (t - end > SessionGapUs) {
-          out += UserSession(uid, start, end, n)
-          start = t; end = t; n = 1L
-        } else { end = t; n += 1 }
-      }
-      out += UserSession(uid, start, end, n)
-      out.iterator
-    }
-  }
-
-  /** Batch sessionization: per-user gap-split over the sorted event
-    * times, via typed flatMapGroups — the same per-group imperative shape
-    * the streaming state handler uses. One shuffle on user_id. */
+  /** Batch sessionization: per-user gap-split via the window
+    * formulation — lag marks session breaks, a running sum of breaks
+    * numbers the sessions, one groupBy folds each session. One shuffle
+    * on user_id, and — unlike a flatMapGroups that materializes a
+    * user's full event history in memory — the window's sort spills,
+    * so a single heavy user (10⁵⁺ events) cannot OOM an executor. The
+    * per-group imperative shape survives only in [[sessionsStreaming]],
+    * where incremental GroupState is the point. */
   def sessionsBatch(events: Dataset[SessionEvent]): Dataset[UserSession] = {
     import events.sparkSession.implicits._
-    events
-      .groupByKey(_.user_id)
-      .flatMapGroups { (uid, it) =>
-        toSessions(uid, it.map(_.ts_us).toSeq.sorted)
-      }
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+    events.toDF()
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev_us").isNull || col("ts_us") - col("prev_us") > SessionGapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("brk")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+      .as[UserSession]
   }
 
   /** Streaming sessionization with explicit state:
