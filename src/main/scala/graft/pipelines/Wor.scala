@@ -181,11 +181,14 @@ object Wor {
   /** Category bucket clean (wor2.py:286-291): P2 positional rename of
     * columns 3/4 → cuota_dinero/cuota_volumen, F12 whole-frame fillna(0),
     * F10 zona column, month stamp. (The forecast-only steps of
-    * limpiar_dataframe are skipped for this bucket — wor2.py:265-272.) */
-  def categoryPrepared(spark: SparkSession, sfDir: String): DataFrame = {
+    * limpiar_dataframe are skipped for this bucket — wor2.py:265-272.)
+    * Source-agnostic: `tables` is the bucket frame (data columns in
+    * source position + table_name/row_idx) from either the parquet
+    * fixture ([[categoryTables]]) or a real workbook
+    * (`Xlsx.scanWorkbooks` → `bucketDF` — exercised by `XlsxSpec`). */
+  def categoryClean(tables: DataFrame): DataFrame = {
     val renamed = Sources.renamePositional(
-      categoryTables(spark, sfDir),
-      Map(3 -> "cuota_dinero", 4 -> "cuota_volumen"))
+      tables, Map(3 -> "cuota_dinero", 4 -> "cuota_volumen"))
     monthStamp(
       renamed
         .na.fill(0).na.fill("0")
@@ -193,13 +196,16 @@ object Wor {
       .withColumnRenamed("Negocio.", "nombre_producto")
   }
 
+  def categoryPrepared(spark: SparkSession, sfDir: String): DataFrame =
+    categoryClean(categoryTables(spark, sfDir))
+
   /** Forecast bucket clean (wor2.py:264-272, 294-306): F12 fillna(0) →
     * P3 drop 'Py %' → P9 drop the per-table first row (row_number over
     * the in-file order, W4) → P8 drop rows where any column's string form
     * contains 'Total' → P7 keep first-column ≠ 0 → F10 zona → stamp →
     * P1 semantic renames. */
-  def forecastPrepared(spark: SparkSession, sfDir: String): DataFrame = {
-    val filled = forecastTables(spark, sfDir).na.fill(0).na.fill("0")
+  def forecastClean(tables: DataFrame): DataFrame = {
+    val filled = tables.na.fill(0).na.fill("0")
     val dataCols = Seq("ZONA/CLIENTE", "WEEK 1", "WEEK 2", "WEEK 3",
       "WEEK 4", "WEEK 5", "TOTAL")
     val w = Window.partitionBy(col("table_name")).orderBy(col("row_idx"))
@@ -216,6 +222,9 @@ object Wor {
         "WEEK 1" -> "semana_1", "WEEK 2" -> "semana_2", "WEEK 3" -> "semana_3",
         "WEEK 4" -> "semana_4", "WEEK 5" -> "semana_5"))
   }
+
+  def forecastPrepared(spark: SparkSession, sfDir: String): DataFrame =
+    forecastClean(forecastTables(spark, sfDir))
 
   // --------------------------------------------------------------- loads
 
