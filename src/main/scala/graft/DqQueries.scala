@@ -41,7 +41,9 @@ object DqQueries {
         li.select(col(c.name).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
           .agg(
-            sum(col("cnt")).as("n"),
+            // coalesce: sum over zero groups is NULL, count(*) was 0 —
+            // keep the empty-input semantics the oracle's count(*) has
+            coalesce(sum(col("cnt")), lit(0L)).as("n"),
             coalesce(sum(when(col("v").isNull, col("cnt"))), lit(0L))
               .as("n_null"),
             // count(DISTINCT c) semantics: nulls excluded

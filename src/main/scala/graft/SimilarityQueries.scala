@@ -126,17 +126,20 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     },
     Some {
-      // The oracle pins planes to lshPlanes(500) = 8 — the derivation's
-      // value at the sf0.01 scale the driver verifies at (a static SQL
-      // string cannot re-derive it; LshPlanesSpec asserts the equality).
-      val planes = lshPlanes(500)
-      val probeList = ("sk.sketch" +: (0 until planes)
-        .map(b => s"xor(sk.sketch, ${1L << b})")).mkString("[", ", ", "]")
+      // The oracle re-derives the plane count from the corpus the same
+      // way the Spark side does (clamp(ceil(log2(n/2)), 4, 48)), and
+      // builds the sketch from the weight-generating FORMULA instead of
+      // unrolled literals — so it tracks any scale factor, not just the
+      // sf0.01 value of 8 (ScaleKnobsSpec pins the derivation values).
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |sk AS (SELECT vec_id, embedding, ${H.hyperplaneSketchSql("embedding", Dims, planes)} AS sketch FROM e),
+         |np AS (SELECT GREATEST(4, LEAST(48, CAST(CEIL(LOG2(COUNT(*) / 2.0)) AS INT))) AS planes FROM e),
+         |sk AS (SELECT vec_id, embedding, ${H.hyperplaneSketchDynSql("embedding", Dims, "np.planes")} AS sketch FROM e, np),
          |probes AS (
-         |  SELECT sk.vec_id AS query_id, sk.embedding AS q_emb, unnest($probeList) AS sketch
-         |  FROM sk WHERE sk.vec_id % $QueryMod = 0),
+         |  SELECT sk.vec_id AS query_id, sk.embedding AS q_emb,
+         |         unnest(list_prepend(sk.sketch,
+         |           list_transform(generate_series(0, np.planes - 1),
+         |             b -> xor(sk.sketch, CAST(1 AS BIGINT) << b)))) AS sketch
+         |  FROM sk, np WHERE sk.vec_id % $QueryMod = 0),
          |scored AS (
          |  SELECT p.query_id, c.vec_id AS neighbor_id,
          |         ${H.cosineSql("p.q_emb", "c.embedding")} AS cosine

@@ -26,8 +26,9 @@ object StreamingQueries {
         |GROUP BY 1, 2
         |ORDER BY window_start, event_type""".stripMargin))
 
-  /** Per-user gap sessionization (typed flatMapGroups in batch; the
-    * streaming twin keeps the open session in GroupState). */
+  /** Per-user gap sessionization (batch: lag + running-sum window —
+    * spillable, no per-user materialization; the streaming twin keeps
+    * the open session in GroupState via flatMapGroupsWithState). */
   val sessions: Q = Q(
     "stream_sessionization",
     (s, dir) => {

@@ -100,6 +100,11 @@ object Sinks {
             } catch {
               case _: java.sql.SQLException =>
                 conn.rollback()
+                // The JDBC spec leaves post-failure batch state
+                // driver-defined (Derby clears it, others may not):
+                // clear explicitly or the next executeBatch would
+                // replay any rows still queued — double inserts.
+                ps.clearBatch()
                 // Localize: retry the failed batch one row at a time.
                 batch.foreach { r =>
                   try { bind(r); ps.executeUpdate(); conn.commit() }

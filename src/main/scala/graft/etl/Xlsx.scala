@@ -122,37 +122,59 @@ object Xlsx {
 
   /** A worksheet part → cell grid Map((row, col) → value), 1-based,
     * shared strings resolved, inline strings and cached formula values
-    * handled (`data_only=True`). */
+    * handled (`data_only=True`).
+    *
+    * Cell addressing: `c@r` is OPTIONAL per the OOXML schema — streaming
+    * writers omit it, meaning "next column of the current row" (and
+    * `row@r` likewise defaults to "next row"), so implicit positions are
+    * tracked. The cell's value is written once, at `</c>`: a rich-text
+    * inline string (`<is><r><t>…` runs) accumulates across runs the way
+    * openpyxl concatenates them, and formula cells contribute only their
+    * cached `<v>`. */
   private def sheetCells(
       xml: Array[Byte], sst: IndexedSeq[String]): Map[(Int, Int), String] = {
     val r = reader(xml)
     val out = mutable.Map.empty[(Int, Int), String]
-    var cellRef: (Int, Int) = null
+    var curRow = 0     // last row index seen (1-based)
+    var curCol = 0     // last column index filled within the row
+    var cellCol = 0    // this cell's resolved column
+    var inCell = false
     var cellType = ""
-    var capture = false  // inside <v>, or inside <is><t>
+    var capture = false  // inside <v>, or inside <is>…<t>
     var inIs = false
     val buf = new StringBuilder
-    def flush(): Unit = if (cellRef != null && buf.nonEmpty) {
-      val raw = buf.toString
-      out(cellRef) = if (cellType == "s") sst(raw.trim.toInt) else raw
-      buf.clear()
-    }
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+        case "row" =>
+          curRow = attr(r, "r").map(_.toInt).getOrElse(curRow + 1)
+          curCol = 0
         case "c" =>
-          cellRef = attr(r, "r").map(parseRef).orNull
+          attr(r, "r").map(parseRef) match {
+            case Some((rr, cc)) => curRow = rr; cellCol = cc
+            case None => cellCol = curCol + 1
+          }
+          inCell = true
           cellType = attr(r, "t").getOrElse("")
-        case "v" => capture = true
-        case "is" => inIs = true
+          buf.clear()
+        case "v" if inCell => capture = true
+        case "is" if inCell => inIs = true
         case "t" if inIs => capture = true
         case _ =>
       }
       case XMLStreamConstants.CHARACTERS if capture => buf.append(r.getText)
       case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
-        case "v" => capture = false; flush()
-        case "t" if inIs => capture = false; flush()
+        case "v" => capture = false
+        case "t" => capture = false
         case "is" => inIs = false
-        case "c" => cellRef = null
+        case "c" =>
+          if (inCell && buf.nonEmpty) {
+            val raw = buf.toString
+            out((curRow, cellCol)) =
+              if (cellType == "s") sst(raw.trim.toInt) else raw
+          }
+          curCol = cellCol
+          inCell = false
+          buf.clear()
         case _ =>
       }
       case _ =>
@@ -226,7 +248,11 @@ object Xlsx {
           .flatMap(p => parts.get(p))
           .flatMap(tableMeta)
           .map { case (name, ref) =>
-            val Array(from, to) = ref.split(":", 2)
+            // single-cell refs ("A1") are legal ST_Ref: from == to
+            val (from, to) = ref.split(":", 2) match {
+              case Array(f, t) => (f, t)
+              case Array(f) => (f, f)
+            }
             val (r1, c1) = parseRef(from)
             val (r2, c2) = parseRef(to)
             val grid = (r1 to r2).map(r =>
@@ -268,8 +294,11 @@ object Xlsx {
     * `table_name`) — within a bucket headers are positionally uniform,
     * exactly the assumption wor2.py's per-bucket concat makes. */
   def bucketDF(scan: DataFrame, columnNames: Seq[String]): DataFrame = {
+    // try_element_at: a narrower table (missing trailing columns) pads
+    // null like the reference's pandas concat — plain element_at would
+    // throw INVALID_ARRAY_INDEX under Spark 4's default ANSI mode.
     val dataCols = columnNames.zipWithIndex.map { case (n, i) =>
-      element_at(col("cells"), i + 1).as(n)
+      try_element_at(col("cells"), lit(i + 1)).as(n)
     }
     scan.select(dataCols :+ col("table_name") :+ col("row_idx"): _*)
   }

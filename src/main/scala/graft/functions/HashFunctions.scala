@@ -18,9 +18,12 @@ object HashFunctions {
 
   /** Affine-mix coefficients: a_i odd-ish multipliers, b_i offsets, all
     * < p. Fixed formula, not seeded randomness — the oracle SQL embeds
-    * the same literals. */
-  def mixA(i: Int): Long = (1000003L * (2L * i + 1)) % HashMod
-  def mixB(i: Int): Long = (998244353L * (i + 1)) % HashMod
+    * the same literals (and, for the corpus-derived plane count, the
+    * same generating FORMULA — see [[hyperplaneSketchDynSql]]). */
+  val MixMulA = 1000003L
+  val MixMulB = 998244353L
+  def mixA(i: Int): Long = (MixMulA * (2L * i + 1)) % HashMod
+  def mixB(i: Int): Long = (MixMulB * (i + 1)) % HashMod
 
   def mix(i: Int, h: Column): Column =
     (lit(mixA(i)) * h + lit(mixB(i))) % lit(HashMod)
@@ -182,4 +185,21 @@ object HashFunctions {
     (0 until planes)
       .map(k => s"CASE WHEN ${planeDotSql(embedding, k, dims)} > 0 THEN ${1L << k} ELSE 0 END")
       .mkString("(", " + ", ")")
+
+  /** DuckDB sketch with a RUNTIME plane count (`planesExpr`, e.g. a
+    * scalar-subquery column): instead of unrolling per-plane weight
+    * literals, the weights are derived in-SQL from the same generating
+    * formula as [[planeWeight]] — `((mixA(k)·d + mixB(k)) % 1009) - 504`
+    * over `d = 1..dims` — so the oracle tracks a corpus-derived plane
+    * count at any scale factor. Verified bit-equal to the unrolled form. */
+  def hyperplaneSketchDynSql(embedding: String, dims: Int, planesExpr: String): String = {
+    val weight =
+      s"CAST((((${MixMulA} * (2*k + 1)) % $HashMod) * d + ((${MixMulB} * (k + 1)) % $HashMod)) % 1009 - 504 AS DOUBLE)"
+    val planeDot = foldSumSql(
+      s"list_transform(list_zip($embedding, list_transform(generate_series(1, $dims), d -> $weight)), " +
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))")
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(0, $planesExpr - 1), k -> " +
+      s"CASE WHEN $planeDot > 0 THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b)"
+  }
 }
