@@ -91,6 +91,34 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** Exact top-k via the native bounded-heap aggregate
+    * (`graft.plans.TopKByScore`): same scoring as [[knnBrute]] and the
+    * SAME oracle, but the rank window — which shuffles every scored row
+    * (|Q|·n) before discarding all but k — is replaced by a map-side
+    * partial top-k, so the shuffle carries only k-pair buffers per
+    * query per partition. This is the formulation that survives 100 TB;
+    * `sim_knn_brute` stays as the window-formulation baseline. */
+  val knnTopK: Q = Q(
+    "sim_knn_topk",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") % QueryMod === 0)
+        .toDF("query_id", "q_emb")
+      val scored = e.toDF("neighbor_id", "n_emb")
+        .crossJoin(broadcast(queries))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
+      scored
+        .groupBy(col("query_id"))
+        .agg(H.topKByScore(col("cosine"), col("neighbor_id"), 5).as("top"))
+        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("query_id"), col("p.id").as("neighbor_id"),
+          col("p.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+    knnBrute.oracle)
+
   /** Multi-probe sign-LSH ANN: sketch buckets over [[lshPlanes]]
     * hyperplanes (derived from the corpus count — 8 at the sf0.01
     * verification scale, growing ~log2(n) so buckets stay constant-size);
@@ -228,5 +256,5 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin))
 
-  def all: Seq[Q] = Seq(knnBrute, annLsh, annIvf)
+  def all: Seq[Q] = Seq(knnBrute, knnTopK, annLsh, annIvf)
 }

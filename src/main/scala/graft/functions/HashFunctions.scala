@@ -152,6 +152,19 @@ object HashFunctions {
       .map(k => when(planeDot(embedding, k, dims) > 0, lit(1L << k)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** Bounded top-k aggregate column (graft.plans.TopKByScore): the k
+    * best (score, id) pairs per group, best-first, ties to the lower id.
+    * Map-side partials hold ≤ k pairs, so the shuffle carries k-element
+    * buffers instead of every scored row — the scale path for ranked
+    * retrieval (the rank-window formulation shuffles the full scored
+    * set). */
+  def topKByScore(score: Column, id: Column, k: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(
+      graft.plans.TopKByScore(Bridge.expression(score), Bridge.expression(id), k)
+        .toAggregateExpression())
+  }
+
   /** Cosine similarity as order-pinned double folds (dot and norms run
     * left-to-right; sqrt is IEEE-exact — bit-identical across engines). */
   def cosine(a: Column, b: Column): Column = {

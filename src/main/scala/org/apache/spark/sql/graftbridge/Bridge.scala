@@ -19,9 +19,14 @@ object Bridge {
 
   /** Register graft's SQL functions on an already-built session (e.g.
     * `SELECT graft_polyhash(text) FROM docs`). */
-  def registerGraftFunctions(spark: SparkSession): Unit =
+  def registerGraftFunctions(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_polyhash"),
       new ExpressionInfo(classOf[graft.plans.PolyHash].getName, "graft_polyhash"),
       (children: Seq[Expression]) => graft.plans.PolyHash(children.head))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[graft.plans.TopKByScore].getName, "graft_topk"),
+      (children: Seq[Expression]) => graft.plans.GraftExtensions.topkBuilder(children))
+  }
 }
