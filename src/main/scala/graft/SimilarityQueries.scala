@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
@@ -57,6 +58,21 @@ object SimilarityQueries {
     * growing K would silently decay recall). */
   def ivfNProbe(k: Long): Long = math.max(2L, (k + 7) / 8)
 
+  /** Shared ranked-output tail: bounded-heap top-k
+    * ([[graft.plans.TopKByScore]]) over a scored (query_id, neighbor_id,
+    * cosine) frame — candidates reduce to ≤ k per query on the map side,
+    * so the shuffle never carries the full scored set (the rank-window
+    * formulation does; `sim_knn_brute` keeps it as the baseline).
+    * Requires (query_id, neighbor_id) pairs to be unique — duplicates
+    * would each count once, where a rank window would rank them twice. */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(H.topKByScore(col("cosine"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("query_id", "rank")
+
   /** Brute-force exact top-k (k=5) by cosine, ties broken by neighbor id. */
   val knnBrute: Q = Q(
     "sim_knn_brute",
@@ -109,13 +125,7 @@ object SimilarityQueries {
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
-      scored
-        .groupBy(col("query_id"))
-        .agg(H.topKByScore(col("cosine"), col("neighbor_id"), 5).as("top"))
-        .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
-        .select(col("query_id"), col("p.id").as("neighbor_id"),
-          col("p.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
-        .orderBy("query_id", "rank")
+      topK(scored, 5)
     },
     knnBrute.oracle)
 
@@ -146,12 +156,10 @@ object SimilarityQueries {
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      scored
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 3)
-        .orderBy("query_id", "rank")
+      // bounded-heap top-k, not a rank window: candidates shrink to k
+      // map-side ((query, neighbor) pairs are unique here — a neighbor's
+      // sketch equals exactly one probe value, so no dedup needed)
+      topK(scored, 3)
     },
     Some {
       // The oracle re-derives the plane count from the corpus the same
@@ -215,15 +223,13 @@ object SimilarityQueries {
         .filter(col("crank") <= nProbe)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
           col("centroid_id"))
-      val wTop = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      probes.join(lists, Seq("centroid_id"))
+      val scored = probes.join(lists, Seq("centroid_id"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
           H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
-        .withColumn("rank", row_number().over(wTop))
-        .filter(col("rank") <= 3)
-        .orderBy("query_id", "rank")
+      // bounded-heap top-k ((query, neighbor) pairs are unique: every
+      // neighbor lives in exactly one inverted list)
+      topK(scored, 3)
     },
     Some(
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
