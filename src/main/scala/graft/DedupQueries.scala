@@ -131,41 +131,122 @@ object DedupQueries {
          |       CAST(sum(CASE WHEN df > $ShingleDfCap THEN df ELSE 0 END) AS BIGINT) AS dropped_postings
          |FROM dfs""".stripMargin))
 
+  /** N-gram Jaccard candidate pairs (i < j, jaccard ≥ 0.6) — the shared
+    * plan behind [[ngramJaccard]] and [[clusters]]. One shuffle on the
+    * shingle, one on the pair — no O(n²) cross join. */
+  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+    // The inverted index feeds three plan branches (sizes + both join
+    // sides); persist it so the corpus scan + shingle explode runs once.
+    val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = ex.toDF("i", "h")
+      .join(ex.toDF("j", "h"), Seq("h"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+    inter
+      .join(sizes.toDF("i", "na"), Seq("i"))
+      .join(sizes.toDF("j", "nb"), Seq("j"))
+      .select(col("i"), col("j"),
+        (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+  }
+
+  /** Oracle CTE chain producing the same `pairs(i, j, jaccard)`. */
+  private val ddbNgramPairs =
+    s"""$ddbShingleIndex,
+       |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+       |  FROM ex a JOIN ex b USING (h) WHERE a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |pairs AS (
+       |  SELECT i, j, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |  FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+       |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6)""".stripMargin
+
   /** N-gram Jaccard near-dup: candidate pairs via the shingle inverted
-    * index (|A∩B| = co-occurrence count), exact Jaccard from set sizes.
-    * One shuffle on shingle, one on the pair — no O(n²) cross join. */
+    * index (|A∩B| = co-occurrence count), exact Jaccard from set sizes. */
   val ngramJaccard: Q = Q(
     "dedup_ngram_jaccard",
-    (s, dir) => {
-      // The inverted index feeds three plan branches (sizes + both join
-      // sides); persist it so the corpus scan + shingle explode runs once.
-      val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = ex.toDF("i", "h")
-        .join(ex.toDF("j", "h"), Seq("h"))
-        .filter(col("i") < col("j"))
-        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
-      inter
-        .join(sizes.toDF("i", "na"), Seq("i"))
-        .join(sizes.toDF("j", "nb"), Seq("j"))
-        .select(col("i"), col("j"),
-          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
-            .as("jaccard"))
-        .filter(col("jaccard") >= 0.6)
-        .orderBy("i", "j")
-    },
+    (s, dir) => ngramPairs(s, dir).orderBy("i", "j"),
     Some(
       s"""WITH $ddbCorpus,
-         |$ddbShingleIndex,
-         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
-         |inter AS (
-         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-         |  FROM ex a JOIN ex b USING (h) WHERE a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
-         |SELECT i, j, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-         |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
-         |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.6
+         |$ddbNgramPairs
+         |SELECT i, j, jaccard FROM pairs
          |ORDER BY i, j""".stripMargin))
+
+  // --------------------------------------------- cluster resolution (CC)
+
+  /** Near-dup CLUSTER resolution: pair lists aren't actionable — a real
+    * dedup pipeline resolves the pair graph into connected components
+    * and keeps one canonical doc per component. Output: (doc_id,
+    * cluster_id = min doc_id of the component), every corpus doc
+    * included (singletons are their own cluster), keeper = doc_id ==
+    * cluster_id.
+    *
+    * Algorithm: iterative min-label propagation over the undirected
+    * pair edges — `label(v) ← min(label(v), min over neighbors
+    * label(u))` until fixpoint. Each round is one broadcast-or-shuffle
+    * join + one groupBy; rounds needed = component diameter, and dup
+    * components are stars/cliques around an original (diameter ≤ 2
+    * here, bounded small on real corpora), so the driver loop runs
+    * 2-3 rounds. For adversarial long-chain graphs swap the step for
+    * large-star/small-star (same join-groupBy primitives, O(log n)
+    * rounds). Labels persist per round and the previous round is
+    * unpersisted — lineage stays flat.
+    *
+    * Oracle: DuckDB recursive-CTE transitive closure over the same
+    * pairs + min(reachable) — exact same components (closure is fine at
+    * oracle scale; the Spark side never materializes reachability). */
+  val clusters: Q = Q(
+    "dedup_clusters",
+    (s, dir) => {
+      val pairs = ngramPairs(s, dir)
+      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels = corpus(s, dir)
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 20) {
+        val neighborMin = edges
+          .join(labels.toDF("dst", "n_label"), Seq("dst"))
+          .groupBy(col("src")).agg(min(col("n_label")).as("n_min"))
+        val next = labels
+          .join(neighborMin.toDF("doc_id", "n_min"), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
+              .as("cluster_id"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val changed = next.toDF("doc_id", "new_id")
+          .join(labels, Seq("doc_id"))
+          .filter(col("new_id") =!= col("cluster_id"))
+          .limit(1).count() > 0
+        labels.unpersist()
+        labels = next
+        converged = !changed
+        rounds += 1
+      }
+      edges.unpersist()
+      labels.orderBy("doc_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $ddbCorpus,
+         |$ddbNgramPairs,
+         |edges AS (SELECT i AS src, j AS dst FROM pairs
+         |          UNION SELECT j AS src, i AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE r.src <> e.dst),
+         |best AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY src)
+         |SELECT c.doc_id AS doc_id, LEAST(c.doc_id, COALESCE(b.m, c.doc_id)) AS cluster_id
+         |FROM corpus c LEFT JOIN best b ON b.doc_id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin))
 
   // -------------------------------------------------------- MinHash LSH
 
@@ -368,6 +449,6 @@ object DedupQueries {
          |ORDER BY i, j""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    exact, ngramJaccard, minhashLsh, simhashSketches, simhashPairs,
+    exact, ngramJaccard, clusters, minhashLsh, simhashSketches, simhashPairs,
     embeddingNearDup, shingleDfCapReport)
 }

@@ -47,6 +47,25 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(packed.select("doc_id").distinct().count() == packed.count())
   }
 
+  test("dedup_clusters: components agree with the pair graph") {
+    val pairs = Registry.queries("dedup_ngram_jaccard")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Registry.queries("dedup_clusters")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(pairs.nonEmpty)
+    // every near-dup pair's endpoints resolved to the same cluster
+    pairs.foreach { case (i, j) =>
+      assert(labels(i) == labels(j), s"pair ($i,$j) split across clusters")
+    }
+    // the cluster id is the component's minimum member (the keeper)
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid keeper mismatch")
+    }
+    // every corpus doc is labeled; real multi-doc clusters exist
+    assert(labels.size == DedupQueries.corpus(spark, Sf).count())
+    assert(labels.values.toSet.size < labels.size)
+  }
+
   test("curate_corpus: verdicts partition the corpus and keepers pass every gate") {
     val v = Registry.queries("curate_corpus")(spark, Sf)
     val kept = v.filter(col("verdict") === "keep")
