@@ -56,6 +56,30 @@ object StreamingQueries {
          |FROM g GROUP BY user_id, sid
          |ORDER BY user_id, session_start_us""".stripMargin))
 
+  /** The same sessionization through Spark's NATIVE session_window
+    * operator — the "compose built-ins first" rung of the ladder
+    * (built-in gap-merge > window formulation > custom state). Point
+    * events merge iff ts ≤ prev + gap, exactly the oracle's break
+    * predicate; start/end are re-derived as min/max event times because
+    * session_window.end adds the gap. Works identically under
+    * readStream + watermark. Shares stream_sessionization's oracle —
+    * three formulations, one contract. */
+  val sessionsNative: Q = Q(
+    "stream_session_window",
+    (s, dir) => {
+      val e = Sources.events(s, dir)
+      e.groupBy(col("user_id"),
+          session_window(col("ts"), s"${EventStream.SessionGapUs} microseconds"))
+        .agg(
+          min(unix_micros(col("ts"))).as("session_start_us"),
+          max(unix_micros(col("ts"))).as("session_end_us"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_start_us"),
+          col("session_end_us"), col("n_events"))
+        .orderBy("user_id", "session_start_us")
+    },
+    sessions.oracle)
+
   /** Watermarked ingest dedup over a feed with planted duplicate
     * deliveries (event_id%5 arrives twice). */
   val dedupIngest: Q = Q(
@@ -75,5 +99,5 @@ object StreamingQueries {
         |SELECT DISTINCT event_id, ts_us, event_type, value FROM u
         |ORDER BY event_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(windowedCounts, sessions, dedupIngest)
+  def all: Seq[Q] = Seq(windowedCounts, sessions, sessionsNative, dedupIngest)
 }

@@ -37,6 +37,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window sessionizes under the streaming engine") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = input.toDS().toDF("ts", "user_id")
+    val sessions = events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"${EventStream.SessionGapUs} microseconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sw_out")
+      .outputMode("append").start()
+    def t(h: Long) = new java.sql.Timestamp(h * 3600000)
+    try {
+      // 3 events inside one gap window, then one far beyond it: the
+      // first session (3 events) finalizes once the watermark passes
+      input.addData((t(0), 7L), (t(1), 7L), (t(2), 7L))
+      q.processAllAvailable()
+      input.addData((t(20), 7L))
+      q.processAllAvailable()
+      val out = spark.table("sw_out").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.toSeq == Seq((7L, 3L)))
+    } finally q.stop()
+  }
+
   test("windowedCounts over a streaming source matches the batch result") {
     // Stage the events parquet as a stream directory (one file = one batch)
     val dir = Files.createTempDirectory("events_stream")
