@@ -176,6 +176,71 @@ object DedupQueries {
          |SELECT i, j, jaccard FROM pairs
          |ORDER BY i, j""".stripMargin))
 
+  // ------------------------------------------------------ decontamination
+
+  /** Benchmark decontamination: flag TRAINING docs whose shingle overlap
+    * with any EVAL-set doc exceeds a threshold — the step that keeps
+    * test sets out of the training corpus. Same inverted-index shape as
+    * the near-dup join (shuffle on the shingle hash, never train×eval
+    * pairs), but the join is train-side × eval-side instead of a
+    * self-join, and the metric is containment (shared / eval-doc
+    * shingles ≥ 0.5) — a training doc that EMBEDS an eval doc is
+    * contaminated even when its own text is much longer, the exact case
+    * symmetric Jaccard under-scores.
+    *
+    * Harness fixture: docs with doc_id%41 = 0 play the eval set; the
+    * train side is every other doc plus planted contaminations (eval
+    * texts with a prefix bolted on, +3000000 ids) so the flag path is
+    * genuinely exercised. */
+  val decontaminate: Q = Q(
+    "curate_decontaminate",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bench = d.filter(col("doc_id") % 41 === 0)
+      val train = d.filter(col("doc_id") % 41 =!= 0)
+        .unionAll(bench.select((col("doc_id") + 3000000).as("doc_id"),
+          concat(lit("prefix padding before the leaked evaluation text "),
+            col("text")).as("text")))
+      val trainIx = shingleIndexOf(train).toDF("train_id", "h")
+      val benchIx = shingleIndexOf(bench).toDF("bench_id", "h")
+      val benchSizes = benchIx.groupBy(col("bench_id"))
+        .agg(count(lit(1)).as("bench_n"))
+      trainIx.join(benchIx, Seq("h"))
+        .groupBy(col("train_id"), col("bench_id"))
+        .agg(count(lit(1)).as("shared"))
+        .join(benchSizes, Seq("bench_id"))
+        .select(col("train_id"), col("bench_id"), col("shared"),
+          (col("shared").cast("double") / col("bench_n")).as("containment"))
+        .filter(col("containment") >= 0.5)
+        .orderBy("train_id", "bench_id")
+    },
+    Some {
+      def ix(src: String): String =
+        s"""(SELECT doc_id, h FROM (
+           |  SELECT doc_id, unnest(s) AS h FROM (
+           |    SELECT doc_id, ${H.shingleHashesSql("hs")} AS s FROM (
+           |      SELECT doc_id, list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> ${T.polyHashSql("tok")}) AS hs
+           |      FROM $src)))
+           | QUALIFY count(*) OVER (PARTITION BY h) <= $ShingleDfCap)""".stripMargin
+      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+         |train AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+         |  UNION ALL
+         |  SELECT doc_id + 3000000, 'prefix padding before the leaked evaluation text ' || text FROM bench),
+         |tix AS (SELECT doc_id AS train_id, h FROM ${ix("train")} t0),
+         |bix AS (SELECT doc_id AS bench_id, h FROM ${ix("bench")} b0),
+         |bsz AS (SELECT bench_id, count(*) AS bench_n FROM bix GROUP BY bench_id),
+         |ov AS (
+         |  SELECT t.train_id, b.bench_id, count(*) AS shared
+         |  FROM tix t JOIN bix b USING (h)
+         |  GROUP BY 1, 2)
+         |SELECT o.train_id, o.bench_id, o.shared,
+         |       CAST(o.shared AS DOUBLE) / s.bench_n AS containment
+         |FROM ov o JOIN bsz s USING (bench_id)
+         |WHERE CAST(o.shared AS DOUBLE) / s.bench_n >= 0.5
+         |ORDER BY train_id, bench_id""".stripMargin
+    })
+
   // --------------------------------------------- cluster resolution (CC)
 
   /** Near-dup CLUSTER resolution: pair lists aren't actionable — a real
@@ -450,5 +515,5 @@ object DedupQueries {
 
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, clusters, minhashLsh, simhashSketches, simhashPairs,
-    embeddingNearDup, shingleDfCapReport)
+    embeddingNearDup, shingleDfCapReport, decontaminate)
 }
