@@ -167,8 +167,53 @@ object TextQueries {
          |FROM pc GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin))
 
+  /** Per-source quality distribution — what a curation run actually
+    * reports per corpus slice: doc count and exact rank-based quantiles
+    * (min / lower-median / p90 / max) of the quality score. Quantiles
+    * are picked by row_number over (quality, doc_id) — fully
+    * deterministic and bit-identical across engines, unlike
+    * interpolated percentile_approx/quantile_cont whose float paths
+    * differ. One shuffle on source; the rank window shares it. */
+  val qualityBySource: Q = Q(
+    "text_quality_by_source",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          T.qualityScore(col("text")).as("q"))
+      val bySource = Window.partitionBy(col("source"))
+      val ranked = scored
+        .withColumn("rn", row_number().over(bySource.orderBy(col("q"), col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(bySource))
+      ranked.groupBy(col("source"))
+        .agg(
+          max(col("n")).as("n_docs"),
+          min(col("q")).as("min_q"),
+          min(when(col("rn") === ((col("n") + 1) / 2).cast("long"), col("q")))
+            .as("median_q"),
+          min(when(col("rn") === ((col("n") * 9 + 9) / 10).cast("long"), col("q")))
+            .as("p90_q"),
+          max(col("q")).as("max_q"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH s AS (SELECT source, doc_id, ${TextOracleSql.quality} AS q FROM documents),
+         |r AS (SELECT source, q,
+         |        row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY source) AS n
+         |      FROM s)
+         |SELECT source,
+         |       CAST(max(n) AS BIGINT) AS n_docs,
+         |       min(q) AS min_q,
+         |       min(CASE WHEN rn = (n + 1) // 2 THEN q END) AS median_q,
+         |       min(CASE WHEN rn = (9 * n + 9) // 10 THEN q END) AS p90_q,
+         |       max(q) AS max_q
+         |FROM r GROUP BY source
+         |ORDER BY source""".stripMargin))
+
   def all: Seq[Q] = Seq(
-    tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition)
+    tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition,
+    qualityBySource)
 }
 
 /** Shared DuckDB fragments for the text formulas — the single source of
