@@ -102,12 +102,25 @@ object DedupQueries {
   private def shingleIndex(s: SparkSession, dir: String): DataFrame =
     shingleIndexOf(corpus(s, dir))
 
+  /** DuckDB subquery producing the (doc_id, h) shingle index of `src` —
+    * THE single source of truth for the oracle-side index; every oracle
+    * that needs one (ngram/minhash CTE chain, decontamination's two
+    * sides) builds from here so the shingle width / hash constants /
+    * cap can never silently diverge between them. */
+  private def ddbShingleIx(src: String, capped: Boolean): String = {
+    val body =
+      s"""SELECT doc_id, unnest(s) AS h FROM (
+         |    SELECT doc_id, ${H.shingleHashesSql("hs")} AS s FROM (
+         |      SELECT doc_id, list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> ${T.polyHashSql("tok")}) AS hs
+         |      FROM $src))""".stripMargin
+    if (capped)
+      s"""(SELECT doc_id, h FROM ($body)
+         | QUALIFY count(*) OVER (PARTITION BY h) <= $ShingleDfCap)""".stripMargin
+    else s"($body)"
+  }
+
   private val ddbShingleIndex =
-    s"""toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus),
-       |th AS (SELECT doc_id, list_transform(t, tok -> ${T.polyHashSql("tok")}) AS hs FROM toks),
-       |sh AS (SELECT doc_id, ${H.shingleHashesSql("hs")} AS s FROM th),
-       |ex AS (SELECT doc_id, h FROM (SELECT doc_id, unnest(s) AS h FROM sh)
-       |       QUALIFY count(*) OVER (PARTITION BY h) <= $ShingleDfCap)""".stripMargin
+    s"ex AS (SELECT doc_id, h FROM ${ddbShingleIx("corpus", capped = true)} gx)"
 
   /** No-silent-caps report: how many distinct shingles (and how many
     * index postings) the df-cap removed. 0/0 at the verification scale;
@@ -123,10 +136,7 @@ object DedupQueries {
           .as("dropped_postings")),
     Some(
       s"""WITH $ddbCorpus,
-         |toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus),
-         |th AS (SELECT doc_id, list_transform(t, tok -> ${T.polyHashSql("tok")}) AS hs FROM toks),
-         |sh AS (SELECT doc_id, ${H.shingleHashesSql("hs")} AS s FROM th),
-         |dfs AS (SELECT h, count(*) AS df FROM (SELECT doc_id, unnest(s) AS h FROM sh) GROUP BY h)
+         |dfs AS (SELECT h, count(*) AS df FROM ${ddbShingleIx("corpus", capped = false)} rx GROUP BY h)
          |SELECT CAST(sum(CASE WHEN df > $ShingleDfCap THEN 1 ELSE 0 END) AS BIGINT) AS dropped_shingles,
          |       CAST(sum(CASE WHEN df > $ShingleDfCap THEN df ELSE 0 END) AS BIGINT) AS dropped_postings
          |FROM dfs""".stripMargin))
@@ -188,6 +198,13 @@ object DedupQueries {
     * contaminated even when its own text is much longer, the exact case
     * symmetric Jaccard under-scores.
     *
+    * Df-cap asymmetry (deliberate): only the BENCH side is capped. A
+    * benchmark passage leaked into thousands of training docs pushes
+    * its shingles' train-side df through any cap — capping the train
+    * index would hide exactly the most-contaminated case. Join fan-out
+    * stays bounded by the capped (and small) bench side: each shingle
+    * meets ≤ cap bench postings.
+    *
     * Harness fixture: docs with doc_id%41 = 0 play the eval set; the
     * train side is every other doc plus planted contaminations (eval
     * texts with a prefix bolted on, +3000000 ids) so the flag path is
@@ -201,8 +218,11 @@ object DedupQueries {
         .unionAll(bench.select((col("doc_id") + 3000000).as("doc_id"),
           concat(lit("prefix padding before the leaked evaluation text "),
             col("text")).as("text")))
-      val trainIx = shingleIndexOf(train).toDF("train_id", "h")
+      val trainIx = rawShingleIndexOf(train).toDF("train_id", "h")
+      // bench index feeds two branches (the h-join and the sizes);
+      // persist it so the bench scan + shingle explode runs once
       val benchIx = shingleIndexOf(bench).toDF("bench_id", "h")
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val benchSizes = benchIx.groupBy(col("bench_id"))
         .agg(count(lit(1)).as("bench_n"))
       trainIx.join(benchIx, Seq("h"))
@@ -215,20 +235,13 @@ object DedupQueries {
         .orderBy("train_id", "bench_id")
     },
     Some {
-      def ix(src: String): String =
-        s"""(SELECT doc_id, h FROM (
-           |  SELECT doc_id, unnest(s) AS h FROM (
-           |    SELECT doc_id, ${H.shingleHashesSql("hs")} AS s FROM (
-           |      SELECT doc_id, list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> ${T.polyHashSql("tok")}) AS hs
-           |      FROM $src)))
-           | QUALIFY count(*) OVER (PARTITION BY h) <= $ShingleDfCap)""".stripMargin
       s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
          |train AS (
          |  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
          |  UNION ALL
          |  SELECT doc_id + 3000000, 'prefix padding before the leaked evaluation text ' || text FROM bench),
-         |tix AS (SELECT doc_id AS train_id, h FROM ${ix("train")} t0),
-         |bix AS (SELECT doc_id AS bench_id, h FROM ${ix("bench")} b0),
+         |tix AS (SELECT doc_id AS train_id, h FROM ${ddbShingleIx("train", capped = false)} t0),
+         |bix AS (SELECT doc_id AS bench_id, h FROM ${ddbShingleIx("bench", capped = true)} b0),
          |bsz AS (SELECT bench_id, count(*) AS bench_n FROM bix GROUP BY bench_id),
          |ov AS (
          |  SELECT t.train_id, b.bench_id, count(*) AS shared
@@ -267,9 +280,14 @@ object DedupQueries {
   val clusters: Q = Q(
     "dedup_clusters",
     (s, dir) => {
-      val pairs = ngramPairs(s, dir)
-      val edges = pairs.select(col("i").as("src"), col("j").as("dst"))
-        .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+      // both edge orientations from ONE pass over the pair plan (a
+      // union of two projections would materialize the expensive
+      // candidate join twice before the persist)
+      val edges = ngramPairs(s, dir)
+        .select(explode(array(
+          struct(col("i").as("src"), col("j").as("dst")),
+          struct(col("j").as("src"), col("i").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       var labels = corpus(s, dir)
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
@@ -295,6 +313,11 @@ object DedupQueries {
         converged = !changed
         rounds += 1
       }
+      // no silent caps: returning mid-propagation labels would split
+      // components without any signal — fail loudly instead (a graph
+      // with diameter > 20 needs the large-star/small-star step)
+      require(converged,
+        s"dedup_clusters: min-label propagation did not converge in $rounds rounds")
       edges.unpersist()
       labels.orderBy("doc_id")
     },

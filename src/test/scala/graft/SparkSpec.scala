@@ -24,7 +24,12 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = {
     // One JVM-wide session is shared across suites (getOrCreate); leave it
-    // to the JVM teardown rather than stopping it per suite.
+    // to the JVM teardown rather than stopping it per suite — but DO drop
+    // caches: queries persist() reuse points (Bench/Verify clearCache()
+    // between queries; here the suite boundary plays that role), and
+    // without this each dedup-family suite pins its shingle/label caches
+    // for the rest of the run.
+    spark.catalog.clearCache()
     super.afterAll()
   }
 }
