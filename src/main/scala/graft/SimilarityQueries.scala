@@ -15,11 +15,11 @@ import graft.functions.{HashFunctions => H}
   *
   * Scale notes (100 TB): the query set is broadcast — the corpus never
   * shuffles for scoring. Brute-force cost is |Q|·|corpus| dots; the
-  * top-k window shuffles only |Q|·|corpus| scored rows partitioned by
-  * query (for huge corpora, pre-reduce with a per-partition top-k before
-  * the window). The ANN variant shuffles on the LSH bucket id instead,
-  * touching only candidate buckets (~planes·corpus/2^planes rows per
-  * probe set).
+  * baseline's top-k window shuffles |Q|·|corpus| scored rows partitioned
+  * by query, and [[knnTopK]] is the pre-reduced form (bounded-heap
+  * aggregate, ≤ k pairs per query per partition cross the shuffle). The
+  * ANN variants shuffle on the LSH bucket id / centroid id instead,
+  * touching only candidate buckets.
   */
 object SimilarityQueries {
 

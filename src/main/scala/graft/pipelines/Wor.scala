@@ -61,6 +61,32 @@ object Wor {
 
   private def arrayLit(xs: Seq[String]): Column = array(xs.map(lit): _*)
 
+  /** Source-position headers of the two bucket families (wor2.py:
+    * 256-262 category / 294-297 forecast) — what [[bucketsFromWorkbook]]
+    * maps table cells onto and the cleans rename from. */
+  val CategoryHeaders: Seq[String] =
+    Seq("Negocio.", "Avance $", "Avance Vol", "Vta $", "Vta Vol")
+  val ForecastHeaders: Seq[String] =
+    Seq("ZONA/CLIENTE", "WEEK 1", "WEEK 2", "WEEK 3", "WEEK 4", "WEEK 5",
+      "TOTAL", "Py %")
+
+  /** Real-workbook front door (S3/S4): scan `.xlsx` file(s) at `path`
+    * (glob ok — parse runs per-workbook on executors), classify every
+    * named table (wor2.py:104-155), and shape the two buckets for
+    * [[categoryClean]] / [[forecastClean]]. This is the composition a
+    * reference user switches to: workbook in, cleaned bucket frames
+    * out, then the same loads/dedups as the fixture path. */
+  def bucketsFromWorkbook(
+      spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val scan = graft.etl.Xlsx.scanWorkbooks(spark, path)
+      .withColumn("bucket", classifyTable(col("table_name")))
+    val category = graft.etl.Xlsx.bucketDF(
+      scan.filter(col("bucket") === "category"), CategoryHeaders)
+    val forecast = graft.etl.Xlsx.bucketDF(
+      scan.filter(col("bucket") === "forecast"), ForecastHeaders)
+    (category, forecast)
+  }
+
   /** S4 classification (wor2.py:104-155): a table name matching one of
     * the three patterns lands in the 'category' or 'forecast' bucket —
     * `Proyeccion_Vendedor` tables match the extraction regex but neither
