@@ -165,9 +165,21 @@ object HashFunctions {
         .toAggregateExpression())
   }
 
-  /** Cosine similarity as order-pinned double folds (dot and norms run
-    * left-to-right; sqrt is IEEE-exact — bit-identical across engines). */
+  /** Cosine similarity — the native codegen'd expression
+    * (graft.plans.ArrayCosine): one fused loop, three order-pinned
+    * accumulators, bit-identical to [[cosineHof]] and the oracle's
+    * list_reduce folds (pinned by ArrayCosineSpec). */
   def cosine(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.ArrayCosine(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** The HOF reference formulation of [[cosine]] (order-pinned double
+    * folds, left-to-right; sqrt is IEEE-exact). ArrayAggregate cannot
+    * whole-stage-codegen, so this stays off the hot path — it is the
+    * property-test twin the native expression is verified against. */
+  def cosineHof(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
         lit(0.0), (acc, v) => acc + v)

@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
       (children: Seq[Expression]) => GraftExtensions.topkBuilder(children)))
+    e.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[ArrayCosine].getName, "graft_cosine"),
+      (children: Seq[Expression]) => ArrayCosine(children(0), children(1))))
   }
 }
 

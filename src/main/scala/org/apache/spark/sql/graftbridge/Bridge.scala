@@ -28,5 +28,9 @@ object Bridge {
       FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[graft.plans.TopKByScore].getName, "graft_topk"),
       (children: Seq[Expression]) => graft.plans.GraftExtensions.topkBuilder(children))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[graft.plans.ArrayCosine].getName, "graft_cosine"),
+      (children: Seq[Expression]) => graft.plans.ArrayCosine(children(0), children(1)))
   }
 }

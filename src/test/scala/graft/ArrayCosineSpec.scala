@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.{HashFunctions => H}
+
+/** graft.plans.ArrayCosine — the native fused cosine loop must be
+  * BIT-identical to the HOF reference formulation (three order-pinned
+  * left folds), because every similarity oracle mirrors that fold. */
+class ArrayCosineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecGen: Gen[List[Float]] =
+    Gen.choose(1, 96).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000000, 1000000).map(_ / 61.0f)))
+
+  test("native == HOF fold, bit for bit, on random float vectors") {
+    val p = Prop.forAll(vecGen, vecGen) { (a: List[Float], b0: List[Float]) =>
+      // same-length pair: pad/trim b to a's length so the comparison hits
+      // the computed path, not the null path
+      val b = (b0 ++ List.fill(math.max(0, a.length - b0.length))(0.25f))
+        .take(a.length)
+      val row = Seq((a, b)).toDF("a", "b")
+        .select(
+          H.cosine(col("a"), col("b")).as("native"),
+          H.cosineHof(col("a"), col("b")).as("hof"))
+        .collect()(0)
+      java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(row.getDouble(1))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(40)
+        .withInitialSeed(org.scalacheck.rng.Seed(11L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("null array, null element, and length mismatch all yield null") {
+    val df = Seq(
+      (Some(List(1.0f, 2.0f)), None: Option[List[Float]]),
+      (Some(List(1.0f, 2.0f)), Some(List(1.0f))),
+      (Some(List(1.0f, 2.0f)), Some(List(1.0f, 2.0f))))
+      .toDF("a", "b")
+      .withColumn("c", H.cosine(col("a"), col("b")))
+    val got = df.select("c").collect().map(r => Option(r.get(0)))
+    assert(got(0).isEmpty && got(1).isEmpty && got(2).isDefined)
+    // null ELEMENT nulls the result (HOF parity) — via the SQL name
+    org.apache.spark.sql.graftbridge.Bridge.registerGraftFunctions(spark)
+    assert(spark.sql(
+      "SELECT graft_cosine(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS c")
+      .collect()(0).isNullAt(0))
+  }
+
+  test("codegen and interpreted paths agree") {
+    val a = List(0.25f, -0.5f, 0.75f, 1.5f)
+    val b = List(1.0f, 2.0f, -3.0f, 0.125f)
+    // interpreted: direct eval through the expression
+    import org.apache.spark.sql.graftbridge.Bridge
+    val interpreted = Seq((a, b)).toDF("a", "b")
+      .select(H.cosine(col("a"), col("b")))
+      .queryExecution.executedPlan // force planning
+    val viaDf = Seq((a, b)).toDF("a", "b")
+      .select(H.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (u, v)) => acc + u.toDouble * v.toDouble }
+    val expected = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    assert(viaDf == expected)
+  }
+}
