@@ -73,21 +73,27 @@ object SimilarityQueries {
         col("p.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
       .orderBy("query_id", "rank")
 
+  /** Every (query, neighbor) cosine — the brute-force scoring both
+    * exact-k-NN formulations rank: query set broadcast, corpus never
+    * shuffles for scoring. */
+  private def scoredAll(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val queries = e.filter(col("vec_id") % QueryMod === 0)
+      .toDF("query_id", "q_emb")
+    e.toDF("neighbor_id", "n_emb")
+      .crossJoin(broadcast(queries))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
+  }
+
   /** Brute-force exact top-k (k=5) by cosine, ties broken by neighbor id. */
   val knnBrute: Q = Q(
     "sim_knn_brute",
     (s, dir) => {
-      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val queries = e.filter(col("vec_id") % QueryMod === 0)
-        .toDF("query_id", "q_emb")
-      val scored = e.toDF("neighbor_id", "n_emb")
-        .crossJoin(broadcast(queries))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
-      scored
+      scoredAll(s, dir)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
         .orderBy("query_id", "rank")
@@ -116,17 +122,7 @@ object SimilarityQueries {
     * `sim_knn_brute` stays as the window-formulation baseline. */
   val knnTopK: Q = Q(
     "sim_knn_topk",
-    (s, dir) => {
-      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      val queries = e.filter(col("vec_id") % QueryMod === 0)
-        .toDF("query_id", "q_emb")
-      val scored = e.toDF("neighbor_id", "n_emb")
-        .crossJoin(broadcast(queries))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .select(col("query_id"), col("neighbor_id"),
-          H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
-      topK(scored, 5)
-    },
+    (s, dir) => topK(scoredAll(s, dir), 5),
     knnBrute.oracle)
 
   /** Multi-probe sign-LSH ANN: sketch buckets over [[lshPlanes]]
