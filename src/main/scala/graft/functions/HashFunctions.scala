@@ -135,9 +135,20 @@ object HashFunctions {
   def planeWeight(k: Int, d: Int): Double =
     (((mixA(k) * (d + 1) + mixB(k)) % 1009) - 504).toDouble
 
-  /** Dot product of a float-array embedding with plane k, as an explicit
-    * left-to-right double fold (order-pinned for oracle parity). */
+  /** Dot product of a float-array embedding with plane k — the native
+    * codegen'd constant-weights loop (graft.plans.ArrayDotConst),
+    * bit-identical to [[planeDotHof]]'s left fold (pinned by
+    * ArrayCosineSpec). Evaluates `planes`× per row in every sketch, so
+    * this is the sketching hot loop. */
   def planeDot(embedding: Column, k: Int, dims: Int): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.ArrayDotConst(
+      Bridge.expression(embedding), (0 until dims).map(d => planeWeight(k, d))))
+  }
+
+  /** HOF reference formulation of [[planeDot]] (order-pinned left fold —
+    * interpreted; kept as the property-test twin). */
+  def planeDotHof(embedding: Column, k: Int, dims: Int): Column = {
     val w = typedlit((0 until dims).map(d => planeWeight(k, d)))
     aggregate(
       zip_with(embedding, w, (x, y) => x.cast("double") * y),

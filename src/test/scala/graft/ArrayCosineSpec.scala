@@ -52,6 +52,31 @@ class ArrayCosineSpec extends SparkSpec {
       .collect()(0).isNullAt(0))
   }
 
+  test("planeDot: native constant-weights loop == HOF fold, bit for bit") {
+    val dims = 64
+    val vec64: Gen[List[Float]] =
+      Gen.listOfN(dims, Gen.choose(-1000000, 1000000).map(_ / 61.0f))
+    val p = Prop.forAll(vec64, Gen.choose(0, 15)) { (a: List[Float], k: Int) =>
+      val row = Seq(Tuple1(a)).toDF("a")
+        .select(
+          H.planeDot(col("a"), k, dims).as("native"),
+          H.planeDotHof(col("a"), k, dims).as("hof"))
+        .collect()(0)
+      java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(row.getDouble(1))
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(30)
+        .withInitialSeed(org.scalacheck.rng.Seed(13L)), p)
+    assert(res.passed, res.status.toString)
+    // and so the full sketch (the sum of per-plane sign bits) agrees
+    val v = List.tabulate(dims)(i => (i * 7 % 13 - 6) / 3.0f)
+    val sk = Seq(Tuple1(v)).toDF("a")
+      .select(H.hyperplaneSketch(col("a"), dims, 16).as("s")).collect()(0).getLong(0)
+    assert(sk >= 0 && sk < (1L << 16))
+  }
+
   test("codegen and interpreted paths agree") {
     val a = List(0.25f, -0.5f, 0.75f, 1.5f)
     val b = List(1.0f, 2.0f, -3.0f, 0.125f)
