@@ -78,8 +78,11 @@ object Wor {
     * out, then the same loads/dedups as the fixture path. */
   def bucketsFromWorkbook(
       spark: SparkSession, path: String): (DataFrame, DataFrame) = {
+    // both buckets filter the same scan: persist it or every workbook is
+    // unzipped and XML-parsed once per bucket
     val scan = graft.etl.Xlsx.scanWorkbooks(spark, path)
       .withColumn("bucket", classifyTable(col("table_name")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val category = graft.etl.Xlsx.bucketDF(
       scan.filter(col("bucket") === "category"), CategoryHeaders)
     val forecast = graft.etl.Xlsx.bucketDF(
@@ -232,8 +235,10 @@ object Wor {
     * P1 semantic renames. */
   def forecastClean(tables: DataFrame): DataFrame = {
     val filled = tables.na.fill(0).na.fill("0")
-    val dataCols = Seq("ZONA/CLIENTE", "WEEK 1", "WEEK 2", "WEEK 3",
-      "WEEK 4", "WEEK 5", "TOTAL")
+    // the P8 any-column scan covers every data column that survives the
+    // 'Py %' drop — derived from the single header list so it cannot
+    // drift from what bucketDF emits
+    val dataCols = ForecastHeaders.filterNot(_ == "Py %")
     val w = Window.partitionBy(col("table_name")).orderBy(col("row_idx"))
     val cleaned = filled
       .drop("Py %")

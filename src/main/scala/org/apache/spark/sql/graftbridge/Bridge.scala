@@ -18,19 +18,10 @@ object Bridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
   /** Register graft's SQL functions on an already-built session (e.g.
-    * `SELECT graft_polyhash(text) FROM docs`). */
-  def registerGraftFunctions(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_polyhash"),
-      new ExpressionInfo(classOf[graft.plans.PolyHash].getName, "graft_polyhash"),
-      (children: Seq[Expression]) => graft.plans.PolyHash(children.head))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_topk"),
-      new ExpressionInfo(classOf[graft.plans.TopKByScore].getName, "graft_topk"),
-      (children: Seq[Expression]) => graft.plans.GraftExtensions.topkBuilder(children))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[graft.plans.ArrayCosine].getName, "graft_cosine"),
-      (children: Seq[Expression]) => graft.plans.ArrayCosine(children(0), children(1)))
-  }
+    * `SELECT graft_polyhash(text) FROM docs`) — the same function list
+    * the extensions path injects, so the registries cannot drift. */
+  def registerGraftFunctions(spark: SparkSession): Unit =
+    graft.plans.GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

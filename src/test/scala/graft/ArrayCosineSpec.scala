@@ -78,18 +78,29 @@ class ArrayCosineSpec extends SparkSpec {
   }
 
   test("codegen and interpreted paths agree") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
     val a = List(0.25f, -0.5f, 0.75f, 1.5f)
     val b = List(1.0f, 2.0f, -3.0f, 0.125f)
-    // interpreted: direct eval through the expression
-    import org.apache.spark.sql.graftbridge.Bridge
-    val interpreted = Seq((a, b)).toDF("a", "b")
-      .select(H.cosine(col("a"), col("b")))
-      .queryExecution.executedPlan // force planning
-    val viaDf = Seq((a, b)).toDF("a", "b")
-      .select(H.cosine(col("a"), col("b"))).collect()(0).getDouble(0)
+    def litArr(v: List[Float]) = Literal.create(v, ArrayType(FloatType))
+    // interpreted: nullSafeEval via direct Expression.eval
+    val interpCos = graft.plans.ArrayCosine(litArr(a), litArr(b))
+      .eval(null).asInstanceOf[Double]
+    val weights = (0 until 4).map(d => H.planeWeight(2, d))
+    val interpDot = graft.plans.ArrayDotConst(litArr(a), weights)
+      .eval(null).asInstanceOf[Double]
+    // codegen: the same expressions through a DataFrame projection
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(H.cosine(col("a"), col("b")).as("c"),
+        H.planeDot(col("a"), 2, 4).as("d"))
+      .collect()(0)
+    assert(java.lang.Double.doubleToRawLongBits(row.getDouble(0)) ==
+      java.lang.Double.doubleToRawLongBits(interpCos))
+    assert(java.lang.Double.doubleToRawLongBits(row.getDouble(1)) ==
+      java.lang.Double.doubleToRawLongBits(interpDot))
+    // and both match the plain-Scala reference fold
     def dot(x: Seq[Float], y: Seq[Float]) =
       x.zip(y).foldLeft(0.0) { case (acc, (u, v)) => acc + u.toDouble * v.toDouble }
-    val expected = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    assert(viaDf == expected)
+    assert(interpCos == dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
   }
 }
