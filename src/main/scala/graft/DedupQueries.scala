@@ -289,27 +289,33 @@ object DedupQueries {
           struct(col("j").as("src"), col("i").as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      var labels = corpus(s, dir)
+      // `cached` is the persisted frame backing `labels` (labels itself
+      // may be a projection of it — unpersist must target the frame the
+      // cache entry belongs to)
+      var cached = corpus(s, dir)
         .select(col("doc_id"), col("doc_id").as("cluster_id"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      var labels: DataFrame = cached
       var converged = false
       var rounds = 0
       while (!converged && rounds < 20) {
         val neighborMin = edges
           .join(labels.toDF("dst", "n_label"), Seq("dst"))
           .groupBy(col("src")).agg(min(col("n_label")).as("n_min"))
-        val next = labels
+        // one join carries both the new label AND the changed flag, so
+        // convergence detection costs one filter over the persisted
+        // frame instead of a second labels join per round
+        val step = labels
           .join(neighborMin.toDF("doc_id", "n_min"), Seq("doc_id"), "left")
-          .select(col("doc_id"),
+          .select(col("doc_id"), col("cluster_id").as("old_id"),
             least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
               .as("cluster_id"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val changed = next.toDF("doc_id", "new_id")
-          .join(labels, Seq("doc_id"))
-          .filter(col("new_id") =!= col("cluster_id"))
+        val changed = step.filter(col("cluster_id") =!= col("old_id"))
           .limit(1).count() > 0
-        labels.unpersist()
-        labels = next
+        cached.unpersist()
+        cached = step
+        labels = step.select(col("doc_id"), col("cluster_id"))
         converged = !changed
         rounds += 1
       }
