@@ -66,6 +66,25 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(labels.values.toSet.size < labels.size)
   }
 
+  test("curate_decontaminate: every planted leak is flagged at full containment") {
+    val flagged = Registry.queries("curate_decontaminate")(spark, Sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val benchIds = (0L until 500L).filter(_ % 41 == 0)
+    // each planted train doc (+3000000, prefix + eval text) contains ALL
+    // of its source eval doc's shingles -> containment exactly 1.0
+    benchIds.foreach { b =>
+      val hit = flagged.find { case (t, bb, _) => t == b + 3000000 && bb == b }
+      assert(hit.isDefined, s"planted leak of bench doc $b not flagged")
+      assert(hit.get._3 == 1.0, s"planted leak of $b containment ${hit.get._3}")
+    }
+    // planted leaks are all among the full-containment hits; a few
+    // ORGANIC full containments also exist (short synthetic docs whose
+    // entire shingle set recurs in a longer doc) — legitimate catches,
+    // so >= not ==
+    assert(flagged.count(_._3 == 1.0) >= benchIds.length)
+  }
+
   test("curate_corpus: verdicts partition the corpus and keepers pass every gate") {
     val v = Registry.queries("curate_corpus")(spark, Sf)
     val kept = v.filter(col("verdict") === "keep")
