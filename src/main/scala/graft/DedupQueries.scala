@@ -79,11 +79,11 @@ object DedupQueries {
   /** Uncapped exploded distinct hashed shingles of a (doc_id, text)
     * frame. Shingles travel as 64-bit hashes, never strings: cheaper
     * equality, smaller shuffle, same Jaccard modulo ~2^-30 collisions —
-    * and the oracle computes the identical hashes. */
+    * and the oracle computes the identical hashes. The text→shingles
+    * step is the native one-pass kernel (plans.ShingleHashes). */
   def rawShingleIndexOf(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), H.tokenHashes(T.tokens(col("text"))).as("hs"))
-      .select(col("doc_id"), explode(H.shingleHashesFrom(col("hs"))).as("h"))
+    docs.select(col("doc_id"),
+      explode(H.shingleHashesOfTokens(T.tokens(col("text")))).as("h"))
 
   /** The inverted index the joins consume: [[rawShingleIndexOf]] minus
     * shingles hotter than [[ShingleDfCap]]. The df window shuffles on

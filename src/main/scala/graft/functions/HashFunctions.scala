@@ -57,9 +57,22 @@ object HashFunctions {
   def tokenHashes(toks: Column): Column =
     transform(toks, t => TextFunctions.polyHash(t))
 
+  /** Distinct hashed n-gram shingles straight from the token array —
+    * the native one-pass kernel (graft.plans.ShingleHashes): polyHash
+    * per token + rolling combine + first-occurrence dedup in one static
+    * call, value-identical to the [[tokenHashes]]+[[shingleHashesFrom]]
+    * HOF chain (pinned by ShingleHashesSpec). This is the dedup
+    * family's inner loop. */
+  def shingleHashesOfTokens(toks: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.ShingleHashes(Bridge.expression(toks), n))
+  }
+
   /** Distinct hashed 3-gram shingles from a precomputed token-hash array:
     * combine is ((h1·8191 + h2) mod p · 8191 + h3) mod p — overflow-safe
-    * (p·8191 < 2^43) and mirrored verbatim in the oracle. */
+    * (p·8191 < 2^43) and mirrored verbatim in the oracle. HOF
+    * formulation — kept as [[shingleHashesOfTokens]]'s property-test
+    * twin (ArrayTransform/ArrayAggregate can't whole-stage-codegen). */
   def shingleHashesFrom(hs: Column, n: Int = 3): Column =
     when(size(hs) >= n,
       array_distinct(
