@@ -72,6 +72,53 @@ object PackQueries {
          |FROM c
          |ORDER BY doc_id""".stripMargin))
 
+  /** Chunk length (tokens) and overlap for [[chunk]] — stride =
+    * len − overlap, the sliding-window shape every context-length-bound
+    * training pipeline cuts long documents into. */
+  private val ChunkLen = 128
+  private val ChunkOverlap = 32
+  private val ChunkStride = ChunkLen - ChunkOverlap
+
+  /** Document chunking: split each doc into overlapping fixed-token
+    * windows — the complement of [[pack]] (packing never splits a doc;
+    * chunking is what makes over-budget docs packable). Window starts
+    * are `sequence(0, n-1, stride)`, so the last window may be short
+    * but every token lands in ≥ 1 chunk; each output row carries the
+    * chunk text (token-joined), its index, and its token count.
+    * Embarrassingly parallel: explode + slice per row, no shuffle
+    * before the output sort. */
+  val chunk: Q = Q(
+    "text_chunk",
+    (s, dir) => {
+      val toks = T.tokens(col("text"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), greatest(size(col("t")) - 1, lit(0)),
+            lit(ChunkStride))).as("start"))
+        .select(
+          col("doc_id"),
+          (col("start") / ChunkStride).cast("long").as("chunk_idx"),
+          concat_ws(" ", slice(col("t"), col("start") + 1, lit(ChunkLen)))
+            .as("chunk_text"),
+          least(size(col("t")) - col("start"), lit(ChunkLen)).cast("long")
+            .as("n_tokens"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, t, unnest(generate_series(0, greatest(len(t) - 1, 0), $ChunkStride)) AS start
+         |  FROM d)
+         |SELECT doc_id,
+         |       CAST(start / $ChunkStride AS BIGINT) AS chunk_idx,
+         |       array_to_string(list_slice(t, start + 1, start + $ChunkLen), ' ') AS chunk_text,
+         |       CAST(least(len(t) - start, $ChunkLen) AS BIGINT) AS n_tokens
+         |FROM w
+         |ORDER BY doc_id, chunk_idx""".stripMargin))
+
   /** Deterministic source-mix sampling: each source gets a per-mille
     * keep quota; a doc is kept iff its content-hash bucket falls under
     * the quota. Hash-gated (not rand()): reproducible across retries,
@@ -101,5 +148,5 @@ object PackQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(pack, sampleMix)
+  def all: Seq[Q] = Seq(pack, chunk, sampleMix)
 }

@@ -85,6 +85,19 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(flagged.count(_._3 == 1.0) >= benchIds.length)
   }
 
+  test("text_chunk: every doc covered, dense chunk indexes, bounded windows") {
+    val chunks = Registry.queries("text_chunk")(spark, Sf)
+    assert(chunks.select("doc_id").distinct().count() == 500) // no doc dropped
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max(col("chunk_idx")).as("mx"),
+        min(col("n_tokens")).as("mn"), max(col("n_tokens")).as("mxt"))
+      .collect()
+    perDoc.foreach { r =>
+      assert(r.getAs[Long]("n") == r.getAs[Long]("mx") + 1) // dense 0..max
+      assert(r.getAs[Long]("mn") >= 1 && r.getAs[Long]("mxt") <= 128)
+    }
+  }
+
   test("curate_corpus: verdicts partition the corpus and keepers pass every gate") {
     val v = Registry.queries("curate_corpus")(spark, Sf)
     val kept = v.filter(col("verdict") === "keep")
