@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // count(*)-style parameter derivations (LSH planes, IVF stride)
+      // become parquet-footer reads instead of full count jobs
+      .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -32,22 +35,33 @@ object Bench {
           "max(to_date(date_format(current_date(), 'M/d/yyyy'), 'M/d/yyyy'))")
         .collect()
     }
+    // The box shows up to 5x single-run swings (PERF.md), so each query
+    // is timed `reps` times and the MEDIAN reported — single-run BENCH
+    // files repeatedly recorded noise outliers (25 s for a query whose
+    // stable cost is 3 s) that cost a round of adjudication each.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     // Sorted order: deterministic run-to-run and across rounds, so
     // per-query timings in BENCH_r{N}.json are comparable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
+      val times = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // Cache teardown happens OUTSIDE the timed region — queries that
+        // persist() subtrees must not pay for the drop in their own number.
+        spark.catalog.clearCache()
+        if (ok) Some(elapsed) else None
+      }
       // A failed query must not masquerade as a fast one: report -1.
-      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // Cache teardown happens OUTSIDE the timed region — queries that
-      // persist() subtrees must not pay for the drop in their own number.
-      spark.catalog.clearCache()
-      name -> elapsed
+      val median =
+        if (times.size < reps) -1.0
+        else times.sorted.apply(times.size / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

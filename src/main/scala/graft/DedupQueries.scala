@@ -311,8 +311,11 @@ object DedupQueries {
             least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
               .as("cluster_id"))
           .persist(StorageLevel.MEMORY_AND_DISK)
+        // full count, not limit(1): every partition of `step` must land in
+        // the cache BEFORE the previous round is dropped, or the next
+        // round recomputes the whole propagation chain from the corpus
         val changed = step.filter(col("cluster_id") =!= col("old_id"))
-          .limit(1).count() > 0
+          .count() > 0
         cached.unpersist()
         cached = step
         labels = step.select(col("doc_id"), col("cluster_id"))

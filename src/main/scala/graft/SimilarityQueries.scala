@@ -132,8 +132,11 @@ object SimilarityQueries {
     * neighbors, scores only the candidates it meets there, and keeps
     * top-3. Approximate by design — the oracle checks the algorithm
     * (identical buckets, probes, and scores), not equality with the
-    * exact k-NN. The corpus count is a driver-side parquet metadata
-    * count (parameter derivation, not a data collect). */
+    * exact k-NN. Deriving the plane count runs one small count job over
+    * the corpus scan (footer-only when
+    * spark.sql.parquet.aggregatePushDown is on, as the harness sessions
+    * set; a plain row-count job otherwise — cheap either way, but a job,
+    * not driver-side metadata). */
   val annLsh: Q = Q(
     "sim_ann_lsh",
     (s, dir) => {

@@ -16,6 +16,9 @@ object Verify {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // count(*)-style parameter derivations (LSH planes, IVF stride)
+      // become parquet-footer reads instead of full count jobs
+      .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -71,21 +71,29 @@ object Xlsx {
       .find(i => r.getAttributeLocalName(i) == name)
       .map(r.getAttributeValue)
 
-  /** sharedStrings.xml → the string pool (rich-text runs concatenated). */
+  /** sharedStrings.xml → the string pool (rich-text runs concatenated).
+    * Phonetic-guide runs (`<rPh><t>…`, furigana) are skipped — openpyxl's
+    * string view excludes them, so concatenating them would diverge from
+    * what the reference reads. */
   private def sharedStrings(xml: Array[Byte]): IndexedSeq[String] = {
     val r = reader(xml)
     val out = IndexedSeq.newBuilder[String]
     var cur: StringBuilder = null
     var inT = false
+    var inRPh = false
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT if r.getLocalName == "si" =>
         cur = new StringBuilder
+      case XMLStreamConstants.START_ELEMENT if r.getLocalName == "rPh" =>
+        inRPh = true
       case XMLStreamConstants.START_ELEMENT if r.getLocalName == "t" =>
-        inT = cur != null
+        inT = cur != null && !inRPh
       case XMLStreamConstants.CHARACTERS if inT =>
         cur.append(r.getText)
       case XMLStreamConstants.END_ELEMENT if r.getLocalName == "t" =>
         inT = false
+      case XMLStreamConstants.END_ELEMENT if r.getLocalName == "rPh" =>
+        inRPh = false
       case XMLStreamConstants.END_ELEMENT if r.getLocalName == "si" =>
         out += cur.toString; cur = null
       case _ =>
@@ -142,6 +150,8 @@ object Xlsx {
     var cellType = ""
     var capture = false  // inside <v>, or inside <is>…<t>
     var inIs = false
+    var sawValue = false // a <v> or <is> appeared — "" is a real value,
+                         // distinct from a cell with no value element
     val buf = new StringBuilder
     while (r.hasNext) r.next() match {
       case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
@@ -155,9 +165,10 @@ object Xlsx {
           }
           inCell = true
           cellType = attr(r, "t").getOrElse("")
+          sawValue = false
           buf.clear()
-        case "v" if inCell => capture = true
-        case "is" if inCell => inIs = true
+        case "v" if inCell => capture = true; sawValue = true
+        case "is" if inCell => inIs = true; sawValue = true
         case "t" if inIs => capture = true
         case _ =>
       }
@@ -167,10 +178,12 @@ object Xlsx {
         case "t" => capture = false
         case "is" => inIs = false
         case "c" =>
-          if (inCell && buf.nonEmpty) {
+          if (inCell && sawValue) {
             val raw = buf.toString
-            out((curRow, cellCol)) =
-              if (cellType == "s") sst(raw.trim.toInt) else raw
+            if (cellType == "s") {
+              // an empty <v/> under t="s" has no pool index to resolve
+              if (raw.trim.nonEmpty) out((curRow, cellCol)) = sst(raw.trim.toInt)
+            } else out((curRow, cellCol)) = raw
           }
           curCol = cellCol
           inCell = false
@@ -202,6 +215,14 @@ object Xlsx {
     }
     r.close()
     out
+  }
+
+  private val NumberedPart = "^(.*?)(\\d+)\\.xml$".r
+
+  /** Sort key putting "…/table2.xml" before "…/table10.xml". */
+  private[etl] def tablePartKey(path: String): (String, Long) = path match {
+    case NumberedPart(stem, num) => (stem, num.toLong)
+    case _ => (path, Long.MaxValue)
   }
 
   /** Resolve a rels target ("worksheets/sheet1.xml", "../tables/t1.xml",
@@ -242,9 +263,13 @@ object Xlsx {
         }
         val sheetDir = sheetPath.substring(0, sheetPath.lastIndexOf('/'))
         parts.get(relsPath).map(rels).getOrElse(Map.empty)
-          .values.toSeq.sorted
+          .values.toSeq
           .map(resolve(sheetDir, _))
           .filter(_.startsWith("xl/tables/"))
+          // numeric-suffix order: writers name parts table1..tableN in
+          // workbook order, and a lexicographic sort would put table10
+          // before table2 once a sheet holds ≥10 tables
+          .sortBy(tablePartKey)
           .flatMap(p => parts.get(p))
           .flatMap(tableMeta)
           .map { case (name, ref) =>
