@@ -208,12 +208,7 @@ object SimilarityQueries {
       val centroids = e.filter(col("vec_id") % stride === lit(3L % stride))
         .toDF("centroid_id", "c_emb")
       val nProbe = ivfNProbe(centroids.count())
-      val wAssign = Window.partitionBy(col("vec_id"))
-        .orderBy(col("sim").desc, col("centroid_id").asc)
-      val assigned = e.crossJoin(broadcast(centroids))
-        .select(col("vec_id"), col("embedding"), col("centroid_id"),
-          H.cosine(col("embedding"), col("c_emb")).as("sim"))
-        .withColumn("crank", row_number().over(wAssign))
+      val assigned = assignNearest(e, centroids)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val lists = assigned.filter(col("crank") === 1)
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
@@ -261,5 +256,132 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin))
 
-  def all: Seq[Q] = Seq(knnBrute, knnTopK, annLsh, annIvf)
+  // ------------------------------------------------- k-means-refined IVF
+
+  /** Lloyd iterations for the refined IVF coarse quantizer: enough to
+    * move every centroid to its cluster's mean twice (assignments are
+    * near-fixpoint after 2 rounds on these unit-norm synthetic vectors);
+    * each extra round costs one n×K assignment pass + one (K·dims)-group
+    * mean, so rounds are a constant, not a knob that grows with n. */
+  private val KmeansIters = 2
+
+  /** Nearest-centroid assignment: one broadcast of the (≈√n-row)
+    * centroid table, cosine to each, per-vector rank (1 = nearest, ties
+    * to the lower centroid id). The corpus never shuffles for
+    * assignment. */
+  private def assignNearest(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    e.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        H.cosine(col("embedding"), col("c_emb")).as("sim"))
+      .withColumn("crank", row_number().over(w))
+  }
+
+  /** IVF ANN with a TRAINED coarse quantizer: the [[annIvf]] pipeline,
+    * but the centroids are refined by [[KmeansIters]] distributed Lloyd
+    * rounds before the index is built — assignment is the broadcast
+    * argmax above; the update is a (centroid, dim) mean computed as an
+    * order-pinned fold over the SORTED per-dim values (doubles summed in
+    * a pinned order are engine-reproducible where a groupBy sum of
+    * doubles is not — same rule as every money aggregate here), cast
+    * back to float so the refined centroids are the same type the
+    * sketches use. Each Lloyd round is one broadcast join + one
+    * (K·dims)-group aggregate: no n² anywhere, centroid table stays √n.
+    * Cluster labels stay the INIT centroid ids (stable across rounds);
+    * a centroid whose cluster empties drops out in both engines.
+    *
+    * The oracle unrolls the same two Lloyd rounds as CTEs from the same
+    * cosine/fold fragments, so signatures match bit-for-bit. */
+  val annIvfKmeans: Q = Q(
+    "sim_ann_ivf_kmeans",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val stride = ivfStride(e.count())
+      var centroids = e.filter(col("vec_id") % stride === lit(3L % stride))
+        .toDF("centroid_id", "c_emb")
+      for (_ <- 1 to KmeansIters) {
+        val assign = assignNearest(e, centroids).filter(col("crank") === 1)
+          .select(col("vec_id"), col("embedding"), col("centroid_id"))
+        val dimMeans = assign
+          .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy(col("centroid_id"), col("pos"))
+          .agg(collect_list(col("v").cast("double")).as("vs"), count(lit(1)).as("cnt"))
+          .select(col("centroid_id"), col("pos"),
+            (aggregate(array_sort(col("vs")), lit(0.0), (a, x) => a + x) / col("cnt"))
+              .cast("float").as("mean"))
+        centroids = dimMeans.groupBy(col("centroid_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+          .select(col("centroid_id"),
+            transform(col("pm"), x => x.getField("mean")).as("c_emb"))
+      }
+      val cFinal = centroids.persist(StorageLevel.MEMORY_AND_DISK)
+      val nProbe = ivfNProbe(cFinal.count())
+      // the final assignment feeds lists AND probes — persist (same
+      // reuse point as annIvf; without it the n×K pass runs twice)
+      val assigned = assignNearest(e, cFinal).persist(StorageLevel.MEMORY_AND_DISK)
+      val lists = assigned.filter(col("crank") === 1)
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
+          col("centroid_id"))
+      val probes = assigned.filter(col("vec_id") % QueryMod === 0)
+        .filter(col("crank") <= nProbe)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("centroid_id"))
+      val scored = probes.join(lists, Seq("centroid_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
+      topK(scored, 3)
+    },
+    Some {
+      // one Lloyd round as CTEs: assignment against `cIn` → per-dim
+      // sorted-fold means → refined centroid lists
+      def iterSql(i: Int, cIn: String): String =
+        s"""a$i AS (
+           |  SELECT vec_id, embedding, centroid_id FROM (
+           |    SELECT e.vec_id, e.embedding, c.centroid_id,
+           |           ROW_NUMBER() OVER (
+           |             PARTITION BY e.vec_id
+           |             ORDER BY ${H.cosineSql("e.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS crank
+           |    FROM e CROSS JOIN $cIn c) WHERE crank = 1),
+           |m$i AS (
+           |  SELECT a.centroid_id, p.pos,
+           |         CAST(${H.foldSumSql("list_sort(list(CAST(a.embedding[p.pos] AS DOUBLE)))")} / COUNT(*) AS REAL) AS mean
+           |  FROM a$i a, (SELECT unnest(generate_series(1, $Dims)) AS pos) p
+           |  GROUP BY a.centroid_id, p.pos),
+           |c$i AS (SELECT centroid_id, list(mean ORDER BY pos) AS c_emb FROM m$i GROUP BY centroid_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |params AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS stride FROM e),
+         |c0 AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |       FROM e, params WHERE vec_id % params.stride = 3 % params.stride),
+         |${iterSql(1, "c0")},
+         |${iterSql(2, "c1")},
+         |np AS (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 8.0) AS BIGINT)) AS nprobe FROM c2),
+         |a3 AS (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY e.vec_id
+         |           ORDER BY ${H.cosineSql("e.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS crank
+         |  FROM e CROSS JOIN c2 c),
+         |lists AS (
+         |  SELECT vec_id AS neighbor_id, embedding AS n_emb, centroid_id
+         |  FROM a3 WHERE crank = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id
+         |  FROM a3 WHERE vec_id % $QueryMod = 0 AND crank <= (SELECT nprobe FROM np)),
+         |scored AS (
+         |  SELECT p.query_id, l.neighbor_id,
+         |         ${H.cosineSql("p.q_emb", "l.n_emb")} AS cosine
+         |  FROM probes p JOIN lists l USING (centroid_id)
+         |  WHERE l.neighbor_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin
+    })
+
+  def all: Seq[Q] = Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans)
 }

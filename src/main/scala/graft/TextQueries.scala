@@ -211,9 +211,34 @@ object TextQueries {
          |FROM r GROUP BY source
          |ORDER BY source""".stripMargin))
 
+  /** Vocabulary building — the first step of tokenizer training (and of
+    * any count-based LM table): corpus-wide term and document
+    * frequencies, top 200 terms. Two-level aggregate on purpose: the
+    * (token, doc) pre-aggregate gives df without a countDistinct
+    * (which would plan an Expand over the exploded tokens — the
+    * dq_profile lesson), and the second level shuffles only distinct
+    * (token, doc) pairs after map-side combine. The top-k is a total
+    * order (tf desc, token asc), so the limit is deterministic. */
+  val vocab: Q = Q(
+    "text_vocab",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("tok")).agg(sum(col("tf")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("tok").asc)
+      .limit(200),
+    Some(
+      s"""SELECT tok, CAST(SUM(tf) AS BIGINT) AS tf, COUNT(*) AS df FROM (
+         |  SELECT tok, doc_id, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest($ddbToks) AS tok FROM documents)
+         |  GROUP BY tok, doc_id)
+         |GROUP BY tok
+         |ORDER BY tf DESC, tok ASC
+         |LIMIT 200""".stripMargin))
+
   def all: Seq[Q] = Seq(
     tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition,
-    qualityBySource)
+    qualityBySource, vocab)
 }
 
 /** Shared DuckDB fragments for the text formulas — the single source of

@@ -11,7 +11,7 @@ class QueryPropertiesSpec extends SparkSpec {
       .filter(col("rank") <= 3)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    for (ann <- Seq("sim_ann_lsh", "sim_ann_ivf")) {
+    for (ann <- Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_kmeans")) {
       val approx = Registry.queries(ann)(spark, Sf)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -96,6 +96,63 @@ class QueryPropertiesSpec extends SparkSpec {
       assert(r.getAs[Long]("n") == r.getAs[Long]("mx") + 1) // dense 0..max
       assert(r.getAs[Long]("mn") >= 1 && r.getAs[Long]("mxt") <= 128)
     }
+  }
+
+  test("events_asof_lastmark agrees with a per-user in-memory scan") {
+    // independent twin: collect the raw events and walk each user's
+    // timeline sequentially — no window, no union trick, no SQL
+    val raw = etl.Sources.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val expected: Map[Long, Option[(Long, Double)]] =
+      raw.groupBy(_._2).toSeq.flatMap { case (_, evs) =>
+        // sort = (ts, marker-first, event_id): the pinned tie rules
+        val sorted = evs.sortBy(e => (e._3, if (e._4 == "error") 0 else 1, e._1))
+        var lastErr: Option[(Long, Double)] = None
+        sorted.flatMap { e =>
+          if (e._4 == "error") { lastErr = Some((e._3, e._5)); None }
+          else Some(e._1 -> lastErr)
+        }
+      }.toMap
+    val got = Registry.queries("events_asof_lastmark")(spark, Sf)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4)))))
+      .toMap
+    assert(got.size == expected.size)
+    expected.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"asof mismatch for event $id")
+    }
+    // both populated and empty carries occur in the fixture
+    assert(expected.values.exists(_.isDefined) && expected.values.exists(_.isEmpty))
+  }
+
+  test("events_range_burst agrees with a brute-force interval scan") {
+    // the bucketization's edge cases (marker exactly on a bucket
+    // boundary, follower in the next bucket) checked against a direct
+    // O(markers·facts-per-user) scan
+    val raw = etl.Sources.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val byUser = raw.groupBy(_._2)
+    val win = 12L * 3600 * 1000000
+    val got = Registry.queries("events_range_burst")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    val markers = raw.filter(_._4 == "error")
+    assert(got.size == markers.length)
+    markers.foreach { m =>
+      val inWin = byUser(m._2)
+        .filter(f => f._4 != "error" && f._3 > m._3 && f._3 <= m._3 + win)
+      val sum = inWin.map(f => BigDecimal(f._5).setScale(2)).sum.toDouble
+      assert(got(m._1) == ((inWin.length.toLong, sum)),
+        s"burst mismatch for marker ${m._1}")
+    }
+    // the fixture exercises both zero- and multi-follower markers
+    assert(got.values.exists(_._1 == 0) && got.values.exists(_._1 > 2))
   }
 
   test("curate_corpus: verdicts partition the corpus and keepers pass every gate") {
