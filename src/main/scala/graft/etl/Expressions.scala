@@ -13,15 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object Expressions {
 
+  import org.apache.spark.sql.graftbridge.Bridge
+
   /** F1 — `clean_customer_name` (cartera.py:92-98; pending_orders.py:102-107).
     * null→null; lowercase+trim; strip everything but [a-z0-9\s]; collapse
-    * runs of whitespace to one space; trim again.
+    * runs of whitespace to one space; trim again. Native one-pass kernel
+    * (graft.plans.CleanName) — the two-regex-pass reference chain stays
+    * as [[cleanCustomerNameRef]], its property-test twin.
     */
   def cleanCustomerName(c: Column): Column =
+    Bridge.column(graft.plans.CleanName(Bridge.expression(c)))
+
+  /** The built-in-chain formulation of [[cleanCustomerName]] (two regex
+    * passes) — kept as the native kernel's value twin (CleanExprSpec). */
+  def cleanCustomerNameRef(c: Column): Column =
     trim(
       regexp_replace(
         regexp_replace(lower(trim(c)), "[^a-z0-9\\s]", ""),
         "\\s+", " "))
+
+  private def stripNumeric(c: Column, mode: String): Column =
+    Bridge.column(graft.plans.StripNumeric(Bridge.expression(c.cast("string")), mode))
 
   /** F2 — light normalization, ventas lookup key (ventas_totales.py:145,149). */
   def normLower(c: Column): Column = lower(trim(c))
@@ -31,9 +43,15 @@ object Expressions {
 
   /** F4 — accounting-format money parse (cartera.py:143-149).
     * `'($1,234.56)'` → -1234.56; `(` must become `-` BEFORE the other
-    * symbols are dropped; unparseable → 0.0.
+    * symbols are dropped; unparseable → 0.0. Strip stage is the native
+    * one-pass kernel (graft.plans.StripNumeric); the try_cast stays a
+    * built-in so cast semantics are Spark's own.
     */
   def parseMoneyAccounting(c: Column): Column =
+    coalesce(stripNumeric(c, "accounting").try_cast("double"), lit(0.0))
+
+  /** Regex-chain twin of [[parseMoneyAccounting]] (CleanExprSpec). */
+  def parseMoneyAccountingRef(c: Column): Column =
     coalesce(
       regexp_replace(
         regexp_replace(trim(c.cast("string")), "\\(", "-"),
@@ -43,12 +61,21 @@ object Expressions {
   /** F5 — plain money parse (pending_orders.py:139-140): drop $ , and
     * whitespace, default 0.0. */
   def parseMoney(c: Column): Column =
+    coalesce(stripNumeric(c, "money").try_cast("double"), lit(0.0))
+
+  /** Regex twin of [[parseMoney]] (CleanExprSpec). */
+  def parseMoneyRef(c: Column): Column =
     coalesce(
       regexp_replace(c.cast("string"), "[\\$,\\s]", "").try_cast("double"),
       lit(0.0))
 
   /** F6 — thousands-separated int parse (pending_orders.py:142-143). */
   def parseIntThousands(c: Column): Column =
+    coalesce(stripNumeric(c, "thousands").try_cast("double"), lit(0.0))
+      .cast("int")
+
+  /** Regex twin of [[parseIntThousands]] (CleanExprSpec). */
+  def parseIntThousandsRef(c: Column): Column =
     coalesce(regexp_replace(c.cast("string"), ",", "").try_cast("double"), lit(0.0))
       .cast("int")
 

@@ -54,5 +54,18 @@ object GraftExtensions {
       topkBuilder _),
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[ArrayCosine].getName, "graft_cosine"),
-      arity("graft_cosine", 2)(cs => ArrayCosine(cs(0), cs(1)))))
+      arity("graft_cosine", 2)(cs => ArrayCosine(cs(0), cs(1)))),
+    (FunctionIdentifier("graft_clean_name"),
+      new ExpressionInfo(classOf[CleanName].getName, "graft_clean_name"),
+      arity("graft_clean_name", 1)(cs => CleanName(cs.head))),
+    (FunctionIdentifier("graft_strip_numeric"),
+      new ExpressionInfo(classOf[StripNumeric].getName, "graft_strip_numeric"),
+      arity("graft_strip_numeric", 2) { cs =>
+        val mode = cs(1) match {
+          case e if e.foldable => String.valueOf(e.eval())
+          case _ => throw new IllegalArgumentException(
+            "graft_strip_numeric mode must be a foldable string literal")
+        }
+        StripNumeric(cs(0), mode)
+      }))
 }
