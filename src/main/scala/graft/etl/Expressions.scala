@@ -69,6 +69,12 @@ object Expressions {
       regexp_replace(c.cast("string"), "[\\$,\\s]", "").try_cast("double"),
       lit(0.0))
 
+  /** Null-preserving variant of [[parseMoney]] — the ventas amount parse
+    * (ventas_totales.py:124-128 keeps NaN to count non-numerics; no 0.0
+    * default). */
+  def parseMoneyNullable(c: Column): Column =
+    stripNumeric(c, "money").try_cast("double")
+
   /** F6 — thousands-separated int parse (pending_orders.py:142-143). */
   def parseIntThousands(c: Column): Column =
     coalesce(stripNumeric(c, "thousands").try_cast("double"), lit(0.0))

@@ -101,8 +101,7 @@ object VentasTotales {
       .join(broadcast(dim), Seq("nombre_lower"), "left")
       .filter(col("id_cliente").isNotNull)
       .withColumn("fecha", E.parseDateStrict(col("fecha_raw")))
-      .withColumn("amount",
-        regexp_replace(col("amount_raw"), "[\\$,\\s]", "").try_cast("double"))
+      .withColumn("amount", E.parseMoneyNullable(col("amount_raw")))
   }
 
   /** A2 — data-quality diagnostic: count of non-numeric Amount values
@@ -129,9 +128,7 @@ object VentasTotales {
     * measuring quality of what actually loads). */
   def nonNumericAmountCountPrefilter(spark: SparkSession, sfDir: String): DataFrame =
     renamedFile(spark, sfDir)
-      .agg(sum(when(
-        regexp_replace(col("amount_raw"), "[\\$,\\s]", "")
-          .try_cast("double").isNull, 1L)
+      .agg(sum(when(E.parseMoneyNullable(col("amount_raw")).isNull, 1L)
         .otherwise(0L)).as("non_numeric_amounts"))
 
   /** The dedup key columns (ventas_totales.py:169). */
