@@ -98,6 +98,52 @@ object EventStream {
       .as[UserSession]
   }
 
+  // ------------------------------------------------------- streaming as-of
+
+  final case class TypedEvent(
+      event_id: Long, user_id: Long, ts_us: Long, is_marker: Boolean,
+      value: Double)
+  final case class AsofEnriched(
+      event_id: Long, user_id: Long, ts_us: Long,
+      last_mark_us: Option[Long], last_mark_value: Option[Double])
+
+  /** Streaming as-of enrichment — the stream-shaped twin of
+    * `events_asof_lastmark` (TemporalJoinQueries): per-user GroupState
+    * holds ONLY the latest marker seen (two longs + a double — bounded
+    * state, unlike a buffering stream-stream join); every fact event
+    * emits immediately, enriched with the carried marker. Same pinned
+    * tie rules as the batch window formulation (marker-at-equal-ts
+    * counts, highest event_id wins), same demo semantics as
+    * [[sessionsStreaming]]: event-time order within a micro-batch (the
+    * spec drives whole-batch and split-batch cases against the batch
+    * twin). */
+  def asofStreaming(events: Dataset[TypedEvent]): Dataset[AsofEnriched] = {
+    import events.sparkSession.implicits._
+    final case class LastMark(ts_us: Long, value: Double)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofEnriched, AsofEnriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[TypedEvent], state: GroupState[AsofEnriched]) =>
+          // state rides in the output type to avoid a second encoder:
+          // (event_id = -1 sentinel, ts_us/last_mark_* = the marker)
+          var mark: Option[(Long, Double)] = state.getOption
+            .flatMap(s => s.last_mark_us.zip(s.last_mark_value))
+          val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
+          batch.toSeq
+            .sortBy(e => (e.ts_us, if (e.is_marker) 0 else 1, e.event_id))
+            .foreach { e =>
+              if (e.is_marker) mark = Some((e.ts_us, e.value))
+              else out += AsofEnriched(e.event_id, uid, e.ts_us,
+                mark.map(_._1), mark.map(_._2))
+            }
+          mark.foreach { case (ts, v) =>
+            state.update(AsofEnriched(-1L, uid, ts, Some(ts), Some(v)))
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming sessionization with explicit state:
     * flatMapGroupsWithState keeps the open session per user and emits a
     * session whenever a new event lands beyond the gap. (Demo semantics:

@@ -37,6 +37,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asofStreaming: marker state carries across micro-batches") {
+    import graft.streaming.EventStream.{AsofEnriched, TypedEvent}
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[TypedEvent]
+    val q = EventStream.asofStreaming(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: fact before any marker → empty carry; marker at equal
+      // ts as a fact → counts for it (tie rule)
+      input.addData(
+        TypedEvent(1L, 7L, 100L, is_marker = false, 0.0),
+        TypedEvent(2L, 7L, 200L, is_marker = true, 1.5),
+        TypedEvent(3L, 7L, 200L, is_marker = false, 0.0))
+      q.processAllAvailable()
+      val b1 = spark.table("asof_out").as[AsofEnriched].collect()
+        .sortBy(_.event_id)
+      assert(b1.toSeq == Seq(
+        AsofEnriched(1L, 7L, 100L, None, None),
+        AsofEnriched(3L, 7L, 200L, Some(200L), Some(1.5))))
+      // batch 2: the marker carried in state enriches later facts
+      input.addData(TypedEvent(4L, 7L, 900L, is_marker = false, 0.0))
+      q.processAllAvailable()
+      val b2 = spark.table("asof_out").as[AsofEnriched].collect()
+        .sortBy(_.event_id)
+      assert(b2.last == AsofEnriched(4L, 7L, 900L, Some(200L), Some(1.5)))
+    } finally q.stop()
+  }
+
+  test("asofStreaming over the full event set matches the batch as-of query") {
+    import graft.streaming.EventStream.{AsofEnriched, TypedEvent}
+    implicit val sc = spark.sqlContext
+    val all = graft.etl.Sources.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        (col("event_type") === "error").as("is_marker"), col("value"))
+      .as[TypedEvent].collect()
+    val input = MemoryStream[TypedEvent]
+    val q = EventStream.asofStreaming(input.toDS())
+      .writeStream.format("memory").queryName("asof_full_out")
+      .outputMode("append").start()
+    try {
+      input.addData(all.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_full_out").as[AsofEnriched].collect()
+        .map(e => e.event_id -> ((e.last_mark_us, e.last_mark_value))).toMap
+      val batch = Registry.queries("events_asof_lastmark")(spark, Sf)
+        .collect()
+        .map(r => r.getLong(0) -> ((
+          if (r.isNullAt(3)) None else Some(r.getLong(3)),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+        .toMap
+      assert(streamed.size == batch.size)
+      batch.foreach { case (id, exp) =>
+        assert(streamed(id) == exp, s"stream/batch as-of mismatch for event $id")
+      }
+    } finally q.stop()
+  }
+
   test("native session_window sessionizes under the streaming engine") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
