@@ -191,15 +191,15 @@ object SimilarityQueries {
 
   /** IVF-style ANN: a deterministic √n-sized subset of the vectors acts
     * as the coarse-quantizer centroids (an inverted file's cluster
-    * heads — k-means would refine them; selection is what matters
-    * structurally; [[ivfStride]] explains the √n balance). Every vector
-    * is assigned to its nearest centroid (one broadcast join +
-    * per-vector argmax window, no n² pairs); each query probes its
-    * [[ivfNProbe]] nearest inverted lists and ranks only their members. The
-    * candidate join shuffles on the centroid id — cost follows list
-    * sizes (≈√n), independent of corpus². The assignment subtree feeds
-    * both the inverted lists and the probe set, so it is persisted —
-    * without it the plan runs the corpus×centroids pass twice. */
+    * heads — [[annIvfKmeans]] refines them; [[ivfStride]] explains the
+    * √n balance). Every vector is assigned to its nearest centroid via
+    * [[assignArgmax]] (broadcast join + partial-aggregating argmax —
+    * the shuffle carries n assigned rows, never the n·K scored set);
+    * each query probes its [[ivfNProbe]] nearest inverted lists
+    * ([[probeRanks]] windows over the |Q|·K query scores only) and
+    * ranks only their members. The candidate join shuffles on the
+    * centroid id — cost follows list sizes (≈√n), independent of
+    * corpus². */
   val annIvf: Q = Q(
     "sim_ann_ivf",
     (s, dir) => {
@@ -208,15 +208,10 @@ object SimilarityQueries {
       val centroids = e.filter(col("vec_id") % stride === lit(3L % stride))
         .toDF("centroid_id", "c_emb")
       val nProbe = ivfNProbe(centroids.count())
-      val assigned = assignNearest(e, centroids)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val lists = assigned.filter(col("crank") === 1)
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-          col("centroid_id"))
-      val probes = assigned.filter(col("vec_id") % QueryMod === 0)
-        .filter(col("crank") <= nProbe)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("centroid_id"))
+      val lists = assignArgmax(e, centroids)
+        .toDF("neighbor_id", "n_emb", "centroid_id")
+      val probes = probeRanks(
+        e.filter(col("vec_id") % QueryMod === 0), centroids, nProbe)
       val scored = probes.join(lists, Seq("centroid_id"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
@@ -265,17 +260,41 @@ object SimilarityQueries {
     * mean, so rounds are a constant, not a knob that grows with n. */
   private val KmeansIters = 2
 
-  /** Nearest-centroid assignment: one broadcast of the (≈√n-row)
-    * centroid table, cosine to each, per-vector rank (1 = nearest, ties
-    * to the lower centroid id). The corpus never shuffles for
-    * assignment. */
-  private def assignNearest(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("centroid_id").asc)
+  /** All (vector, centroid) cosines: one broadcast of the (≈√n-row)
+    * centroid table — the corpus never shuffles for scoring. */
+  private def scoredCentroids(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         H.cosine(col("embedding"), col("c_emb")).as("sim"))
+
+  /** Nearest-centroid assignment (ties to the lower centroid id) as a
+    * partial-aggregating argmax — `max(struct(sim, -centroid_id, …))`
+    * reduces each vector's K candidates to ONE row map-side, so the
+    * shuffle carries n rows. The rank-window formulation shuffles the
+    * full n·K scored set (n^1.5 rows at K≈√n — the thing that explodes
+    * at 100×); it survives only in [[probeRanks]], where the input is
+    * already the small query subset. */
+  private def assignArgmax(e: DataFrame, centroids: DataFrame): DataFrame =
+    scoredCentroids(e, centroids)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("sim"),
+        (-col("centroid_id")).as("tb"),
+        col("centroid_id").as("cid"),
+        col("embedding").as("emb"))).as("m"))
+      .select(col("vec_id"), col("m.emb").as("embedding"),
+        col("m.cid").as("centroid_id"))
+
+  /** Per-query centroid ranking (1 = nearest), kept ≤ nProbe: the rank
+    * window runs over |Q|·K rows only. */
+  private def probeRanks(queries: DataFrame, centroids: DataFrame,
+      nProbe: Long): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("centroid_id").asc)
+    scoredCentroids(queries, centroids)
       .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("centroid_id"))
   }
 
   /** IVF ANN with a TRAINED coarse quantizer: the [[annIvf]] pipeline,
@@ -301,8 +320,7 @@ object SimilarityQueries {
       var centroids = e.filter(col("vec_id") % stride === lit(3L % stride))
         .toDF("centroid_id", "c_emb")
       for (_ <- 1 to KmeansIters) {
-        val assign = assignNearest(e, centroids).filter(col("crank") === 1)
-          .select(col("vec_id"), col("embedding"), col("centroid_id"))
+        val assign = assignArgmax(e, centroids)
         val dimMeans = assign
           .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
           .groupBy(col("centroid_id"), col("pos"))
@@ -315,18 +333,14 @@ object SimilarityQueries {
           .select(col("centroid_id"),
             transform(col("pm"), x => x.getField("mean")).as("c_emb"))
       }
+      // the trained centroids feed BOTH the list build and the probe
+      // ranking — persist so the two Lloyd rounds run once
       val cFinal = centroids.persist(StorageLevel.MEMORY_AND_DISK)
       val nProbe = ivfNProbe(cFinal.count())
-      // the final assignment feeds lists AND probes — persist (same
-      // reuse point as annIvf; without it the n×K pass runs twice)
-      val assigned = assignNearest(e, cFinal).persist(StorageLevel.MEMORY_AND_DISK)
-      val lists = assigned.filter(col("crank") === 1)
-        .select(col("vec_id").as("neighbor_id"), col("embedding").as("n_emb"),
-          col("centroid_id"))
-      val probes = assigned.filter(col("vec_id") % QueryMod === 0)
-        .filter(col("crank") <= nProbe)
-        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("centroid_id"))
+      val lists = assignArgmax(e, cFinal)
+        .toDF("neighbor_id", "n_emb", "centroid_id")
+      val probes = probeRanks(
+        e.filter(col("vec_id") % QueryMod === 0), cFinal, nProbe)
       val scored = probes.join(lists, Seq("centroid_id"))
         .filter(col("neighbor_id") =!= col("query_id"))
         .select(col("query_id"), col("neighbor_id"),
