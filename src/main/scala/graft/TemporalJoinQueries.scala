@@ -150,5 +150,40 @@ object TemporalJoinQueries {
          |FROM m LEFT JOIN agg a USING (event_id)
          |ORDER BY event_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(asofLastError, rangeBurst)
+  /** Last-write-wins state compaction (the upsert/CDC-merge shape): fold
+    * the event log into its current state — one row per (user_id,
+    * event_type) carrying the latest event, ties to the highest
+    * event_id. Same partial-aggregating argmax as the IVF assignment
+    * (`max(struct(ts, id, payload))` — map-side combine reduces each
+    * partition to one row per key, so the shuffle carries keys, not the
+    * log). The rank-window formulation of "latest per key" shuffles the
+    * whole log; this one never does. */
+  val latestState: Q = Q(
+    "events_latest_state",
+    (s, dir) => Sources.events(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("value"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("value"))).as("m"),
+        count(lit(1)).as("n_writes"))
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_us").as("ts_us"), col("m.event_id").as("event_id"),
+        col("m.value").as("value"), col("n_writes"))
+      .orderBy("user_id", "event_type"),
+    Some(
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id, value
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, event_type, ts_us, event_id, value,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY user_id, event_type
+         |           ORDER BY ts_us DESC, event_id DESC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_writes
+         |  FROM e)
+         |SELECT user_id, event_type, ts_us, event_id, value, n_writes
+         |FROM r WHERE rn = 1
+         |ORDER BY user_id, event_type""".stripMargin))
+
+  def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState)
 }
