@@ -309,6 +309,11 @@ object SimilarityQueries {
     * (K·dims)-group aggregate: no n² anywhere, centroid table stays √n.
     * Cluster labels stay the INIT centroid ids (stable across rounds);
     * a centroid whose cluster empties drops out in both engines.
+    * Trade-off, stated plainly: the sorted fold holds one cluster-dim's
+    * values (≈√n doubles) per aggregation group — the price of
+    * bit-reproducible means across engines; a production run that
+    * accepts non-bitwise means would use a plain sum/count partial
+    * aggregate (O(1) state) and converge identically.
     *
     * The oracle unrolls the same two Lloyd rounds as CTEs from the same
     * cosine/fold fragments, so signatures match bit-for-bit. */

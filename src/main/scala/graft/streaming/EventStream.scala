@@ -98,6 +98,31 @@ object EventStream {
       .as[UserSession]
   }
 
+  /** Streaming range (interval) join — the stream face of
+    * `events_range_burst`: Spark's native stream-stream join with a
+    * time-range condition. Both sides are watermarked, and the range
+    * predicate (`fact.ts ∈ (marker.ts, marker.ts + window]`) lets the
+    * engine expire buffered state as the watermark passes — bounded
+    * state without any hand-rolled bucketing (the batch twin buckets
+    * because batch has no watermark to bound a raw range join with).
+    * Emits the joined (marker, fact) pairs; the per-marker aggregation
+    * runs downstream of the join exactly as in the batch query. */
+  def rangeJoinStreaming(
+      markers: DataFrame, facts: DataFrame, windowUs: Long): DataFrame = {
+    val m = markers
+      .select(col("event_id").as("m_id"), col("user_id").as("m_user"),
+        col("ts").as("m_ts"))
+      .withWatermark("m_ts", "1 hour")
+    val f = facts
+      .select(col("user_id").as("f_user"), col("ts").as("f_ts"),
+        col("value").as("f_value"))
+      .withWatermark("f_ts", "1 hour")
+    m.join(f, expr(
+      s"""m_user = f_user AND
+         |f_ts > m_ts AND
+         |unix_micros(f_ts) <= unix_micros(m_ts) + $windowUs""".stripMargin))
+  }
+
   // ------------------------------------------------------- streaming as-of
 
   final case class TypedEvent(

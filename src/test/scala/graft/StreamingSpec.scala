@@ -95,6 +95,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rangeJoinStreaming matches the batch range join's pair set") {
+    implicit val sc = spark.sqlContext
+    val winUs = 12L * 3600 * 1000000
+    // drive both event streams from the real event set (one batch);
+    // compare the joined pair multiset against a batch computation of
+    // the same interval predicate
+    val raw = graft.etl.Sources.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    val markers = raw.filter(col("event_type") === "error").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2)))
+    val facts = raw.filter(col("event_type") =!= "error").collect()
+      .map(r => (r.getLong(1), r.getTimestamp(2), r.getDouble(4)))
+    val mIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val fIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = EventStream.rangeJoinStreaming(
+      mIn.toDF().toDF("event_id", "user_id", "ts"),
+      fIn.toDF().toDF("user_id", "ts", "value"), winUs)
+      .writeStream.format("memory").queryName("range_out")
+      .outputMode("append").start()
+    try {
+      mIn.addData(markers.toIndexedSeq)
+      fIn.addData(facts.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("range_out")
+        .groupBy(col("m_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = Registry.queries("events_range_burst")(spark, Sf)
+        .filter(col("n_follow") > 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("native session_window sessionizes under the streaming engine") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long)]
