@@ -39,7 +39,7 @@ object Bench {
     // is timed `reps` times and the MEDIAN reported — single-run BENCH
     // files repeatedly recorded noise outliers (25 s for a query whose
     // stable cost is 3 s) that cost a round of adjudication each.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
     // Sorted order: deterministic run-to-run and across rounds, so
     // per-query timings in BENCH_r{N}.json are comparable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -58,14 +58,18 @@ object Bench {
         if (ok) Some(elapsed) else None
       }
       // A failed query must not masquerade as a fast one: report -1.
+      // Lower median for even rep counts — the conservative index that
+      // is an actual observed timing.
       val median =
         if (times.size < reps) -1.0
-        else times.sorted.apply(times.size / 2)
+        else times.sorted.apply((times.size - 1) / 2)
       name -> median
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failed queries carry their -1 sentinel per-query but must not
+    // SUBTRACT from the headline total
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

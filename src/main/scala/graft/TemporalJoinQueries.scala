@@ -97,8 +97,10 @@ object TemporalJoinQueries {
 
   /** Range-join window: 12 hours in micros. Bucket width equals the
     * window width, so a marker's window spans at most 2 buckets — the
-    * replication factor is a constant 2 at any scale. */
-  private val WindowUs = 12L * 3600 * 1000000
+    * replication factor is a constant 2 at any scale. Public: the
+    * brute-force spec twin and the streaming twin must use THIS value,
+    * not their own literals, or they silently stop testing the query. */
+  val WindowUs: Long = 12L * 3600 * 1000000
 
   /** Range join: for every error event, how many fact events the same
     * user produced in the following 12 hours, and their exact value sum

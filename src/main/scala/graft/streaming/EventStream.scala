@@ -109,6 +109,12 @@ object EventStream {
     * runs downstream of the join exactly as in the batch query. */
   def rangeJoinStreaming(
       markers: DataFrame, facts: DataFrame, windowUs: Long): DataFrame = {
+    // the upper bound MUST be the `ts <= ts + INTERVAL …` shape:
+    // StreamingJoinHelper derives the state-eviction watermark only from
+    // arithmetic it can parse (TimeAdd of an interval literal) — a
+    // unix_micros() formulation is semantically identical but
+    // unextractable, and marker-side state would grow forever
+    require(windowUs % 1000000 == 0, s"windowUs must be whole seconds, got $windowUs")
     val m = markers
       .select(col("event_id").as("m_id"), col("user_id").as("m_user"),
         col("ts").as("m_ts"))
@@ -120,7 +126,7 @@ object EventStream {
     m.join(f, expr(
       s"""m_user = f_user AND
          |f_ts > m_ts AND
-         |unix_micros(f_ts) <= unix_micros(m_ts) + $windowUs""".stripMargin))
+         |f_ts <= m_ts + INTERVAL ${windowUs / 1000000} SECOND""".stripMargin))
   }
 
   // ------------------------------------------------------- streaming as-of
@@ -144,7 +150,6 @@ object EventStream {
     * twin). */
   def asofStreaming(events: Dataset[TypedEvent]): Dataset[AsofEnriched] = {
     import events.sparkSession.implicits._
-    final case class LastMark(ts_us: Long, value: Double)
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[AsofEnriched, AsofEnriched](

@@ -139,7 +139,7 @@ class QueryPropertiesSpec extends SparkSpec {
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
     val byUser = raw.groupBy(_._2)
-    val win = 12L * 3600 * 1000000
+    val win = TemporalJoinQueries.WindowUs
     val got = Registry.queries("events_range_burst")(spark, Sf)
       .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
     val markers = raw.filter(_._4 == "error")

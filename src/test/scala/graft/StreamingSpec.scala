@@ -97,7 +97,7 @@ class StreamingSpec extends SparkSpec {
 
   test("rangeJoinStreaming matches the batch range join's pair set") {
     implicit val sc = spark.sqlContext
-    val winUs = 12L * 3600 * 1000000
+    val winUs = TemporalJoinQueries.WindowUs
     // drive both event streams from the real event set (one batch);
     // compare the joined pair multiset against a batch computation of
     // the same interval predicate
