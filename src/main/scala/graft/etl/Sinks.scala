@@ -134,6 +134,29 @@ object Sinks {
       .partitionBy(stampCol)
       .parquet(path)
 
+  /** Small-files compaction: rewrite a directory of parquet files into
+    * ~`targetBytes`-sized outputs. Incremental snapshot appends (and any
+    * fine-grained streaming sink) accumulate thousands of small files,
+    * and at 100 TB the per-file open/footer overhead dominates scans —
+    * the classic small-files problem. Partition count derives from the
+    * actual on-disk byte size (never a row-count guess); `coalesce`
+    * avoids a shuffle when shrinking, `repartition` rebalances when the
+    * input is skewed into fewer-but-lopsided files. Returns the chosen
+    * output file count. */
+  def compactParquet(
+      spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      rebalance: Boolean = false): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val sized = if (rebalance) df.repartition(n) else df.coalesce(n)
+    sized.write.mode("overwrite").parquet(outPath)
+    n
+  }
+
   /** Bucketed managed table: pre-shuffles once at write time so repeated
     * large joins/aggregations on `keys` are exchange-free at read time —
     * the co-located-join strategy for fact⋈fact at 100 TB (broadcast

@@ -23,6 +23,30 @@ class SinksSkewSpec extends SparkSpec {
     assert(back.filter(col("fecha_carga") === "2024-06-02").count() == 2)
   }
 
+  test("compactParquet rewrites many small files into few sized outputs") {
+    val in = Files.createTempDirectory("compact-in")
+    val out = Files.createTempDirectory("compact-out").resolve("data")
+    // 64 tiny files — the accumulation shape incremental appends produce
+    spark.range(20000).toDF("id").repartition(64)
+      .write.mode("overwrite").parquet(in.toString)
+    val smallFiles = Files.list(in).filter(_.toString.endsWith(".parquet")).count()
+    assert(smallFiles == 64)
+    // target sized so the ~160KB input compacts to exactly 2 outputs
+    val n = Sinks.compactParquet(spark, in.toString, out.toString,
+      targetBytes = 100L * 1024)
+    val outFiles = Files.list(out).filter(_.toString.endsWith(".parquet")).count()
+    assert(outFiles == n && n < 64 && n >= 1)
+    // content survives the rewrite
+    val back = spark.read.parquet(out.toString)
+    assert(back.count() == 20000)
+    assert(back.agg(sum(col("id"))).collect()(0).getLong(0) == 20000L * 19999 / 2)
+    // rebalance path produces the same content
+    val out2 = Files.createTempDirectory("compact-out2").resolve("data")
+    Sinks.compactParquet(spark, in.toString, out2.toString,
+      targetBytes = 100L * 1024, rebalance = true)
+    assert(spark.read.parquet(out2.toString).count() == 20000)
+  }
+
   test("salted join returns the same rows as the plain join") {
     val skewed = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // heavy key 1
