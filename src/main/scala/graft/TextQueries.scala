@@ -236,9 +236,85 @@ object TextQueries {
          |ORDER BY tf DESC, tok ASC
          |LIMIT 200""".stripMargin))
 
+  /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446, table A1 —
+    * the published web-corpus filter recipe): word-count bounds, mean
+    * word length bounds, symbol-to-word ratio, alphabetic-word ratio,
+    * and required-stopword presence, each reported per document with
+    * the composite keep verdict. The paper's line-based rules (bullet /
+    * ellipsis line ratios) are omitted: the harness documents are
+    * single-line (they would pass trivially). Every metric is a column
+    * expression over one scan — embarrassingly parallel at any scale. */
+  val gopherRules: Q = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopsSql = stops.map(s => s"'$s'").mkString("[", ", ", "]")
+    Q(
+      "text_gopher_rules",
+      (s, dir) => {
+        val toks = T.tokens(col("text"))
+        val n = size(toks).cast("double")
+        val meanLen = T.avgTokenLen(col("text"))
+        val symbolRatio =
+          regexp_count(lower(col("text")), lit("#|\\.\\.\\.")).cast("double") /
+            greatest(n, lit(1.0))
+        val alphaRatio =
+          size(filter(toks, t => t.rlike("[a-z]"))).cast("double") /
+            greatest(n, lit(1.0))
+        val stopHits = size(array_intersect(array_distinct(toks),
+          typedlit(stops)))
+        table(s, dir, "documents")
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_words"),
+            meanLen.as("mean_word_len"),
+            symbolRatio.as("symbol_ratio"),
+            alphaRatio.as("alpha_word_ratio"),
+            stopHits.cast("long").as("stop_hits"))
+          // per-rule verdicts, then the composite: on this harness corpus
+          // the stopword rule fails everywhere (the synthetic vocabulary
+          // carries only 'the' from the required list), so the composite
+          // alone would be a degenerate all-False column — the individual
+          // flags keep every rule's boundary genuinely exercised
+          // (pass_words varies with the 30–90-token doc lengths)
+          .withColumn("pass_words", col("n_words").between(50, 100000))
+          .withColumn("pass_mean_len", col("mean_word_len").between(3.0, 10.0))
+          .withColumn("pass_symbols", col("symbol_ratio") <= 0.1)
+          .withColumn("pass_alpha", col("alpha_word_ratio") >= 0.8)
+          .withColumn("pass_stops", col("stop_hits") >= 2)
+          .withColumn("keep",
+            col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
+              col("pass_alpha") && col("pass_stops"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH m AS (
+           |  SELECT doc_id,
+           |         CAST(len($ddbToks) AS BIGINT) AS n_words,
+           |         CAST(list_sum(list_transform($ddbToks, t -> len(t))) AS DOUBLE)
+           |           / GREATEST(CAST(len($ddbToks) AS DOUBLE), 1.0) AS mean_word_len,
+           |         CAST(len(regexp_extract_all(lower(text), '#|\\.\\.\\.')) AS DOUBLE)
+           |           / GREATEST(CAST(len($ddbToks) AS DOUBLE), 1.0) AS symbol_ratio,
+           |         CAST(len(list_filter($ddbToks, t -> regexp_matches(t, '[a-z]'))) AS DOUBLE)
+           |           / GREATEST(CAST(len($ddbToks) AS DOUBLE), 1.0) AS alpha_word_ratio,
+           |         CAST(len(list_intersect(list_distinct($ddbToks), $stopsSql)) AS BIGINT) AS stop_hits
+           |  FROM documents)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           |       stop_hits,
+           |       (n_words BETWEEN 50 AND 100000) AS pass_words,
+           |       (mean_word_len BETWEEN 3.0 AND 10.0) AS pass_mean_len,
+           |       (symbol_ratio <= 0.1) AS pass_symbols,
+           |       (alpha_word_ratio >= 0.8) AS pass_alpha,
+           |       (stop_hits >= 2) AS pass_stops,
+           |       (n_words BETWEEN 50 AND 100000
+           |        AND mean_word_len BETWEEN 3.0 AND 10.0
+           |        AND symbol_ratio <= 0.1
+           |        AND alpha_word_ratio >= 0.8
+           |        AND stop_hits >= 2) AS keep
+           |FROM m
+           |ORDER BY doc_id""".stripMargin))
+  }
+
   def all: Seq[Q] = Seq(
     tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition,
-    qualityBySource, vocab)
+    qualityBySource, vocab, gopherRules)
 }
 
 /** Shared DuckDB fragments for the text formulas — the single source of
