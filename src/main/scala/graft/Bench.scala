@@ -46,7 +46,13 @@ object Bench {
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
-          try { fn(spark, sfDir).count(); true }
+          // noop sink, not count(): under count() Catalyst prunes every
+          // unreferenced projection and eliminates the final sort, so a
+          // scan -> expensive-projection -> orderBy query times its row
+          // COUNT, not its work (measured: q1_agg 0.75 s counted vs
+          // 1.59 s actually executed). The noop sink runs the full
+          // physical plan and discards rows at the sink boundary.
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false

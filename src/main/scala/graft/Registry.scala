@@ -7,6 +7,14 @@ import org.apache.spark.sql.functions._
   * oracle SQL). Grows one entry per operator from SURVEY.md §2 plus the
   * training-data pipeline extensions.
   *
+  * Cache ownership: several query builders persist() multi-branch
+  * subtrees (dedup signature/index tables, the trained IVF centroids);
+  * the returned frame owns those entries for its lifetime. Callers that
+  * compose many queries in one session should `spark.catalog
+  * .clearCache()` between them (the Bench/Verify harnesses do) or
+  * unpersist after materializing — accumulated caches measurably
+  * throttled later queries in round-2 profiling (PERF.md).
+  *
   * Oracle-parity rules (learned the hard way, keep following them):
   *  - every aggregate over doubles goes through an exact DECIMAL sum and
   *    is cast back to DOUBLE, so the result is bit-identical regardless

@@ -37,7 +37,14 @@ object SimilarityQueries {
     * the derivation's value at the scale the driver verifies at). */
   def lshPlanes(n: Long, targetPerBucket: Int = 2): Int = {
     require(n > 0, s"lshPlanes needs a non-empty corpus, got n=$n")
-    val raw = math.ceil(math.log(n.toDouble / targetPerBucket) / math.log(2.0)).toInt
+    // exact integer ceil(log2): float log(x)/log(2) lands a ulp on
+    // either side of whole numbers at power-of-two inputs (and the
+    // oracle's LOG2 may land on the other side), silently desyncing the
+    // plane count at exactly those corpus sizes. smallest k with
+    // 2^k >= ceil(n/target) is the same value, computed exactly — the
+    // oracle mirrors it with an exact power comparison.
+    val m = (n + targetPerBucket - 1) / targetPerBucket
+    val raw = if (m <= 1) 1 else 64 - java.lang.Long.numberOfLeadingZeros(m - 1)
     math.min(48, math.max(4, raw))
   }
 
@@ -162,12 +169,17 @@ object SimilarityQueries {
     },
     Some {
       // The oracle re-derives the plane count from the corpus the same
-      // way the Spark side does (clamp(ceil(log2(n/2)), 4, 48)), and
+      // way the Spark side does (clamp(min k: 2^k >= ceil(n/2), 4, 48) —
+      // an EXACT power comparison, never a float LOG2 that can land a
+      // ulp across a whole number at power-of-two corpus sizes), and
       // builds the sketch from the weight-generating FORMULA instead of
       // unrolled literals — so it tracks any scale factor, not just the
       // sf0.01 value of 8 (ScaleKnobsSpec pins the derivation values).
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |np AS (SELECT GREATEST(4, LEAST(48, CAST(CEIL(LOG2(COUNT(*) / 2.0)) AS INT))) AS planes FROM e),
+         |np AS (SELECT GREATEST(4, LEAST(48,
+         |  (SELECT MIN(k) FROM generate_series(1, 64) g(k)
+         |   WHERE POWER(2, k) >= CEIL(cnt / 2.0)))) AS planes
+         |  FROM (SELECT COUNT(*) AS cnt FROM e)),
          |sk AS (SELECT vec_id, embedding, ${H.hyperplaneSketchDynSql("embedding", Dims, "np.planes")} AS sketch FROM e, np),
          |probes AS (
          |  SELECT sk.vec_id AS query_id, sk.embedding AS q_emb,

@@ -64,20 +64,22 @@ object StreamingQueries {
     * session_window.end adds the gap. Works identically under
     * readStream + watermark. Shares stream_sessionization's oracle —
     * three formulations, one contract. */
+  /** The session_window gap-merge over a (user_id, ts) frame — shared
+    * by the query and the boundary-pinning spec. */
+  def sessionWindowSessions(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.groupBy(col("user_id"),
+        session_window(col("ts"), s"${EventStream.SessionGapUs} microseconds"))
+      .agg(
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_start_us"),
+        col("session_end_us"), col("n_events"))
+
   val sessionsNative: Q = Q(
     "stream_session_window",
-    (s, dir) => {
-      val e = Sources.events(s, dir)
-      e.groupBy(col("user_id"),
-          session_window(col("ts"), s"${EventStream.SessionGapUs} microseconds"))
-        .agg(
-          min(unix_micros(col("ts"))).as("session_start_us"),
-          max(unix_micros(col("ts"))).as("session_end_us"),
-          count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("session_start_us"),
-          col("session_end_us"), col("n_events"))
-        .orderBy("user_id", "session_start_us")
-    },
+    (s, dir) => sessionWindowSessions(Sources.events(s, dir))
+      .orderBy("user_id", "session_start_us"),
     sessions.oracle)
 
   /** Watermarked ingest dedup over a feed with planted duplicate

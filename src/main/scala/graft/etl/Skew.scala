@@ -48,7 +48,13 @@ object Skew {
     require(allowed.contains(how.toLowerCase.replace(" ", "")),
       s"saltedJoin supports $allowed; '$how' would multiply unmatched " +
         "replicated-side rows")
-    saltSkewed(skewed, n, keys.map(skewed(_)): _*)
+    // salt from the FULL row, never the join keys alone: a key-derived
+    // salt is one constant per key value, which re-concentrates every
+    // hot key in a single task — the exact skew the salt exists to
+    // break. Hashing all columns spreads a hot key across its rows'
+    // other attributes (identical full-row duplicates still co-locate,
+    // the unavoidable floor for a deterministic salt).
+    saltSkewed(skewed, n, skewed.columns.map(skewed(_)).toIndexedSeq: _*)
       .join(replicateForSalt(other, n), keys :+ "__salt", how)
       .drop("__salt")
   }

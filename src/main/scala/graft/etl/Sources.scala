@@ -64,6 +64,12 @@ object Sources {
         "(per-file preambles/footers would leak into the data)")
     val lines = spark.read.textFile(path).rdd.zipWithIndex()
     val n = lines.count()
+    // fail at THIS boundary, not as an obscure downstream
+    // schema-inference error: preamble+footer must leave at least the
+    // header line (a zero-row export day still carries its header)
+    require(n > preamble + footer,
+      s"csvSkipping: $path has $n lines, not enough for preamble=" +
+        s"$preamble + footer=$footer + a header line")
     val body = lines
       .filter { case (_, i) => i >= preamble && i < n - footer }
       .map(_._1)

@@ -73,8 +73,14 @@ case class TopKByScore(
       buf: mutable.PriorityQueue[(Double, Long)], s: Double, i: Long): Unit =
     if (buf.size < k) buf.enqueue((s, i))
     else {
-      val (ws, wi) = buf.head
-      if (s > ws || (s == ws && i < wi)) { buf.dequeue(); buf.enqueue((s, i)) }
+      // the SAME total order as the heap and eval (Double.compare), not
+      // IEEE primitives: `s > ws` is false for a NaN candidate, which
+      // would silently drop it while the rank-window twin ranks NaN
+      // first (Spark sorts NaN greater than any double) — and
+      // 0.0 == -0.0 under IEEE but not under the heap's ordering
+      if (WorstFirst.compare((s, i), buf.head) < 0) {
+        buf.dequeue(); buf.enqueue((s, i))
+      }
     }
 
   override def update(
@@ -95,7 +101,10 @@ case class TopKByScore(
   }
 
   override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any = {
-    val arr = buf.toArray.sortBy { case (s, i) => (-s, i) }
+    // best-first = ascending WorstFirst (greater ⇔ worse) — the one
+    // total order everywhere (a -s sortBy would re-introduce IEEE
+    // negation semantics for NaN)
+    val arr = buf.toArray.sorted(WorstFirst)
     new GenericArrayData(arr.map { case (s, i) =>
       new GenericInternalRow(Array[Any](s, i))
     })

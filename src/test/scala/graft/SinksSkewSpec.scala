@@ -57,6 +57,15 @@ class SinksSkewSpec extends SparkSpec {
       .select("k", "v", "name")
       .collect().map(_.toSeq).toSeq
     assert(salted == plain)
+    // the point of the salt: the hot key's rows must SPREAD across salt
+    // values (a key-derived salt would give them all one value and
+    // re-concentrate the skew in a single task)
+    val hotSalts = Skew
+      .saltSkewed(skewed, 8, skewed.columns.map(skewed(_)).toIndexedSeq: _*)
+      .filter(col("k") === 1L)
+      .select(countDistinct(col("__salt")))
+      .collect()(0).getLong(0)
+    assert(hotSalts > 1, s"hot key landed on $hotSalts salt value(s)")
   }
 
   test("bucketed tables join without a shuffle exchange") {

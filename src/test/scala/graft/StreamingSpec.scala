@@ -95,6 +95,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window formulation honors the gap boundary contract (ts <= prev + gap merges)") {
+    // the three sessionization formulations share one oracle whose
+    // break predicate is ts - prev > gap: an event landing EXACTLY
+    // gap after its predecessor belongs to the same session. The
+    // harness events (random microsecond timestamps) never hit the
+    // boundary, so this pins it explicitly for the session_window
+    // formulation against the lag/running-sum one.
+    val gapUs = EventStream.SessionGapUs
+    val rows = Seq(
+      (1L, 0L), (1L, gapUs),      // exactly gap -> one session
+      (2L, 0L), (2L, gapUs + 1),  // one past gap -> two sessions
+      (3L, 0L), (3L, gapUs - 1))  // inside gap  -> one session
+    val df = rows.toDF("user_id", "ts_us")
+      .withColumn("ts", expr("timestamp_micros(ts_us)"))
+    val viaWindow = StreamingQueries.sessionWindowSessions(df)
+      .groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaLag = EventStream.sessionsBatch(
+        df.select(col("user_id"), col("ts_us")).as[EventStream.SessionEvent])
+      .toDF().groupBy("user_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaLag == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+    assert(viaWindow == viaLag, s"session_window $viaWindow != lag $viaLag")
+  }
+
   test("rangeJoinStreaming matches the batch range join's pair set") {
     implicit val sc = spark.sqlContext
     val winUs = TemporalJoinQueries.WindowUs
