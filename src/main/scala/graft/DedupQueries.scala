@@ -545,7 +545,49 @@ object DedupQueries {
          |WHERE cosine >= 0.95
          |ORDER BY i, j""".stripMargin))
 
+  /** Cross-batch content dedup — the daily-crawl increment shape: a new
+    * batch anti-joins on content FINGERPRINT against the already-
+    * ingested corpus, so re-crawled pages drop before any heavier
+    * near-dup machinery runs. Differs from [[exact]] (within-corpus
+    * grouping) and the ETL key anti-joins (business keys): the dedup
+    * identity here is the text value itself, carried as a 128-bit hash —
+    * at 100 TB both sides shuffle hashes, never text, and the runtime
+    * bloom filter prunes the probe side (same SMJ shape as the ventas
+    * anti-join). Within-batch duplicates survive (one copy each of two
+    * new identical pages is still new) — same contract as quirk 4.
+    *
+    * Fixture: prior ingests = doc_id % 3 ≠ 0; the new batch = the rest
+    * plus re-crawls of ALREADY-INGESTED pages (doc_id % 3 ≠ 0 ∧
+    * % 4 == 0) under fresh ids — exactly those must drop. */
+  val incremental: Q = Q(
+    "dedup_incremental",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ingested = d.filter(col("doc_id") % 3 =!= 0)
+      val batch = d.filter(col("doc_id") % 3 === 0)
+        .unionAll(ingested.filter(col("doc_id") % 4 === 0)
+          .select((col("doc_id") + 4000000).as("doc_id"), col("text")))
+      val existingFps = ingested
+        .select(T.fingerprintMd5(col("text")).as("fp")).distinct()
+      batch.withColumn("fp", T.fingerprintMd5(col("text")))
+        .join(existingFps, Seq("fp"), "left_anti")
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    },
+    Some(
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |ingested AS (SELECT doc_id, text FROM d WHERE doc_id % 3 <> 0),
+        |batch AS (
+        |  SELECT doc_id, text FROM d WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 4000000, text FROM ingested WHERE doc_id % 4 = 0),
+        |fps AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM ingested)
+        |SELECT b.doc_id, md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) AS fp
+        |FROM batch b
+        |WHERE md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) NOT IN (SELECT fp FROM fps)
+        |ORDER BY b.doc_id""".stripMargin))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, clusters, minhashLsh, simhashSketches, simhashPairs,
-    embeddingNearDup, shingleDfCapReport, decontaminate)
+    embeddingNearDup, shingleDfCapReport, decontaminate, incremental)
 }

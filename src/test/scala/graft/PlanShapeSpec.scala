@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan shape pins for the scale-critical operators: the
+  * design claims in the scaladocs ("one shuffle", "no nested-loop
+  * join", "no Expand", "argmax, not a rank window") asserted against
+  * the plans Catalyst actually produces, so a refactor that silently
+  * degrades a plan fails here instead of at 100×. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val p = Registry.queries(name)(spark, Sf)
+      .queryExecution.executedPlan.toString
+    spark.catalog.clearCache()
+    p
+  }
+
+  private def count(haystack: String, needle: String): Int =
+    haystack.sliding(needle.length).count(_ == needle)
+
+  test("as-of join: ONE data shuffle (the per-user window), no join operator") {
+    val p = plan("events_asof_lastmark")
+    // union + window formulation: a single hashpartitioning exchange
+    // carries both sides; the output sort is a rangepartitioning
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("range join: equi-join on (user, bucket), never a nested-loop join") {
+    val p = plan("events_range_burst")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("latest-state compaction: aggregate only — no window, no join") {
+    val p = plan("events_latest_state")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("vocab and dq_profile multi-level aggregates plan without Expand") {
+    assert(!plan("text_vocab").contains("Expand"))
+    assert(!plan("dq_profile").contains("Expand"))
+  }
+
+  test("IVF queries rank-window only the query subset (one Window operator)") {
+    // corpus assignment is the partial-aggregating argmax; the only
+    // rank window left is the |Q|-row probe ranking ("Window [" — the
+    // exec node; WindowGroupLimit pushdown nodes around it are expected
+    // and welcome)
+    def windows(p: String): Int =
+      p.linesIterator.count(l => l.contains("Window [") && !l.contains("WindowGroupLimit"))
+    assert(windows(plan("sim_ann_ivf")) == 1)
+    assert(windows(plan("sim_ann_ivf_kmeans")) == 1)
+  }
+
+  test("ETL enrichment joins broadcast the dim side (fact never shuffles for it)") {
+    val p = plan("cartera_load")
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the only exchange is the final output ordering
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+  }
+}
