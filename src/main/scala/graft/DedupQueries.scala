@@ -556,17 +556,23 @@ object DedupQueries {
     * anti-join). Within-batch duplicates survive (one copy each of two
     * new identical pages is still new) — same contract as quirk 4.
     *
-    * Fixture: prior ingests = doc_id % 3 ≠ 0; the new batch = the rest
+    * Fixture: prior ingests = doc_id % 3 ≠ 0; the new batch = the rest,
     * plus re-crawls of ALREADY-INGESTED pages (doc_id % 3 ≠ 0 ∧
-    * % 4 == 0) under fresh ids — exactly those must drop. */
+    * % 4 == 0) under fresh ids — exactly those must drop — plus
+    * WITHIN-BATCH duplicates (copies of batch pages with % 5 == 0 under
+    * +5000000 ids) whose both copies must survive, so the no-distinct
+    * contract is itself under the oracle gate. */
   val incremental: Q = Q(
     "dedup_incremental",
     (s, dir) => {
       val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
       val ingested = d.filter(col("doc_id") % 3 =!= 0)
-      val batch = d.filter(col("doc_id") % 3 === 0)
+      val fresh = d.filter(col("doc_id") % 3 === 0)
+      val batch = fresh
         .unionAll(ingested.filter(col("doc_id") % 4 === 0)
           .select((col("doc_id") + 4000000).as("doc_id"), col("text")))
+        .unionAll(fresh.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 5000000).as("doc_id"), col("text")))
       val existingFps = ingested
         .select(T.fingerprintMd5(col("text")).as("fp")).distinct()
       batch.withColumn("fp", T.fingerprintMd5(col("text")))
@@ -575,16 +581,23 @@ object DedupQueries {
         .orderBy("doc_id")
     },
     Some(
+      // NOT EXISTS, never NOT IN: a NULL fingerprint on either side of
+      // NOT IN drops rows (UNKNOWN semantics) where Spark's left_anti
+      // keeps them — parity must not depend on the data being null-free
       """WITH d AS (SELECT doc_id, text FROM documents),
         |ingested AS (SELECT doc_id, text FROM d WHERE doc_id % 3 <> 0),
+        |fresh AS (SELECT doc_id, text FROM d WHERE doc_id % 3 = 0),
         |batch AS (
-        |  SELECT doc_id, text FROM d WHERE doc_id % 3 = 0
+        |  SELECT doc_id, text FROM fresh
         |  UNION ALL
-        |  SELECT doc_id + 4000000, text FROM ingested WHERE doc_id % 4 = 0),
-        |fps AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM ingested)
-        |SELECT b.doc_id, md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) AS fp
-        |FROM batch b
-        |WHERE md5(regexp_replace(lower(trim(b.text)), '\s+', ' ', 'g')) NOT IN (SELECT fp FROM fps)
+        |  SELECT doc_id + 4000000, text FROM ingested WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, text FROM fresh WHERE doc_id % 5 = 0),
+        |fps AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM ingested),
+        |bf AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM batch)
+        |SELECT b.doc_id, b.fp
+        |FROM bf b
+        |WHERE NOT EXISTS (SELECT 1 FROM fps f WHERE f.fp = b.fp)
         |ORDER BY b.doc_id""".stripMargin))
 
   def all: Seq[Q] = Seq(

@@ -37,8 +37,10 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("vocab and dq_profile multi-level aggregates plan without Expand") {
-    assert(!plan("text_vocab").contains("Expand"))
-    assert(!plan("dq_profile").contains("Expand"))
+    val pv = plan("text_vocab")
+    assert(!pv.contains("Expand"), pv)
+    val pd = plan("dq_profile")
+    assert(!pd.contains("Expand"), pd)
   }
 
   test("IVF queries rank-window only the query subset (one Window operator)") {
@@ -48,8 +50,10 @@ class PlanShapeSpec extends SparkSpec {
     // and welcome)
     def windows(p: String): Int =
       p.linesIterator.count(l => l.contains("Window [") && !l.contains("WindowGroupLimit"))
-    assert(windows(plan("sim_ann_ivf")) == 1)
-    assert(windows(plan("sim_ann_ivf_kmeans")) == 1)
+    val pi = plan("sim_ann_ivf")
+    assert(windows(pi) == 1, pi)
+    val pk = plan("sim_ann_ivf_kmeans")
+    assert(windows(pk) == 1, pk)
   }
 
   test("ETL enrichment joins broadcast the dim side (fact never shuffles for it)") {
