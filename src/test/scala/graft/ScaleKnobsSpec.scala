@@ -26,6 +26,13 @@ class ScaleKnobsSpec extends SparkSpec {
     // +1 plane per 2x corpus => expected bucket size stays ~constant
     assert(SimilarityQueries.lshPlanes(1 << 20) ==
       SimilarityQueries.lshPlanes(1 << 19) + 1)
+    // exact-power boundaries: n/target a power of two is where a float
+    // log2 lands a ulp on either side of the whole number (and the
+    // oracle's LOG2 may land on the other) — the integer derivation is
+    // exact: 2^k >= n/2 with equality stays at k
+    assert(SimilarityQueries.lshPlanes(512) == 8)
+    assert(SimilarityQueries.lshPlanes(513) == 9)
+    assert(SimilarityQueries.lshPlanes(1L << 30) == 29)
   }
 
   test("ivfStride/ivfNProbe: K ~ sqrt(n), scanned fraction ~ constant") {
