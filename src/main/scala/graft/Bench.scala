@@ -74,9 +74,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // failed queries carry their -1 sentinel per-query but must not
-    // SUBTRACT from the headline total
+    // SUBTRACT from the headline total; the top-level failed count/list
+    // gates cross-round total comparisons — excluding a failing query
+    // silently LOWERS the total, so a regression would read as a win
+    // to anyone comparing totals without scanning every sentinel
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val failedNames = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":${failed.size},"failed_queries":$failedNames,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -559,9 +559,14 @@ object DedupQueries {
     * Fixture: prior ingests = doc_id % 3 ≠ 0; the new batch = the rest,
     * plus re-crawls of ALREADY-INGESTED pages (doc_id % 3 ≠ 0 ∧
     * % 4 == 0) under fresh ids — exactly those must drop — plus
-    * WITHIN-BATCH duplicates (copies of batch pages with % 5 == 0 under
-    * +5000000 ids) whose both copies must survive, so the no-distinct
-    * contract is itself under the oracle gate. */
+    * WITHIN-BATCH duplicates (copies of batch pages with % 5 == 0)
+    * whose both copies must survive, so the no-distinct contract is
+    * itself under the oracle gate. Synthetic ids are -(doc_id)-1:
+    * injective and strictly negative, so they can never collide with a
+    * real (non-negative) doc_id at ANY scale factor — a fixed +4000000
+    * offset collides once doc_id crosses it — and the two synthetic
+    * unions draw from disjoint id sets (%3≠0 vs %3=0), so the shared
+    * mapping cannot collide across them either. */
   val incremental: Q = Q(
     "dedup_incremental",
     (s, dir) => {
@@ -570,9 +575,9 @@ object DedupQueries {
       val fresh = d.filter(col("doc_id") % 3 === 0)
       val batch = fresh
         .unionAll(ingested.filter(col("doc_id") % 4 === 0)
-          .select((col("doc_id") + 4000000).as("doc_id"), col("text")))
+          .select((-col("doc_id") - 1).as("doc_id"), col("text")))
         .unionAll(fresh.filter(col("doc_id") % 5 === 0)
-          .select((col("doc_id") + 5000000).as("doc_id"), col("text")))
+          .select((-col("doc_id") - 1).as("doc_id"), col("text")))
       val existingFps = ingested
         .select(T.fingerprintMd5(col("text")).as("fp")).distinct()
       batch.withColumn("fp", T.fingerprintMd5(col("text")))
@@ -590,9 +595,9 @@ object DedupQueries {
         |batch AS (
         |  SELECT doc_id, text FROM fresh
         |  UNION ALL
-        |  SELECT doc_id + 4000000, text FROM ingested WHERE doc_id % 4 = 0
+        |  SELECT -doc_id - 1, text FROM ingested WHERE doc_id % 4 = 0
         |  UNION ALL
-        |  SELECT doc_id + 5000000, text FROM fresh WHERE doc_id % 5 = 0),
+        |  SELECT -doc_id - 1, text FROM fresh WHERE doc_id % 5 = 0),
         |fps AS (SELECT DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM ingested),
         |bf AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM batch)
         |SELECT b.doc_id, b.fp

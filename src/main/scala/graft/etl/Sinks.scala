@@ -149,6 +149,20 @@ object Sinks {
       rebalance: Boolean = false): Int = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(inPath), spark.sparkContext.hadoopConfiguration)
+    // spark.read is lazy: mode("overwrite") deletes the target BEFORE the
+    // input is fully read, so out == in (or nested either way) would
+    // destroy the data mid-compaction. In-place compaction must stage to
+    // a sibling temp dir and swap; this utility refuses the overlap.
+    val inQ = fs.makeQualified(new org.apache.hadoop.fs.Path(inPath))
+    val outQ = fs.makeQualified(new org.apache.hadoop.fs.Path(outPath))
+    def contains(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = b
+      while (p != null && p != a) p = p.getParent
+      p != null
+    }
+    require(!contains(inQ, outQ) && !contains(outQ, inQ),
+      s"compactParquet: outPath $outQ overlaps inPath $inQ — " +
+        "overwrite would delete the source files mid-read")
     val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
     val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inPath)

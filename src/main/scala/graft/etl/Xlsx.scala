@@ -183,7 +183,12 @@ object Xlsx {
             if (cellType == "s") {
               // an empty <v/> under t="s" has no pool index to resolve
               if (raw.trim.nonEmpty) out((curRow, cellCol)) = sst(raw.trim.toInt)
-            } else out((curRow, cellCol)) = raw
+            } else if (raw.nonEmpty || cellType == "inlineStr" || cellType == "str") {
+              // an empty <v/> on a numeric/untyped cell is an absent
+              // value (openpyxl yields None); only the string-typed
+              // cell kinds can legitimately hold the empty string
+              out((curRow, cellCol)) = raw
+            }
           }
           curCol = cellCol
           inCell = false

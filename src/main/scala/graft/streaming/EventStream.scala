@@ -156,19 +156,28 @@ object EventStream {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, batch: Iterator[TypedEvent], state: GroupState[AsofEnriched]) =>
           // state rides in the output type to avoid a second encoder:
-          // (event_id = -1 sentinel, ts_us/last_mark_* = the marker)
-          var mark: Option[(Long, Double)] = state.getOption
+          // (event_id = the MARKER's id, ts_us/last_mark_* = the marker)
+          var mark: Option[(Long, Long, Double)] = state.getOption
             .flatMap(s => s.last_mark_us.zip(s.last_mark_value))
+            .map { case (ts, v) => (ts, state.get.event_id, v) }
           val out = scala.collection.mutable.ArrayBuffer.empty[AsofEnriched]
           batch.toSeq
             .sortBy(e => (e.ts_us, if (e.is_marker) 0 else 1, e.event_id))
             .foreach { e =>
-              if (e.is_marker) mark = Some((e.ts_us, e.value))
-              else out += AsofEnriched(e.event_id, uid, e.ts_us,
-                mark.map(_._1), mark.map(_._2))
+              if (e.is_marker) {
+                // Cross-batch carry must be order-insensitive: a marker
+                // arriving in a LATER micro-batch but with an OLDER
+                // (event-time, id) must not displace the newer carried
+                // marker — same (ts, id) total order as the batch twin's
+                // tie rule (marker-at-equal-ts counts, highest id wins).
+                if (mark.forall { case (mts, mid, _) =>
+                      e.ts_us > mts || (e.ts_us == mts && e.event_id >= mid) })
+                  mark = Some((e.ts_us, e.event_id, e.value))
+              } else out += AsofEnriched(e.event_id, uid, e.ts_us,
+                mark.map(_._1), mark.map(_._3))
             }
-          mark.foreach { case (ts, v) =>
-            state.update(AsofEnriched(-1L, uid, ts, Some(ts), Some(v)))
+          mark.foreach { case (ts, id, v) =>
+            state.update(AsofEnriched(id, uid, ts, Some(ts), Some(v)))
           }
           out.iterator
       }

@@ -47,6 +47,22 @@ class SinksSkewSpec extends SparkSpec {
     assert(spark.read.parquet(out2.toString).count() == 20000)
   }
 
+  test("compactParquet refuses in-place / overlapping targets") {
+    // spark.read is lazy, so overwrite-to-self would delete the source
+    // mid-read and destroy the data being compacted; the input must
+    // still be intact after each refusal
+    val in = Files.createTempDirectory("compact-guard").resolve("data")
+    spark.range(100).toDF("id").write.parquet(in.toString)
+    for (bad <- Seq(
+        in.toString,                       // identical
+        in.resolve("nested").toString,     // out inside in
+        in.getParent.toString))            // in inside out
+      intercept[IllegalArgumentException] {
+        Sinks.compactParquet(spark, in.toString, bad)
+      }
+    assert(spark.read.parquet(in.toString).count() == 100)
+  }
+
   test("salted join returns the same rows as the plain join") {
     val skewed = (1 to 1000).map(i => (if (i % 10 == 0) 1L else i.toLong, i))
       .toDF("k", "v") // heavy key 1

@@ -63,6 +63,24 @@ class StreamingSpec extends SparkSpec {
       val b2 = spark.table("asof_out").as[AsofEnriched].collect()
         .sortBy(_.event_id)
       assert(b2.last == AsofEnriched(4L, 7L, 900L, Some(200L), Some(1.5)))
+      // batch 3: a LATE marker — older event-time than the carried one —
+      // must NOT displace it (cross-batch carry is order-insensitive);
+      // the next fact still sees the ts=200 marker
+      input.addData(
+        TypedEvent(5L, 7L, 150L, is_marker = true, 9.9),
+        TypedEvent(6L, 7L, 950L, is_marker = false, 0.0))
+      q.processAllAvailable()
+      val b3 = spark.table("asof_out").as[AsofEnriched].collect()
+        .sortBy(_.event_id)
+      assert(b3.last == AsofEnriched(6L, 7L, 950L, Some(200L), Some(1.5)))
+      // equal-ts, higher-id marker in a later batch DOES win (tie rule)
+      input.addData(
+        TypedEvent(8L, 7L, 200L, is_marker = true, 2.5),
+        TypedEvent(9L, 7L, 960L, is_marker = false, 0.0))
+      q.processAllAvailable()
+      val b4 = spark.table("asof_out").as[AsofEnriched].collect()
+        .sortBy(_.event_id)
+      assert(b4.last == AsofEnriched(9L, 7L, 960L, Some(200L), Some(2.5)))
     } finally q.stop()
   }
 
