@@ -1,0 +1,251 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.Registry.Q
+import graft.etl.Sources.table
+import graft.functions.{TextFunctions => T}
+
+/** Corpus-statistics operators for training-data curation, each with a
+  * DuckDB oracle twin: global line-level boilerplate removal (the
+  * C4/CCNet shape), a pinned-weights linear quality classifier (the
+  * fasttext-style model-based filter, weights frozen so it is
+  * deterministic), and per-document TF-IDF top terms.
+  *
+  * Float discipline: every score is built from +, *, /, abs and
+  * min/max only — IEEE-exact operations that produce bit-identical
+  * doubles on both engines. No ln/exp (libm results differ in the last
+  * ulp across engines and the hash gate compares full `repr`), which is
+  * why TF-IDF uses the rational idf N/df rather than log(N/df): the
+  * top-k RANKING it induces is the same monotone order.
+  */
+object CorpusQueries {
+
+  import TextOracleSql.{toks => ddbToks}
+
+  // ------------------------------------------------------ line dedup
+
+  /** Global line-frequency boilerplate removal — the C4/CCNet line-dedup
+    * shape: hash-normalize every line, count how many distinct documents
+    * each line appears in, drop lines above a document-frequency cap,
+    * reassemble the surviving lines in original order.
+    *
+    * Scale shape: one explode + one groupBy(normalized line) with
+    * map-side combine (lines travel once), then a BROADCAST anti-filter
+    * and one groupBy(doc_id) reassembly. The df-cap derives from corpus
+    * size (max(8, N/25)), which bounds the hot set by construction:
+    * distinct hot lines ≤ total_lines / cap ≈ 25 × avg_lines_per_doc —
+    * a small constant at ANY corpus size, so the broadcast never grows
+    * with the data. A fixed absolute cap would instead make every
+    * common line "hot" at 100 TB (same lesson as the round-3 scale
+    * knobs: constants become functions of n).
+    *
+    * Fixture: testdata text is single-line, so structure is planted
+    * deterministically — a unique header line and the original text
+    * survive; newsletter/rights footers (every 3rd/4th doc) cross the
+    * cap and drop; a rare promo line (every 150th doc) stays below it
+    * at every scale factor BECAUSE the cap scales with N. */
+  val lineDedup: Q = {
+    val sub = "please subscribe to our newsletter"
+    val rights = "all rights reserved"
+    val promo = "limited promo"
+    Q(
+      "text_line_dedup",
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        val base = concat(lit("doc "), col("doc_id").cast("string"),
+          lit("\n"), col("text"))
+        val t1 = when(col("doc_id") % 3 === 0, concat(base, lit("\n" + sub)))
+          .otherwise(base)
+        val t2 = when(col("doc_id") % 4 === 0, concat(t1, lit("\n" + rights)))
+          .otherwise(t1)
+        val t3 = when(col("doc_id") % 150 === 0, concat(t2, lit("\n" + promo)))
+          .otherwise(t2)
+        // the exploded line table feeds BOTH the hot-line aggregation and
+        // the survivor join — persist the reuse point so the scan +
+        // split + explode runs once (the multi-branch rule from PERF.md)
+        val lines = docs.withColumn("text_in", t3)
+          .select(col("doc_id"),
+            posexplode(split(col("text_in"), "\n")).as(Seq("pos", "line")))
+          .withColumn("nline", lower(trim(col("line"))))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // df-cap scales with the corpus: max(8, ceil(N / 25))
+        val thr = docs.agg(count(lit(1)).as("n_docs"))
+          .select(greatest(lit(8L), ceil(col("n_docs") / 25.0)).as("df_cap"))
+        val hot = lines.groupBy("nline")
+          .agg(countDistinct(col("doc_id")).as("line_df"))
+          .crossJoin(broadcast(thr))
+          .filter(col("line_df") > col("df_cap"))
+          .select(col("nline"), lit(true).as("is_hot"))
+        lines
+          .join(broadcast(hot), Seq("nline"), "left")
+          .withColumn("hot", coalesce(col("is_hot"), lit(false)))
+          .groupBy("doc_id")
+          .agg(
+            array_join(
+              transform(
+                array_sort(collect_list(
+                  when(!col("hot"), struct(col("pos"), col("line"))))),
+                x => x.getField("line")),
+              "\n").as("text_clean"),
+            sum(when(col("hot"), 1L).otherwise(0L)).as("lines_removed"),
+            sum(when(!col("hot"), 1L).otherwise(0L)).as("lines_kept"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH d AS (
+           |  SELECT doc_id,
+           |         CASE WHEN doc_id % 150 = 0 THEN t2 || chr(10) || '$promo' ELSE t2 END AS text_in
+           |  FROM (
+           |    SELECT doc_id,
+           |           CASE WHEN doc_id % 4 = 0 THEN t1 || chr(10) || '$rights' ELSE t1 END AS t2
+           |    FROM (
+           |      SELECT doc_id,
+           |             CASE WHEN doc_id % 3 = 0
+           |                  THEN 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text || chr(10) || '$sub'
+           |                  ELSE 'doc ' || CAST(doc_id AS VARCHAR) || chr(10) || text END AS t1
+           |      FROM documents))),
+           |l AS (
+           |  SELECT doc_id,
+           |         unnest(string_split(text_in, chr(10))) AS line,
+           |         unnest(range(len(string_split(text_in, chr(10))))) AS pos
+           |  FROM d),
+           |thr AS (SELECT greatest(8, CAST(ceil(count(*) / 25.0) AS BIGINT)) AS df_cap FROM documents),
+           |hot AS (
+           |  SELECT lower(trim(line)) AS nline
+           |  FROM l GROUP BY 1
+           |  HAVING count(DISTINCT doc_id) > (SELECT df_cap FROM thr)),
+           |f AS (
+           |  SELECT doc_id, line, pos,
+           |         EXISTS (SELECT 1 FROM hot h WHERE h.nline = lower(trim(l.line))) AS hot
+           |  FROM l)
+           |SELECT doc_id,
+           |       coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE NOT hot), '') AS text_clean,
+           |       count(*) FILTER (WHERE hot) AS lines_removed,
+           |       count(*) FILTER (WHERE NOT hot) AS lines_kept
+           |FROM f GROUP BY doc_id
+           |ORDER BY doc_id""".stripMargin))
+  }
+
+  // -------------------------------------------------- quality model
+
+  /** Model-based quality filtering: a linear classifier with PINNED
+    * weights over the four bounded [0,1] quality features (length,
+    * punctuation, stopword density, word-length shape — the same
+    * formulas `text_quality_score` pins), squashed through the rational
+    * sigmoid 0.5 + 0.5·z/(1+|z|) instead of 1/(1+e^-z) so the score is
+    * bit-deterministic cross-engine (no libm exp). This is the
+    * fasttext-/classifier-gate stage of a curation pipeline with the
+    * training baked in; swapping learned weights in changes nothing
+    * about the plan shape. Pure per-row codegen'd arithmetic — no
+    * shuffle, embarrassingly parallel at any scale. */
+  val qualityModel: Q = {
+    // intercept, then weights for lenTerm, punctTerm, stopTerm, wordTerm;
+    // intercept placed so the gate splits the corpus (~83% keep on the
+    // testdata) instead of degenerating to all-keep
+    val (w0, w1, w2, w3, w4) = (-2.7, 1.6, 1.2, 1.4, 0.8)
+    Q(
+      "text_quality_model",
+      (s, dir) => {
+        val lenTerm =
+          least(T.tokenCount(col("text")).cast("double"), lit(100.0)) / lit(100.0)
+        val punctTerm = lit(1.0) - least(T.punctRatio(col("text")) * lit(4.0), lit(1.0))
+        val stopTerm = least(T.stopwordRatio(col("text")) * lit(4.0), lit(1.0))
+        val wordTerm =
+          lit(1.0) - least(abs(T.avgTokenLen(col("text")) - lit(5.0)) / lit(5.0), lit(1.0))
+        val z = lit(w0) + lenTerm * lit(w1) + punctTerm * lit(w2) +
+          stopTerm * lit(w3) + wordTerm * lit(w4)
+        table(s, dir, "documents")
+          .withColumn("z", z)
+          .select(
+            col("doc_id"),
+            (lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z")))))
+              .as("model_score"),
+            (col("z") >= 0.0).as("keep_doc"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val lenT = s"(least(CAST(len($ddbToks) AS DOUBLE), 100.0) / 100.0)"
+        val punctT = s"(1.0 - least(${TextOracleSql.punctRatio} * 4.0, 1.0))"
+        val stopT = s"least(${TextOracleSql.stopRatio} * 4.0, 1.0)"
+        val wordT = s"(1.0 - least(abs(${TextOracleSql.avgLen} - 5.0) / 5.0, 1.0))"
+        val z = s"$w0 + $lenT * $w1 + $punctT * $w2 + $stopT * $w3 + $wordT * $w4"
+        s"""WITH scored AS (SELECT doc_id, $z AS z FROM documents)
+           |SELECT doc_id,
+           |       0.5 + 0.5 * (z / (1.0 + abs(z))) AS model_score,
+           |       z >= 0.0 AS keep_doc
+           |FROM scored
+           |ORDER BY doc_id""".stripMargin
+      })
+  }
+
+  // ------------------------------------------------------ tf-idf
+
+  /** Per-document TF-IDF top terms (k = 3): tokenize, count term
+    * frequency per document, document frequency per term, score
+    * tf · N/df (rational idf — see the object scaladoc for why not
+    * log), rank within each document (score desc, term asc — total
+    * order) and keep the top k.
+    *
+    * Scale shape: the explode feeds ONE partial-aggregating
+    * groupBy(doc, term) — tokens combine map-side, so the shuffle
+    * carries distinct (doc, term) pairs, not raw tokens. df reuses
+    * those pairs (already distinct — count(*), no countDistinct
+    * Expand). The tf⋈df join shuffles on term; hot terms are exactly
+    * what AQE skew-split handles. The rank window partitions by doc_id
+    * over the ALREADY-AGGREGATED tf table (≤ distinct-terms-per-doc
+    * rows each), so unlike the k-NN case there is no |Q|·n blowup for
+    * `graft_topk` to save — and the (string) term payload stays in
+    * plain columns. */
+  val tfidfTopTerms: Q = {
+    val k = 3
+    Q(
+      "text_tfidf_top_terms",
+      (s, dir) => {
+        val docs = table(s, dir, "documents").select(col("doc_id"), col("text"))
+        // tf feeds both its own join side and the df aggregation —
+        // persist the reuse point (it is the POST-aggregation pair
+        // table, far smaller than the token explode it absorbs)
+        val tf = docs
+          .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+        val scored = tf.join(df, Seq("term"))
+          .crossJoin(broadcast(n))
+          .withColumn("tfidf",
+            col("tf").cast("double") * col("n_docs") / col("df").cast("double"))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("tfidf").desc, col("term").asc)
+        scored
+          .withColumn("term_rank", row_number().over(w))
+          .filter(col("term_rank") <= k)
+          .select(col("doc_id"), col("term"), col("tf"), col("df"),
+            col("tfidf"), col("term_rank"))
+          .orderBy(col("doc_id"), col("term_rank"))
+      },
+      Some(
+        s"""WITH tok AS (
+           |  SELECT doc_id, unnest($ddbToks) AS term FROM documents),
+           |tf AS (
+           |  SELECT doc_id, term, count(*) AS tf
+           |  FROM tok WHERE length(term) > 0 GROUP BY doc_id, term),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+           |scored AS (
+           |  SELECT t.doc_id, t.term, t.tf, d.df,
+           |         CAST(t.tf AS DOUBLE) * (SELECT n_docs FROM n) / CAST(d.df AS DOUBLE) AS tfidf
+           |  FROM tf t JOIN df d USING (term)),
+           |r AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+           |  FROM scored)
+           |SELECT doc_id, term, tf, df, tfidf, term_rank
+           |FROM r WHERE term_rank <= $k
+           |ORDER BY doc_id, term_rank""".stripMargin))
+  }
+
+  def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms)
+}

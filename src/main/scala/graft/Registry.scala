@@ -34,7 +34,8 @@ object Registry {
   def all: Seq[Q] = EtlQueries.all ++ WorQueries.all ++ AnalysisQueries.all ++
     DqQueries.all ++ TextQueries.all ++ DedupQueries.all ++
     SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
-    CurateQueries.all ++ PackQueries.all ++ TemporalJoinQueries.all
+    CurateQueries.all ++ PackQueries.all ++ TemporalJoinQueries.all ++
+    CorpusQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

@@ -164,4 +164,66 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(kept.filter(col("lang_pred") =!= "en").count() == 0)
     assert(kept.filter(col("n_tokens") < 20).count() == 0)
   }
+
+  test("text_line_dedup: hot lines dropped, rare+unique lines survive in order") {
+    val out = Registry.queries("text_line_dedup")(spark, Sf).collect()
+    val texts = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length == texts.size)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val clean = r.getAs[String]("text_clean")
+      // planted boilerplate (df above the scaled cap) never survives
+      assert(!clean.contains("please subscribe to our newsletter"))
+      assert(!clean.contains("all rights reserved"))
+      // the unique header and original body always survive, in order
+      assert(clean.startsWith(s"doc $id\n"))
+      // the rare promo line stays BELOW the corpus-scaled cap → kept
+      if (id % 150 == 0) assert(clean.endsWith("\nlimited promo"))
+      // a doc with no planted lines reassembles to exactly header+body
+      if (id % 3 != 0 && id % 4 != 0 && id % 150 != 0)
+        assert(clean == s"doc $id\n${texts(id)}")
+      // counts reconcile with the constructed line count
+      val total = 2L + (if (id % 3 == 0) 1 else 0) +
+        (if (id % 4 == 0) 1 else 0) + (if (id % 150 == 0) 1 else 0)
+      assert(r.getAs[Long]("lines_kept") + r.getAs[Long]("lines_removed") == total)
+    }
+    // the fixture actually exercises removal
+    assert(out.exists(_.getAs[Long]("lines_removed") > 0))
+  }
+
+  test("text_quality_model: bounded scores, threshold consistency, non-degenerate gate") {
+    val rows = Registry.queries("text_quality_model")(spark, Sf).collect()
+    rows.foreach { r =>
+      val p = r.getAs[Double]("model_score")
+      // rational sigmoid never saturates to exactly 0/1
+      assert(p > 0.0 && p < 1.0)
+      assert(r.getAs[Boolean]("keep_doc") == (p >= 0.5))
+    }
+    // the pinned weights must actually split the corpus, else the gate
+    // is vacuous as a filter
+    assert(rows.exists(_.getAs[Boolean]("keep_doc")))
+    assert(rows.exists(!_.getAs[Boolean]("keep_doc")))
+  }
+
+  test("text_tfidf_top_terms: dense ranks, monotone scores, exact tf*N/df") {
+    val rows = Registry.queries("text_tfidf_top_terms")(spark, Sf).collect()
+    val n = spark.read.parquet(s"$Sf/documents.parquet").count().toDouble
+    rows.groupBy(_.getAs[Long]("doc_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Int]("term_rank"))
+      assert(sorted.map(_.getAs[Int]("term_rank")).toSeq == (1 to sorted.length))
+      assert(sorted.length <= 3)
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        val (a, b) = (w(0), w(1))
+        val (s1, t1) = (a.getAs[Double]("tfidf"), a.getAs[String]("term"))
+        val (s2, t2) = (b.getAs[Double]("tfidf"), b.getAs[String]("term"))
+        assert(s1 > s2 || (s1 == s2 && t1 < t2))
+      }
+    }
+    rows.foreach { r =>
+      val expect = r.getAs[Long]("tf").toDouble * n / r.getAs[Long]("df").toDouble
+      assert(r.getAs[Double]("tfidf") == expect)
+    }
+  }
 }
