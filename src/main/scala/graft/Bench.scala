@@ -71,7 +71,12 @@ object Bench {
         else times.sorted.apply((times.size - 1) / 2)
       name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings: the harness that records this line keeps only
+    // the LAST 2000 characters of stdout, and 9-decimal doubles pushed
+    // the 60+-query line past that — rounds 3-5 recorded a truncated,
+    // unparseable line. ms precision is below the box's noise floor.
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // failed queries carry their -1 sentinel per-query but must not
     // SUBTRACT from the headline total; the top-level failed count/list
@@ -81,7 +86,9 @@ object Bench {
     val failed = results.filter(_._2 < 0).map(_._1)
     val failedNames = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"failed":${failed.size},"failed_queries":$failedNames,"queries":$qs,"sf":"$sfDir"}""")
+    // "queries" first, summary fields LAST: under tail-truncation the
+    // end of the line survives, so total/failed/sf must live there.
+    println(s"""{"queries":$qs,"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"failed":${failed.size},"failed_queries":$failedNames,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -72,5 +72,48 @@ object CurateQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(curate)
+  /** Per-source document cap — the domain-balancing step of corpus
+    * curation (web pipelines cap documents per registered domain so one
+    * hot site cannot dominate the training mix; `source` plays the
+    * domain here): keep at most [[CapPerSource]] best docs per source by
+    * quality score, ties toward the lower doc_id.
+    *
+    * Shape: the k-bounded `graft_topk` aggregate (plans/TopKByScore), so
+    * the map-side partial pass reduces every partition to ≤ k pairs per
+    * source and the shuffle carries k-element buffers — the rank-window
+    * formulation would shuffle EVERY scored document to discard all but
+    * k per group, which at 100 TB is a full-corpus shuffle for a
+    * fixed-size answer. The oracle IS the rank window (crossing
+    * formulations, not just engines — same rule as sim_knn_topk). */
+  // NB: declared BEFORE sourceCap — the oracle string interpolates it at
+  // object init, so a later declaration would bake in 0 (and only the
+  // lazily-run Spark side would see 15).
+  private val CapPerSource = 15
+
+  val sourceCap: Q = Q(
+    "curate_source_cap",
+    (s, dir) => {
+      import graft.functions.{HashFunctions => H}
+      val scored = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          T.qualityScore(col("text")).as("q"))
+      scored.groupBy(col("source"))
+        .agg(H.topKByScore(col("q"), col("doc_id"), CapPerSource).as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("source"), col("p.id").as("doc_id"),
+          col("p.score").as("quality"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .orderBy("source", "rank")
+    },
+    Some(
+      s"""WITH s AS (
+         |  SELECT source, doc_id, ${TextOracleSql.quality} AS q FROM documents),
+         |r AS (SELECT source, doc_id, q,
+         |        row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rank
+         |      FROM s)
+         |SELECT source, doc_id, q AS quality, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= $CapPerSource
+         |ORDER BY source, rank""".stripMargin))
+
+  def all: Seq[Q] = Seq(curate, sourceCap)
 }

@@ -62,9 +62,17 @@ object VentasTotales {
         lit("Closed").as("Status"),
         col("l_shipdate").as("__ship"),
         rid.as("__rid"))
-    // Within-batch duplicate subset (§3 quirk 4): these rows appear twice
-    // in the file and BOTH must insert — no dropDuplicates anywhere.
-    base.unionAll(base.filter(col("__rid") % 131 === 0))
+    // Within-batch duplicate subset (§3 quirk 4): rows with __rid%131==0
+    // appear twice in the file and BOTH must insert — no dropDuplicates
+    // anywhere. Multiplicity via explode, NOT base.unionAll(base.filter):
+    // the self-union form executes the whole 4-table join tree twice, and
+    // this subtree is itself evaluated on both sides of the incremental
+    // anti-join — 4 full join passes per query. explode(array_repeat)
+    // replicates at the row level in the same pass; same output multiset.
+    base
+      .withColumn("__copy", explode(array_repeat(lit(1),
+        when(col("__rid") % 131 === 0, 2).otherwise(1))))
+      .drop("__copy")
   }
 
   /** The renamed file before any client mapping — the population the
