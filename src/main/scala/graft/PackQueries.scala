@@ -148,5 +148,72 @@ object PackQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(pack, chunk, sampleMix)
+  /** Temperature-flattened domain mixing (T = 2): sampling weight
+    * ∝ n_d^(1/T), the standard flattening that keeps small domains
+    * fully while downsampling hot ones ∝ n_d^(-1/2) — the multilingual /
+    * multi-domain mixing step of every LLM data recipe. The `source`
+    * column is uniform in the harness corpus (degenerate for a mixing
+    * fixture), so a skewed pseudo-domain is planted deterministically:
+    * dom = floor(sqrt(doc_id % 100)) gives sizes ∝ 1,3,…,19 per 100
+    * docs — both cap-at-1.0 and fractional rates are exercised.
+    *
+    * Determinism rules: the acceptance gate is hash-bucketed (same as
+    * [[sampleMix]] — retry/partitioning/engine invariant, never
+    * rand()); the global Σ√n_d crosses engines as an exact
+    * DECIMAL(28,12) sum (double summation is accumulation-order-
+    * dependent — the Registry decimal rule applied to derived weights);
+    * everything else is IEEE-exact (sqrt, *, /) with the SAME
+    * association order written on both sides.
+    *
+    * Scale: two tiny aggregates (|domains| rows) + two broadcast joins;
+    * the corpus is scanned once and never shuffled. */
+  val sampleTemperature: Q = Q(
+    "sample_temperature",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(sqrt((col("doc_id") % 100).cast("double"))).cast("int").as("dom"),
+          (T.fingerprintRolling(col("text")) % 1000000).as("bucket"))
+      val counts = d.groupBy(col("dom")).agg(count(lit(1)).as("n_d"))
+      val totals = counts.agg(
+        sum(col("n_d")).cast("long").as("n_total"),
+        sum(sqrt(col("n_d").cast("double")).cast("decimal(28,12)")).as("sum_w"))
+      val ppm = counts.crossJoin(broadcast(totals))
+        .select(col("dom"), col("n_d"),
+          floor(least(lit(1.0),
+            ((col("n_total") / 2).cast("long").cast("double") / col("sum_w").cast("double"))
+              * sqrt(col("n_d").cast("double")) / col("n_d").cast("double"))
+            * 1000000.0).cast("long").as("keep_ppm"))
+      d.join(broadcast(ppm), Seq("dom"))
+        .filter(col("bucket") < col("keep_ppm"))
+        .select(col("doc_id"), col("dom"), col("n_d"), col("keep_ppm"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val fp = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''), " +
+        "c -> CAST(ascii(c) AS BIGINT))), (acc, x) -> (acc * 31 + x) % " + T.HashMod + ")"
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |         CAST(floor(sqrt(CAST(doc_id % 100 AS DOUBLE))) AS INT) AS dom,
+         |         $fp % 1000000 AS bucket
+         |  FROM documents),
+         |c AS (SELECT dom, count(*) AS n_d FROM d GROUP BY dom),
+         |t AS (SELECT CAST(SUM(n_d) AS BIGINT) AS n_total,
+         |             SUM(CAST(sqrt(CAST(n_d AS DOUBLE)) AS DECIMAL(28,12))) AS sum_w
+         |      FROM c),
+         |p AS (
+         |  SELECT c.dom, c.n_d,
+         |         CAST(floor(least(1.0,
+         |           (CAST(t.n_total // 2 AS DOUBLE) / CAST(t.sum_w AS DOUBLE))
+         |             * sqrt(CAST(c.n_d AS DOUBLE)) / CAST(c.n_d AS DOUBLE)) * 1000000.0) AS BIGINT)
+         |           AS keep_ppm
+         |  FROM c, t)
+         |SELECT d.doc_id, d.dom, p.n_d, p.keep_ppm
+         |FROM d JOIN p USING (dom)
+         |WHERE d.bucket < p.keep_ppm
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  def all: Seq[Q] = Seq(pack, chunk, sampleMix, sampleTemperature)
 }
