@@ -62,4 +62,21 @@ class PlanShapeSpec extends SparkSpec {
     // the only exchange is the final output ordering
     assert(count(p, "Exchange hashpartitioning") == 0, p)
   }
+
+  test("source cap: bounded topk aggregate, never a rank window or SMJ") {
+    val p = plan("curate_source_cap")
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("temperature mixing: corpus joins broadcast; only the tiny domain-count agg shuffles") {
+    val p = plan("sample_temperature")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // one hashpartitioning exchange: the |domains|-row count aggregate
+    // (the totals agg is a single-partition reduction, the final sort a
+    // rangepartitioning) — the corpus itself never hash-shuffles
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
 }
