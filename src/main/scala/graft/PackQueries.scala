@@ -215,5 +215,33 @@ object PackQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(pack, chunk, sampleMix, sampleTemperature)
+  /** Deterministic stratified train/val/test split: each doc's
+    * content-hash bucket (mod 100) maps to 80/10/10 — hash-ranged, so
+    * the split is reproducible across retries, engines and
+    * partitionings, a doc never changes split when the corpus grows
+    * (the property a random split lacks), and within every source the
+    * split is automatically proportional because the content hash is
+    * independent of `source`. Per-row map over one scan — no shuffle
+    * before the output sort; at 100 TB this is a projection. */
+  val splitStratified: Q = Q(
+    "split_stratified",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (T.fingerprintRolling(col("text")) % 100).as("bucket"))
+      .select(col("doc_id"), col("source"),
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy("doc_id"),
+    Some {
+      val fp = T.polyHashSql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+      s"""SELECT doc_id, source,
+         |       CASE WHEN $fp % 100 < 80 THEN 'train'
+         |            WHEN $fp % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  def all: Seq[Q] = Seq(pack, chunk, sampleMix, sampleTemperature, splitStratified)
 }
