@@ -14,10 +14,11 @@ import graft.functions.{TextFunctions => T}
   *   3. gate on quality ≥ 0.5, predicted language 'en', ≥ 20 tokens;
   *   4. emit keep/drop with the FIRST failing reason per doc.
   *
-  * Plan shape: one scan, one shuffle (the fingerprint groupBy for the
-  * keeper id) — gates are pure column predicates evaluated in the same
-  * stage as the profile. At 100 TB nothing changes structurally: the
-  * fingerprint shuffle is the only data movement.
+  * Plan shape: one scan, one shuffle (hash by fingerprint into the
+  * keeper-id window) — gates are pure column predicates evaluated in
+  * the same stage as the profile, and the profile scalars run exactly
+  * once. At 100 TB nothing changes structurally: the fingerprint
+  * shuffle is the only data movement.
   */
 object CurateQueries {
 
@@ -34,10 +35,14 @@ object CurateQueries {
         T.tokenCount(col("text")).as("n_tokens"),
         T.qualityScore(col("text")).as("quality"),
         T.langId(col("text")).as("lang_pred"))
-      val keepers = profiled.groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("keeper_id"))
+      // keeper via an unbounded-frame window, NOT groupBy(fp)+join-back:
+      // the join formulation derives BOTH sides from `profiled`, so the
+      // expensive profile scalars (quality/lang over every doc) execute
+      // twice and the data shuffles twice (agg + SMJ); the window is one
+      // profile pass and one shuffle (hash by fp), identical output.
+      val keeperW = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
       profiled
-        .join(keepers, Seq("fp"))
+        .withColumn("keeper_id", min(col("doc_id")).over(keeperW))
         .select(
           col("doc_id"), col("n_tokens"), col("quality"), col("lang_pred"),
           when(col("doc_id") =!= col("keeper_id"), lit("duplicate"))
