@@ -226,4 +226,38 @@ class QueryPropertiesSpec extends SparkSpec {
       assert(r.getAs[Double]("tfidf") == expect)
     }
   }
+
+  test("sample_temperature: flattening direction, caps, and hash-gate determinism") {
+    val rows = Registry.queries("sample_temperature")(spark, Sf).collect()
+    val byDom = rows.groupBy(_.getAs[Int]("dom"))
+    // per-domain ppm is constant and keep rate ∝ n^(-1/2): strictly
+    // non-increasing ppm as n_d grows, with at least one domain capped
+    // at 1e6 (small domains fully kept) and one genuinely fractional
+    val ppmByN = byDom.values.map { rs =>
+      (rs.head.getAs[Long]("n_d"), rs.head.getAs[Long]("keep_ppm"))
+    }.toSeq.sortBy(_._1)
+    ppmByN.sliding(2).filter(_.length == 2).foreach { w =>
+      assert(w(0)._2 >= w(1)._2, s"ppm not flattening: $ppmByN")
+    }
+    assert(ppmByN.head._2 == 1000000L, s"smallest domain not fully kept: $ppmByN")
+    assert(ppmByN.last._2 < 1000000L, s"largest domain not downsampled: $ppmByN")
+    // retry/partitioning determinism: the same query over a repartitioned
+    // session state yields the identical kept set (hash gate, not rand())
+    val again = Registry.queries("sample_temperature")(spark, Sf).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
+  test("split_stratified: content-determined, total, and near-proportional per source") {
+    val rows = Registry.queries("split_stratified")(spark, Sf).collect()
+    val docs = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(rows.length.toLong == docs, "split must be total — every doc assigned")
+    val bySplit = rows.groupBy(_.getAs[String]("split")).view.mapValues(_.length).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    // 80/10/10 within binomial slack at n=50 (sf0.001)
+    val train = bySplit.getOrElse("train", 0).toDouble / docs
+    assert(train > 0.6 && train < 0.95, s"train fraction $train")
+    // determinism: same content → same split on recompute
+    val again = Registry.queries("split_stratified")(spark, Sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
