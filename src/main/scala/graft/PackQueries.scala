@@ -243,5 +243,64 @@ object PackQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(pack, chunk, sampleMix, sampleTemperature, splitStratified)
+  /** Exact length-quartile bucketing — batching docs of similar token
+    * length minimizes padding waste in a training dataloader. Exact
+    * global quantiles WITHOUT a global sort: cumulative counts over the
+    * value-compressed histogram (one row per DISTINCT length — bounded
+    * by max doc length, never corpus size), thresholds at ranks
+    * ceil(qN/4) broadcast back, assignment a pure comparison. Ties at a
+    * boundary all take the lower bucket (value-determined, so the
+    * assignment is deterministic and partition-invariant; bucket sizes
+    * flex by the tie count). The single-task histogram window is a
+    * reduction over ~10²–10⁵ rows at any corpus scale — the corpus
+    * itself sees one groupBy shuffle and a broadcast. */
+  val lengthBuckets: Q = Q(
+    "pack_length_buckets",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val hist = d.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
+      val cumW = Window.orderBy(col("n_tokens"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist.withColumn("cum", sum(col("c")).over(cumW))
+      // rank thresholds as literals from one count job (footer-only
+      // under parquet aggregatePushDown — the lshPlanes precedent)
+      val n = d.count()
+      def rank(q: Int): Long = (q * n + 3) / 4
+      val th = cum.agg(
+        min(when(col("cum") >= rank(1), col("n_tokens"))).as("t1"),
+        min(when(col("cum") >= rank(2), col("n_tokens"))).as("t2"),
+        min(when(col("cum") >= rank(3), col("n_tokens"))).as("t3"))
+      d.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") <= col("t1"), 1)
+            .when(col("n_tokens") <= col("t2"), 2)
+            .when(col("n_tokens") <= col("t3"), 3)
+            .otherwise(4).cast("int").as("bucket"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val toks = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+      s"""WITH d AS (
+         |  SELECT doc_id, CAST(len($toks) AS BIGINT) AS n_tokens FROM documents),
+         |h AS (SELECT n_tokens, count(*) AS c FROM d GROUP BY n_tokens),
+         |cu AS (SELECT n_tokens, SUM(c) OVER (ORDER BY n_tokens
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM h),
+         |t AS (SELECT count(*) AS n FROM d),
+         |th AS (SELECT
+         |         min(CASE WHEN cum >= (1 * t.n + 3) // 4 THEN n_tokens END) AS t1,
+         |         min(CASE WHEN cum >= (2 * t.n + 3) // 4 THEN n_tokens END) AS t2,
+         |         min(CASE WHEN cum >= (3 * t.n + 3) // 4 THEN n_tokens END) AS t3
+         |       FROM cu, t)
+         |SELECT d.doc_id, d.n_tokens,
+         |       CASE WHEN d.n_tokens <= th.t1 THEN 1
+         |            WHEN d.n_tokens <= th.t2 THEN 2
+         |            WHEN d.n_tokens <= th.t3 THEN 3
+         |            ELSE 4 END AS bucket
+         |FROM d, th
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  def all: Seq[Q] =
+    Seq(pack, chunk, sampleMix, sampleTemperature, splitStratified, lengthBuckets)
 }
