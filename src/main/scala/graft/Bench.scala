@@ -71,11 +71,13 @@ object Bench {
         else times.sorted.apply((times.size - 1) / 2)
       name -> median
     }
-    // 3-decimal timings: the harness that records this line keeps only
+    // 2-decimal timings: the harness that records this line keeps only
     // the LAST 2000 characters of stdout, and 9-decimal doubles pushed
     // the 60+-query line past that — rounds 3-5 recorded a truncated,
-    // unparseable line. ms precision is below the box's noise floor.
-    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // unparseable line. 10 ms precision is below the box's noise floor
+    // (PERF.md: 5× single-run swings), and the shorter line leaves
+    // headroom for the registry to keep growing.
+    def f3(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     // failed queries carry their -1 sentinel per-query but must not
