@@ -277,9 +277,12 @@ object DedupQueries {
     * Oracle: DuckDB recursive-CTE transitive closure over the same
     * pairs + min(reachable) — exact same components (closure is fine at
     * oracle scale; the Spark side never materializes reachability). */
-  val clusters: Q = Q(
-    "dedup_clusters",
-    (s, dir) => {
+  /** The converged (doc_id, cluster_id) labels — the propagation loop
+    * shared by [[clusters]] (which emits it directly) and [[keepBest]]
+    * (which re-keys clusters to their best-quality member). Returns a
+    * persisted frame (the final round's cache); callers own the entry
+    * per Registry's cache note. */
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
       // both edge orientations from ONE pass over the pair plan (a
       // union of two projections would materialize the expensive
       // candidate join twice before the persist)
@@ -328,8 +331,12 @@ object DedupQueries {
       require(converged,
         s"dedup_clusters: min-label propagation did not converge in $rounds rounds")
       edges.unpersist()
-      labels.orderBy("doc_id")
-    },
+      labels
+  }
+
+  val clusters: Q = Q(
+    "dedup_clusters",
+    (s, dir) => clusterLabels(s, dir).orderBy("doc_id"),
     Some(
       s"""WITH RECURSIVE $ddbCorpus,
          |$ddbNgramPairs,
@@ -344,6 +351,57 @@ object DedupQueries {
          |SELECT c.doc_id AS doc_id, LEAST(c.doc_id, COALESCE(b.m, c.doc_id)) AS cluster_id
          |FROM corpus c LEFT JOIN best b ON b.doc_id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin))
+
+  /** Canonical selection per near-dup cluster: real curation keeps the
+    * BEST-quality member of each cluster, not the smallest id — the
+    * re-key step between [[clusters]] and the final corpus. Keeper =
+    * argmax over (quality desc, doc_id asc), as a partial-aggregating
+    * `max(struct(q, -doc_id))` (the IVF-assignment pattern: the shuffle
+    * carries one row per cluster, never the scored membership; a rank
+    * window would shuffle every member to discard all but one). The
+    * oracle crosses formulations: recursive-CTE closure + rank window. */
+  val keepBest: Q = Q(
+    "dedup_keep_best",
+    (s, dir) => {
+      val labels = clusterLabels(s, dir)
+      val scored = corpus(s, dir)
+        .select(col("doc_id"), T.qualityScore(col("text")).as("q"))
+      labels.join(scored, Seq("doc_id"))
+        .groupBy(col("cluster_id"))
+        .agg(
+          max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("w"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster_id"),
+          (-col("w.neg_id")).as("keeper_id"),
+          col("w.q").as("keeper_q"),
+          col("n_members"))
+        .orderBy("cluster_id")
+    },
+    Some(
+      s"""WITH RECURSIVE $ddbCorpus,
+         |$ddbNgramPairs,
+         |edges AS (SELECT i AS src, j AS dst FROM pairs
+         |          UNION SELECT j AS src, i AS dst FROM pairs),
+         |reach AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+         |  WHERE r.src <> e.dst),
+         |best AS (SELECT src AS doc_id, MIN(dst) AS m FROM reach GROUP BY src),
+         |labels AS (
+         |  SELECT c.doc_id AS doc_id, LEAST(c.doc_id, COALESCE(b.m, c.doc_id)) AS cluster_id
+         |  FROM corpus c LEFT JOIN best b ON b.doc_id = c.doc_id),
+         |scored AS (SELECT doc_id, ${TextOracleSql.quality} AS q FROM corpus),
+         |m AS (
+         |  SELECT l.cluster_id, s.doc_id, s.q,
+         |         row_number() OVER (PARTITION BY l.cluster_id
+         |           ORDER BY s.q DESC, s.doc_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY l.cluster_id) AS n_members
+         |  FROM labels l JOIN scored s USING (doc_id))
+         |SELECT cluster_id, doc_id AS keeper_id, q AS keeper_q,
+         |       CAST(n_members AS BIGINT) AS n_members
+         |FROM m WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin))
 
   // -------------------------------------------------------- MinHash LSH
 
@@ -606,6 +664,7 @@ object DedupQueries {
         |ORDER BY b.doc_id""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    exact, ngramJaccard, clusters, minhashLsh, simhashSketches, simhashPairs,
-    embeddingNearDup, shingleDfCapReport, decontaminate, incremental)
+    exact, ngramJaccard, clusters, keepBest, minhashLsh, simhashSketches,
+    simhashPairs, embeddingNearDup, shingleDfCapReport, decontaminate,
+    incremental)
 }
