@@ -227,6 +227,20 @@ class QueryPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("dedup_keep_best: keepers are cluster members with maximal quality") {
+    val labels = Registry.queries("dedup_clusters")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = Registry.queries("dedup_keep_best")(spark, Sf).collect()
+    // every cluster re-keyed exactly once, membership counts total the corpus
+    assert(rows.map(_.getAs[Long]("cluster_id")).distinct.length == rows.length)
+    assert(rows.map(_.getAs[Long]("n_members")).sum == labels.size)
+    assert(rows.map(_.getAs[Long]("cluster_id")).toSet == labels.values.toSet)
+    rows.foreach { r =>
+      val (cid, keeper) = (r.getAs[Long]("cluster_id"), r.getAs[Long]("keeper_id"))
+      assert(labels(keeper) == cid, s"keeper $keeper not in cluster $cid")
+    }
+  }
+
   test("sample_temperature: flattening direction, caps, and hash-gate determinism") {
     val rows = Registry.queries("sample_temperature")(spark, Sf).collect()
     val byDom = rows.groupBy(_.getAs[Int]("dom"))
