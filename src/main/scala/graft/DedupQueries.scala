@@ -277,6 +277,77 @@ object DedupQueries {
     * Oracle: DuckDB recursive-CTE transitive closure over the same
     * pairs + min(reachable) — exact same components (closure is fine at
     * oracle scale; the Spark side never materializes reachability). */
+  /** Connected-component labels by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14): each round hooks every node's neighborhood
+    * to its minimum, so convergence is O(log n) rounds on ANY topology
+    * — vs [[clusterLabels]]'s min-label propagation, which needs
+    * diameter-many rounds. Min-label stays the production default for
+    * near-dup graphs (dup components are stars/cliques of diameter
+    * ≤ 2, where 2-3 cheap rounds win); this is the documented swap for
+    * adversarial long-chain graphs, and the spec drives it over a
+    * 60-node path — a graph the 20-round propagation cap can never
+    * finish. Both operations preserve components; at fixpoint the edge
+    * set IS the star (node → component-min), so labels fall out of one
+    * left join. `edges` may carry any orientation; self-loops drop. */
+  private[graft] def starLabels(nodes: DataFrame, edges0: DataFrame): DataFrame = {
+    var edges = edges0.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var edgeCount = edges.count()
+    var converged = edgeCount == 0
+    var rounds = 0
+    while (!converged && rounds < 40) {
+      // large-star: attach every neighbor v > u to min(Γ(u) ∪ {u})
+      val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = nbrs.join(mins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+      // small-star: orient large→small, attach the smaller neighbors
+      // (and u itself) to the neighborhood min
+      val oriented = large.select(
+        greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      val mins2 = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val joined = oriented.join(mins2, Seq("u"))
+      val smallPlan = joined
+        .select(col("v").as("src"), col("m").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .unionAll(joined.select(col("u").as("src"), col("m").as("dst")))
+        .distinct()
+      // Catalyst lineage must be CUT each round, not just cached: the
+      // round's plan embeds the previous round's plan ~5× (two joins +
+      // unions over it), so the logical tree grows exponentially and by
+      // ~round 8 merely rendering the plan string OOMs the driver.
+      // Rebasing on the RDD collapses the plan to one LogicalRDD node;
+      // RDD lineage (linear, one hop per round onto a persisted parent)
+      // keeps recomputability.
+      val small = smallPlan.sparkSession
+        .createDataFrame(smallPlan.rdd, smallPlan.schema)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // full materialization BEFORE dropping the old round; equal
+      // cardinality + one-side inclusion ⟹ set equality (both distinct)
+      val smallCount = small.count()
+      converged = smallCount == edgeCount && small.except(edges).isEmpty
+      edges.unpersist()
+      edges = small
+      edgeCount = smallCount
+      rounds += 1
+    }
+    require(converged, s"starLabels: no fixpoint in $rounds rounds")
+    val roots = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
+    val out = nodes.select(col("doc_id"))
+      .join(roots, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    out
+  }
+
   /** The converged (doc_id, cluster_id) labels — the propagation loop
     * shared by [[clusters]] (which emits it directly) and [[keepBest]]
     * (which re-keys clusters to their best-quality member). Returns a
@@ -308,11 +379,17 @@ object DedupQueries {
         // one join carries both the new label AND the changed flag, so
         // convergence detection costs one filter over the persisted
         // frame instead of a second labels join per round
-        val step = labels
+        val stepPlan = labels
           .join(neighborMin.toDF("doc_id", "n_min"), Seq("doc_id"), "left")
           .select(col("doc_id"), col("cluster_id").as("old_id"),
             least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
               .as("cluster_id"))
+        // rebase on the RDD to cut Catalyst lineage: `labels` appears
+        // twice in each round's plan, so the tree doubles per round and
+        // a slow-converging graph would OOM on plan handling long
+        // before the 20-round cap fires (same fix as starLabels)
+        val step = stepPlan.sparkSession
+          .createDataFrame(stepPlan.rdd, stepPlan.schema)
           .persist(StorageLevel.MEMORY_AND_DISK)
         // full count, not limit(1): every partition of `step` must land in
         // the cache BEFORE the previous round is dropped, or the next

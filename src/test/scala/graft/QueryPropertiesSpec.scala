@@ -227,6 +227,29 @@ class QueryPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("starLabels: equals min-label on the corpus graph; converges on a 60-chain") {
+    // equivalence on the real near-dup graph, edges re-derived from the
+    // REGISTERED pair query so no private plumbing is duplicated
+    val expected = Registry.queries("dedup_clusters")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nodes = Registry.queries("dedup_clusters")(spark, Sf).select("doc_id")
+    val edges = Registry.queries("dedup_ngram_jaccard")(spark, Sf)
+      .select(col("i").as("src"), col("j").as("dst"))
+    val got = DedupQueries.starLabels(nodes, edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+    assert(got == expected)
+    // a path graph of diameter 59: min-label propagation would need 59
+    // rounds (its 20-round cap aborts); star contraction collapses it
+    val chainNodes = spark.range(60).toDF("doc_id")
+    val chainEdges = spark.range(59)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val chain = DedupQueries.starLabels(chainNodes, chainEdges).collect()
+    spark.catalog.clearCache()
+    assert(chain.length == 60)
+    assert(chain.forall(_.getLong(1) == 0L), chain.mkString(","))
+  }
+
   test("dedup_keep_best: keepers are cluster members with maximal quality") {
     val labels = Registry.queries("dedup_clusters")(spark, Sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
