@@ -429,6 +429,21 @@ object DedupQueries {
          |FROM corpus c LEFT JOIN best b ON b.doc_id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin))
 
+  /** The same component labels via [[starLabels]] — the O(log n)-round
+    * contraction under the full oracle gate, proving the two
+    * formulations agree on the real near-dup graph (the property spec
+    * additionally drives the long-chain case propagation cannot
+    * finish). Edge derivation is shared with [[clusters]]. */
+  val clustersStar: Q = Q(
+    "dedup_clusters_star",
+    (s, dir) => {
+      val nodes = corpus(s, dir).select(col("doc_id"))
+      val edges = ngramPairs(s, dir)
+        .select(col("i").as("src"), col("j").as("dst"))
+      starLabels(nodes, edges).orderBy("doc_id")
+    },
+    clusters.oracle)
+
   /** Canonical selection per near-dup cluster: real curation keeps the
     * BEST-quality member of each cluster, not the smallest id — the
     * re-key step between [[clusters]] and the final corpus. Keeper =
@@ -741,7 +756,8 @@ object DedupQueries {
         |ORDER BY b.doc_id""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    exact, ngramJaccard, clusters, keepBest, minhashLsh, simhashSketches,
+    exact, ngramJaccard, clusters, clustersStar, keepBest, minhashLsh,
+    simhashSketches,
     simhashPairs, embeddingNearDup, shingleDfCapReport, decontaminate,
     incremental)
 }
