@@ -190,7 +190,87 @@ object AnalysisQueries {
         |GROUP BY 1, 2
         |ORDER BY event_type, k_bucket""".stripMargin))
 
+  /** Hierarchical subtotal aggregation (ROLLUP): per (flag, status),
+    * per-flag subtotal, and grand total in ONE pass — Spark expands the
+    * grouping sets map-side, so the shuffle still carries one row per
+    * (group, level) and the scan runs once; N separate GROUP BYs would
+    * scan N times. Null group keys (the subtotal levels) are projected
+    * to an 'ALL' sentinel so ordering and hashing are engine-neutral
+    * (data values are single-char codes, so the sentinel cannot
+    * collide). */
+  val rollupFlagStatus: Q = Q(
+    "olap_rollup",
+    (s, dir) => table(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status"),
+    Some(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin))
+
+  /** Full cross-dimensional subtotals (CUBE) over the event stream:
+    * every (type, month) combination plus both marginals and the grand
+    * total, one scan + one shuffle (2^dims grouping sets expanded
+    * map-side). The month key is computed BEFORE the cube so the
+    * subtotal levels group on the derived value. */
+  val cubeTypeMonth: Q = Q(
+    "olap_cube",
+    (s, dir) => graft.etl.Sources.events(s, dir)
+      .select(col("event_type"), month(col("ts")).as("mes"), col("value"))
+      .cube(col("event_type"), col("mes"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("mes"), lit(-1)).as("mes"),
+        col("n"), col("total"))
+      .orderBy("event_type", "mes"),
+    Some(
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |       COALESCE(month(ts), -1) AS mes,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM events
+        |GROUP BY CUBE (event_type, month(ts))
+        |ORDER BY event_type, mes""".stripMargin))
+
+  /** Long→wide reshaping (PIVOT) with an EXPLICIT value list: without
+    * it Spark runs a distinct-values discovery job over the whole
+    * input before planning — a full extra scan at 100 TB, and a
+    * nondeterministic schema besides. Absent cells coalesce to 0 so
+    * the wide row is total. */
+  val pivotStatusQty: Q = Q(
+    "olap_pivot",
+    (s, dir) => table(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("O", "F"))
+      .agg(sum(col("l_quantity").cast("decimal(18,2)")))
+      .select(col("l_returnflag"),
+        coalesce(col("O"), lit(BigDecimal(0))).cast("double").as("qty_open"),
+        coalesce(col("F"), lit(BigDecimal(0))).cast("double").as("qty_filled"))
+      .orderBy("l_returnflag"),
+    Some(
+      """SELECT l_returnflag,
+        |       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_open,
+        |       CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_filled
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
-    clientZoneTotals, propsJson)
+    clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
+    pivotStatusQty)
 }

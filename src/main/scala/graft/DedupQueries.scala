@@ -209,15 +209,32 @@ object DedupQueries {
     * train side is every other doc plus planted contaminations (eval
     * texts with a prefix bolted on, +3000000 ids) so the flag path is
     * genuinely exercised. */
+  /** Train/bench fixture shared by [[decontaminate]] and
+    * [[contamFraction]]: docs with doc_id%41 = 0 play the eval set; the
+    * train side is every other doc plus planted contaminations (eval
+    * texts with a prefix bolted on, +3000000 ids). */
+  private def contamFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = d.filter(col("doc_id") % 41 === 0)
+    val train = d.filter(col("doc_id") % 41 =!= 0)
+      .unionAll(bench.select((col("doc_id") + 3000000).as("doc_id"),
+        concat(lit("prefix padding before the leaked evaluation text "),
+          col("text")).as("text")))
+    (bench, train)
+  }
+
+  /** Oracle CTEs mirroring [[contamFixture]]. */
+  private val ddbContamFixture =
+    """bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
+      |train AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, 'prefix padding before the leaked evaluation text ' || text FROM bench)""".stripMargin
+
   val decontaminate: Q = Q(
     "curate_decontaminate",
     (s, dir) => {
-      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
-      val bench = d.filter(col("doc_id") % 41 === 0)
-      val train = d.filter(col("doc_id") % 41 =!= 0)
-        .unionAll(bench.select((col("doc_id") + 3000000).as("doc_id"),
-          concat(lit("prefix padding before the leaked evaluation text "),
-            col("text")).as("text")))
+      val (bench, train) = contamFixture(s, dir)
       val trainIx = rawShingleIndexOf(train).toDF("train_id", "h")
       // bench index feeds two branches (the h-join and the sizes);
       // persist it so the bench scan + shingle explode runs once
@@ -235,11 +252,7 @@ object DedupQueries {
         .orderBy("train_id", "bench_id")
     },
     Some {
-      s"""WITH bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0),
-         |train AS (
-         |  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
-         |  UNION ALL
-         |  SELECT doc_id + 3000000, 'prefix padding before the leaked evaluation text ' || text FROM bench),
+      s"""WITH $ddbContamFixture,
          |tix AS (SELECT doc_id AS train_id, h FROM ${ddbShingleIx("train", capped = false)} t0),
          |bix AS (SELECT doc_id AS bench_id, h FROM ${ddbShingleIx("bench", capped = true)} b0),
          |bsz AS (SELECT bench_id, count(*) AS bench_n FROM bix GROUP BY bench_id),
@@ -253,6 +266,114 @@ object DedupQueries {
          |WHERE CAST(o.shared AS DOUBLE) / s.bench_n >= 0.5
          |ORDER BY train_id, bench_id""".stripMargin
     })
+
+  /** Doc-level contamination fraction (the GPT-3-style "dirty document"
+    * metric, complementing [[decontaminate]]'s per-(train,eval) pair
+    * containment): for each training doc, the fraction of its distinct
+    * shingles that appear ANYWHERE in the eval set, flagged dirty at
+    * ≥ 0.5. The bench gram set is a benchmark corpus — small and
+    * roughly constant-sized at any training scale — so the join
+    * broadcasts and the only shuffle is the map-side-combined per-doc
+    * aggregate (a doc's shingles sit in one partition, so the shuffle
+    * carries one partial row per doc). */
+  val contamFraction: Q = Q(
+    "curate_contam_fraction",
+    (s, dir) => {
+      val (bench, train) = contamFixture(s, dir)
+      val benchGrams = shingleIndexOf(bench).select(col("h")).distinct()
+      rawShingleIndexOf(train).toDF("train_id", "h")
+        .join(benchGrams.withColumn("hit", lit(1L)), Seq("h"), "left")
+        .groupBy(col("train_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(col("train_id"), col("n_shingles"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_shingles")).as("dirty_frac"))
+        .filter(col("dirty_frac") >= 0.5)
+        .orderBy("train_id")
+    },
+    Some(
+      s"""WITH $ddbContamFixture,
+         |bg AS (SELECT DISTINCT h FROM ${ddbShingleIx("bench", capped = true)} b0),
+         |tix AS (SELECT doc_id AS train_id, h FROM ${ddbShingleIx("train", capped = false)} t0),
+         |m AS (
+         |  SELECT t.train_id, count(*) AS n_shingles,
+         |         CAST(sum(CASE WHEN bg.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM tix t LEFT JOIN bg ON t.h = bg.h
+         |  GROUP BY t.train_id)
+         |SELECT train_id, n_shingles, n_hit,
+         |       CAST(n_hit AS DOUBLE) / n_shingles AS dirty_frac
+         |FROM m WHERE CAST(n_hit AS DOUBLE) / n_shingles >= 0.5
+         |ORDER BY train_id""".stripMargin))
+
+  // ------------------------------------------------- duplicated passages
+
+  /** Duplicated-PASSAGE detection (the ExactSubstr idea of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", ACL'22,
+    * at word-trigram granularity): doc-level dedup misses boilerplate
+    * passages embedded in otherwise-unique documents. A trigram window
+    * occurring in ≥ 2 distinct docs is a duplicated window; runs of
+    * consecutive duplicated windows merge into maximal spans
+    * (gaps-and-islands: pos − row_number is constant exactly on a
+    * consecutive run), reported as [span_start, span_end] token offsets
+    * with spans of < 2 windows dropped as chance collisions.
+    *
+    * Scale shape: two shuffles — the window-hash groupBy for document
+    * frequency and the per-doc window for island merge (AQE-coalesced);
+    * window instances travel as 64-bit hashes with an int offset, never
+    * text. The gram subtree is NOT persisted across its two consumers:
+    * recomputing scan+hash once is cheaper than caching an
+    * every-token-position frame (PERF.md round-6: persist only when the
+    * recompute is expensive AND shuffle-free). */
+  val passages: Q = Q(
+    "dedup_passages",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val inst = corpus(s, dir)
+        .select(col("doc_id"), H.tokenHashes(T.tokens(col("text"))).as("hs"))
+        .filter(size(col("hs")) >= 3)
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(1), size(col("hs")) - 2), i =>
+            (element_at(col("hs"), i) * 8191 + element_at(col("hs"), i + 1))
+              .%(lit(T.HashMod)) * 8191 + element_at(col("hs"), i + 2)))
+            .as(Seq("pos", "g")))
+      val hot = inst.select(col("doc_id"), col("g")).distinct()
+        .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select(col("g"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      inst.join(hot, Seq("g"), "left_semi")
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("pos")).cast("long").as("span_start"),
+          (max(col("pos")) + 2).cast("long").as("span_end"),
+          count(lit(1)).as("n_windows"))
+        .filter(col("n_windows") >= 2)
+        .select(col("doc_id"), col("span_start"), col("span_end"),
+          col("n_windows"))
+        .orderBy("doc_id", "span_start")
+    },
+    Some(
+      s"""WITH $ddbCorpus,
+         |toks AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM corpus),
+         |th AS (SELECT doc_id, list_transform(t, tok -> ${T.polyHashSql("tok")}) AS hs FROM toks),
+         |gi AS (
+         |  SELECT doc_id,
+         |         unnest(generate_series(1, len(hs) - 2)) - 1 AS pos,
+         |         unnest(list_transform(generate_series(1, len(hs) - 2),
+         |           i -> ((hs[i] * 8191 + hs[i + 1]) % ${T.HashMod}) * 8191 + hs[i + 2])) AS g
+         |  FROM th WHERE len(hs) >= 3),
+         |hot AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM gi) dg
+         |        GROUP BY g HAVING count(*) >= 2),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM gi WHERE g IN (SELECT g FROM hot))
+         |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+         |       CAST(max(pos) + 2 AS BIGINT) AS span_end,
+         |       count(*) AS n_windows
+         |FROM isl GROUP BY doc_id, grp
+         |HAVING count(*) >= 2
+         |ORDER BY doc_id, span_start""".stripMargin))
 
   // --------------------------------------------- cluster resolution (CC)
 
@@ -759,5 +880,5 @@ object DedupQueries {
     exact, ngramJaccard, clusters, clustersStar, keepBest, minhashLsh,
     simhashSketches,
     simhashPairs, embeddingNearDup, shingleDfCapReport, decontaminate,
-    incremental)
+    contamFraction, passages, incremental)
 }

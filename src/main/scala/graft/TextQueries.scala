@@ -312,9 +312,44 @@ object TextQueries {
            |ORDER BY doc_id""".stripMargin))
   }
 
+  /** Threshold-free quality gating: an absolute quality cutoff tuned on
+    * one source misfires on another (a transcript corpus scores
+    * systematically lower than an encyclopedia corpus), so real
+    * curation gates on the WITHIN-SOURCE percentile instead — keep the
+    * top 30% of every source. percent_rank = (rank−1)/(n−1) over
+    * (quality, doc_id) is rank-based and fully tie-broken, so the
+    * double is the same exact division on both engines — no
+    * interpolated-quantile float drift (same rationale as
+    * [[qualityBySource]]). One shuffle on source; at 100 TB a source is
+    * a domain slice, and skewed giant sources remain a single-partition
+    * window — for those the rank-free approximate variant is a
+    * two-pass histogram cutoff, not implemented here. */
+  val qualityRank: Q = Q(
+    "text_quality_rank",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q"), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          T.qualityScore(col("text")).as("q"))
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("keep", col("pr") >= 0.7)
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, source, ${TextOracleSql.quality} AS q FROM documents),
+         |r AS (SELECT doc_id, source, q,
+         |        percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+         |      FROM s)
+         |SELECT doc_id, source, q, pr, pr >= 0.7 AS keep
+         |FROM r
+         |ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] = Seq(
     tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition,
-    qualityBySource, vocab, gopherRules)
+    qualityBySource, vocab, gopherRules, qualityRank)
 }
 
 /** Shared DuckDB fragments for the text formulas — the single source of
