@@ -297,4 +297,69 @@ class QueryPropertiesSpec extends SparkSpec {
     val again = Registry.queries("split_stratified")(spark, Sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("olap_rollup: every subtotal level is the exact sum of its detail rows") {
+    val rows = Registry.queries("olap_rollup")(spark, Sf).collect()
+    val detail = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) != "ALL")
+    val flagSub = rows.filter(r => r.getString(0) != "ALL" && r.getString(1) == "ALL")
+    val grand = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(grand.length == 1 && detail.nonEmpty && flagSub.nonEmpty)
+    // counts are exact longs at every level
+    assert(grand.head.getLong(3) == detail.map(_.getLong(3)).sum)
+    // qty sums were computed in DECIMAL then cast — re-summing the cast
+    // doubles in Scala reorders rounding, so compare with a tolerance
+    def near(a: Double, b: Double) = math.abs(a - b) <= 1e-6 * math.max(1.0, math.abs(b))
+    assert(near(grand.head.getDouble(2), detail.map(_.getDouble(2)).sum))
+    for (f <- flagSub) {
+      val d = detail.filter(_.getString(0) == f.getString(0))
+      assert(f.getLong(3) == d.map(_.getLong(3)).sum)
+      assert(near(f.getDouble(2), d.map(_.getDouble(2)).sum))
+    }
+  }
+
+  test("curate_contam_fraction: every planted contamination is flagged dirty") {
+    val flagged = Registry.queries("curate_contam_fraction")(spark, Sf)
+      .collect().map(_.getLong(0)).toSet
+    val planted = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") % 41 === 0)
+      .select((col("doc_id") + 3000000).as("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(flagged),
+      s"unflagged plants: ${planted -- flagged}")
+    // and the flag is selective: clean organic docs dominate the corpus
+    val trainTotal = spark.read.parquet(s"$Sf/documents.parquet").count()
+    assert(flagged.size < trainTotal / 2)
+  }
+
+  test("dedup_passages: spans are disjoint maximal runs; exact copies span whole docs") {
+    val spans = Registry.queries("dedup_passages")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.nonEmpty)
+    spans.foreach { case (_, s0, e, n) =>
+      // [s0, e] covers windows s0..e-2, so n must be exactly e-s0-1
+      assert(s0 >= 0 && e >= s0 + 3 && n == e - s0 - 1, s"span ($s0,$e,$n)")
+    }
+    // islands are maximal: consecutive spans of a doc have a gap of at
+    // least one non-duplicated window between them
+    spans.groupBy(_._1).values.foreach { ss =>
+      ss.sortBy(_._2).toSeq.sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) => assert(s2 >= e1 - 1)
+        case _ =>
+      }
+    }
+    // an exact-copy doc (+1000000 fixture ids) duplicates every window,
+    // so it reports exactly one span covering its full token range
+    val tokens = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 1000000).as("id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = spans.groupBy(_._1)
+    tokens.filter(_._2 >= 4).foreach { case (id, t) =>
+      val ss = byDoc.getOrElse(id, Array.empty[(Long, Long, Long, Long)]).toSeq
+      assert(ss == Seq((id, 0L, (t - 1).toLong, (t - 2).toLong)),
+        s"copy doc $id (t=$t): $ss")
+    }
+  }
 }
