@@ -81,5 +81,76 @@ object DqQueries {
       selects.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     })
 
-  def all: Seq[Q] = Seq(profile)
+  /** Fixed-width histogram of a numeric column — distribution profiling
+    * before choosing partition bounds / spotting skew. Bucketing is
+    * `floor(x / width)`: one IEEE double division, bit-identical on
+    * both engines, and a pure column expression — the histogram is one
+    * map-side-combined aggregate whose shuffle carries one row per
+    * bucket, regardless of input size. */
+  val histogram: Q = Q(
+    "dq_histogram",
+    (s, dir) => table(s, dir, "orders")
+      .groupBy(floor(col("o_totalprice") / lit(50000.0)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .orderBy("bucket"),
+    Some(
+      """SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY bucket""".stripMargin))
+
+  /** Cross-source reconciliation via FULL OUTER join — the audit that
+    * finds both orphan detail rows and childless headers in one pass
+    * (neither semi/anti direction alone can). Each side is thinned with
+    * a modulus filter so both orphan classes genuinely occur in the
+    * fixture. The detail side pre-aggregates to one row per key BEFORE
+    * the join (decimal-exact), so the join is key-to-key, and every
+    * output column is coalesced — a full-outer result with nullable
+    * columns would hash differently per engine's null rendering. */
+  val reconFullOuter: Q = Q(
+    "dq_recon_full_outer",
+    (s, dir) => {
+      val lineAgg = table(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 89 =!= 0)
+        .groupBy(col("l_orderkey"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("line_total"),
+          count(lit(1)).as("n_lines"))
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderkey") % 97 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      ord.join(lineAgg, col("o_orderkey") === col("l_orderkey"), "full_outer")
+        .select(
+          coalesce(col("o_orderkey"), col("l_orderkey")).as("orderkey"),
+          when(col("o_orderkey").isNull, lit("line_only"))
+            .when(col("l_orderkey").isNull, lit("order_only"))
+            .otherwise(lit("both")).as("status"),
+          coalesce(col("o_totalprice"), lit(0.0)).as("order_total"),
+          coalesce(col("line_total"), lit(0.0)).as("line_total"),
+          coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+        .orderBy("orderkey")
+    },
+    Some(
+      """WITH la AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS line_total,
+        |         count(*) AS n_lines
+        |  FROM lineitem WHERE l_orderkey % 89 <> 0
+        |  GROUP BY l_orderkey),
+        |o AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 97 <> 0)
+        |SELECT COALESCE(o.o_orderkey, la.l_orderkey) AS orderkey,
+        |       CASE WHEN o.o_orderkey IS NULL THEN 'line_only'
+        |            WHEN la.l_orderkey IS NULL THEN 'order_only'
+        |            ELSE 'both' END AS status,
+        |       COALESCE(o.o_totalprice, 0.0) AS order_total,
+        |       COALESCE(la.line_total, 0.0) AS line_total,
+        |       COALESCE(la.n_lines, 0) AS n_lines
+        |FROM o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey
+        |ORDER BY orderkey""".stripMargin))
+
+  def all: Seq[Q] = Seq(profile, histogram, reconFullOuter)
 }

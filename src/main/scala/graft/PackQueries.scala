@@ -301,6 +301,50 @@ object PackQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Fractional-epoch upsampling — the standard LLM data recipe states
+    * repeats per dataset ("3.4 epochs of wiki, 1.1 of web"): every doc
+    * appears floor(e) times, plus one more for a hash-chosen e-frac
+    * slice of docs. The epoch factor is carried as integer
+    * THOUSANDTHS (1000 + (src#%4)·850 → 1.0/1.85/2.7/3.55 epochs), so
+    * whole/fractional split is exact integer arithmetic on both
+    * engines — no float epoch ever exists to drift. The acceptance
+    * gate is the same content-hash bucketing as [[sampleMix]]
+    * (deterministic under retry/partitioning); replication is
+    * explode(sequence) — one pass, no self-union (PERF.md round-5:
+    * unionAll re-executes the subtree per branch). copy_idx makes the
+    * multiplicity explicit for downstream shuffling/packing. */
+  val sampleEpochs: Q = Q(
+    "sample_epochs",
+    (s, dir) => table(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (lit(1000L) + regexp_extract(col("source"), "src(\\d+)", 1)
+          .try_cast("long") % 4 * 850L).as("ep1000"),
+        (T.fingerprintRolling(col("text")) % 1000).as("bucket"))
+      .withColumn("n_copies",
+        (col("ep1000") - col("ep1000") % 1000) / 1000 +
+          when(col("bucket") < col("ep1000") % 1000, 1).otherwise(0))
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("n_copies").cast("long") - 1))
+          .as("copy_idx"))
+      .orderBy("doc_id", "copy_idx"),
+    Some {
+      val fp = T.polyHashSql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+      s"""WITH b AS (
+         |  SELECT doc_id, source,
+         |         1000 + TRY_CAST(regexp_extract(source, 'src(\\d+)', 1) AS BIGINT) % 4 * 850 AS ep1000,
+         |         $fp % 1000 AS bucket
+         |  FROM documents),
+         |n AS (SELECT doc_id, source,
+         |        (ep1000 - ep1000 % 1000) // 1000 +
+         |          CASE WHEN bucket < ep1000 % 1000 THEN 1 ELSE 0 END AS n_copies
+         |      FROM b)
+         |SELECT doc_id, source,
+         |       unnest(generate_series(0, n_copies - 1)) AS copy_idx
+         |FROM n
+         |ORDER BY doc_id, copy_idx""".stripMargin
+    })
+
   def all: Seq[Q] =
-    Seq(pack, chunk, sampleMix, sampleTemperature, splitStratified, lengthBuckets)
+    Seq(pack, chunk, sampleMix, sampleTemperature, splitStratified,
+      lengthBuckets, sampleEpochs)
 }
