@@ -269,8 +269,56 @@ object AnalysisQueries {
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin))
 
+  /** Rolling time-window aggregate: trailing-7-day moving average of
+    * daily order revenue. RANGE framing on the day number — NOT rows —
+    * so calendar gaps shorten the window instead of silently reaching
+    * further back (the classic rows-vs-range bug). Two-level shape: the
+    * daily pre-aggregate shrinks 100 TB of orders to one row per day
+    * BEFORE the window, so the RANGE window runs over days, not orders.
+    * The moving average is one exact DECIMAL window-sum divided by one
+    * window-count in DOUBLE — a single division, not a running double
+    * average, so both engines produce the identical bits. */
+  val trendMovingAvg: Q = Q(
+    "trend_moving_avg",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      table(s, dir, "orders")
+        .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day_num"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("day_total_dec"))
+        .withColumn("win_total_dec", sum(col("day_total_dec")).over(w))
+        .withColumn("win_days", count(lit(1)).over(w))
+        .select(
+          date_format(date_add(lit("1970-01-01"), col("day_num")), "yyyy-MM-dd")
+            .as("day"),
+          col("n_orders"),
+          col("day_total_dec").cast("double").as("day_total"),
+          (col("win_total_dec").cast("double") / col("win_days").cast("double"))
+            .as("ma7"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH d AS (
+        |  SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num,
+        |         count(*) AS n_orders,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_total_dec
+        |  FROM orders GROUP BY 1),
+        |w AS (
+        |  SELECT day_num, n_orders, day_total_dec,
+        |         SUM(day_total_dec) OVER win AS win_total_dec,
+        |         COUNT(*) OVER win AS win_days
+        |  FROM d
+        |  WINDOW win AS (ORDER BY day_num RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT strftime(DATE '1970-01-01' + CAST(day_num AS INTEGER), '%Y-%m-%d') AS day,
+        |       n_orders,
+        |       CAST(day_total_dec AS DOUBLE) AS day_total,
+        |       CAST(win_total_dec AS DOUBLE) / CAST(win_days AS DOUBLE) AS ma7
+        |FROM w
+        |ORDER BY day""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
-    pivotStatusQty)
+    pivotStatusQty, trendMovingAvg)
 }

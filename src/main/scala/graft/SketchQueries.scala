@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.Registry.Q
+import graft.etl.Sources.table
+
+/** Mergeable-sketch operators. The cardinality workhorses at 100 TB are
+  * sketches (HLL/KMV/theta): fixed-size state, partition-local build,
+  * associative merge — a count-distinct whose shuffle carries bytes, not
+  * keys. Spark's own approx_count_distinct is an HLL++ whose estimate
+  * depends on its internal hash, so no external engine can reproduce it
+  * bit-for-bit; these operators instead pin an ENGINE-NEUTRAL hash
+  * (md5 hex → integer via explicit base-16 arithmetic, the same SQL text
+  * on both sides) so the DuckDB oracle hash-matches the full sketch
+  * output, estimate included.
+  */
+object SketchQueries {
+
+  /** Sketch size. (k-1)/R_k is the classic KMV / bottom-k estimator
+    * (Bar-Yossef et al. 2002): with the k smallest of n uniform hashes,
+    * the kth order statistic R_k ≈ k/(n+1) of the hash space S, so
+    * (k-1)·S/R_k is (nearly) unbiased for n. */
+  private val K = 64
+
+  /** Hash-space width: first 12 hex digits of md5 = 48 bits. */
+  private val HexDigits = 12
+  private val Space = 1L << (4 * HexDigits)
+
+  /** SQL for "numeric value of the first [[HexDigits]] hex chars of the
+    * md5 of `e`" — positional base-16 arithmetic over functions with
+    * identical semantics in Spark and DuckDB (md5 lowercase hex, substr
+    * 1-based, instr 1-based/0-absent), so the SAME text runs on both
+    * engines. Powers of 16 are pre-expanded literals: BIGINT arithmetic
+    * only, no pow() double drift. */
+  private def hexValSql(e: String): String =
+    (0 until HexDigits).map { i =>
+      val place = 1L << (4 * (HexDigits - 1 - i))
+      s"(instr('0123456789abcdef', substr($e, ${i + 1}, 1)) - 1) * ${place}L"
+    }.mkString("(", " + ", ")")
+
+  /** DuckDB spells the BIGINT literal suffix-free; Spark wants `L`. */
+  private def hexValSqlDdb(e: String): String =
+    hexValSql(e).replaceAll("(\\d+)L", "CAST($1 AS BIGINT)")
+
+  /** KMV (bottom-k) distinct-customer sketch over orders.o_custkey.
+    *
+    * Plan shape (the part that survives 100 TB): hash each key, collapse
+    * duplicate hashes with a partial-aggregating distinct (map-side
+    * combine — the shuffle carries one row per distinct hash, never per
+    * input row), then TakeOrderedAndProject keeps the k smallest — no
+    * global sort. A production deployment replaces distinct+top-k with a
+    * custom fixed-size bottom-k aggregation buffer (k longs per
+    * partition, associative merge); the declarative twin here has the
+    * same shuffle profile and is what the oracle can replay.
+    *
+    * Output: one row — k, the kth-smallest 48-bit hash (r_k), the KMV
+    * estimate, and the exact distinct count beside it so the sketch's
+    * error is visible in the result itself. The estimate divides the
+    * same two BIGINTs in DOUBLE on both engines → bit-identical. If
+    * fewer than k distinct hashes exist the estimator is undefined; both
+    * sides then fall back to the exact count (CASE pinned in each). */
+  val kmvDistinct: Q = Q(
+    "sketch_kmv_distinct",
+    (s, dir) => {
+      val hv = expr(hexValSql("md5(CAST(o_custkey AS STRING))"))
+      val hashes = table(s, dir, "orders")
+        .select(hv.as("hv")).distinct()
+      val bottomK = hashes.orderBy(col("hv")).limit(K)
+      val exact = table(s, dir, "orders")
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      bottomK
+        .agg(count(lit(1)).as("n_kept"), max(col("hv")).as("r_k"))
+        .crossJoin(exact)
+        .select(
+          lit(K).as("k"),
+          col("r_k"),
+          when(col("n_kept") < K, col("exact_distinct").cast("double"))
+            .otherwise(
+              lit((K - 1).toLong * Space).cast("double") /
+                col("r_k").cast("double"))
+            .as("est_distinct"),
+          col("exact_distinct"))
+    },
+    Some {
+      val hv = hexValSqlDdb("md5(CAST(o_custkey AS STRING))")
+      s"""WITH h AS (SELECT DISTINCT $hv AS hv FROM orders),
+         |b AS (SELECT hv FROM h ORDER BY hv LIMIT $K),
+         |a AS (SELECT count(*) AS n_kept, max(hv) AS r_k FROM b),
+         |x AS (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders)
+         |SELECT $K AS k, a.r_k,
+         |       CASE WHEN a.n_kept < $K THEN CAST(x.exact_distinct AS DOUBLE)
+         |            ELSE CAST(${(K - 1).toLong * Space} AS DOUBLE)
+         |                 / CAST(a.r_k AS DOUBLE) END AS est_distinct,
+         |       x.exact_distinct
+         |FROM a, x""".stripMargin
+    })
+
+  /** Zone-map / data-skipping statistics: per month-partition min/max/
+    * count over the columns a scan would prune on. This is the metadata
+    * a 100 TB lakehouse keeps per file (parquet footers, Delta/Iceberg
+    * manifests) so a `WHERE o_orderdate BETWEEN …` touches only the
+    * files whose [min,max] intersects — the aggregate below IS that
+    * manifest, built with one map-side-combining shuffle over the
+    * partition key. Money stats ride DECIMAL for engine-neutral
+    * exactness; the month key is the partition spec, not a derived
+    * convenience. */
+  val zoneMaps: Q = Q(
+    "dq_zonemaps",
+    (s, dir) => table(s, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("part_month"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_orderkey")).as("min_orderkey"),
+        max(col("o_orderkey")).as("max_orderkey"),
+        min(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("min_price"),
+        max(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("max_price"),
+        countDistinct(col("o_custkey")).as("n_custkeys"))
+      .orderBy("part_month"),
+    Some(
+      """SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+        |       count(*) AS n_rows,
+        |       min(o_orderkey) AS min_orderkey,
+        |       max(o_orderkey) AS max_orderkey,
+        |       CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+        |       count(DISTINCT o_custkey) AS n_custkeys
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY part_month""".stripMargin))
+
+  def all: Seq[Q] = Seq(kmvDistinct, zoneMaps)
+}

@@ -187,5 +187,223 @@ object TemporalJoinQueries {
          |FROM r WHERE rn = 1
          |ORDER BY user_id, event_type""".stripMargin))
 
-  def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState)
+  /** FORWARD as-of join: every non-error event annotated with the user's
+    * NEXT error at-or-after it — the mirror of [[asofLastError]], same
+    * single-union single-sort plan (one shuffle, O(1) state per row; no
+    * per-key probing). The carry runs over the FOLLOWING frame instead
+    * of the preceding one. Tie rules pinned: a marker AT the fact's
+    * exact timestamp counts ("at or after"); ordering is (ts, side,
+    * event_id) with facts first (side 0) so the same-timestamp marker
+    * falls inside the CURRENT ROW → FOLLOWING frame; equal-timestamp
+    * markers resolve to the LOWEST event_id (first in frame order). */
+  val asofNextError: Q = Q(
+    "events_asof_forward",
+    (s, dir) => {
+      val e = Sources.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      val facts = e.filter(col("event_type") =!= MarkerType)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(0).as("side"),
+          lit(null).cast("long").as("m_ts_us"),
+          lit(null).cast("double").as("m_value"))
+      val marks = e.filter(col("event_type") === MarkerType)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(1).as("side"),
+          unix_micros(col("ts")).as("m_ts_us"), col("value").as("m_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      facts.unionAll(marks)
+        .withColumn("next_err_us", first(col("m_ts_us"), ignoreNulls = true).over(w))
+        .withColumn("next_err_value", first(col("m_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 0)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("next_err_us"), col("next_err_value"),
+          (col("next_err_us") - unix_micros(col("ts"))).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some(
+      s"""WITH e AS (SELECT event_id, user_id, ts, event_type, value FROM events),
+         |u AS (
+         |  SELECT event_id, user_id, ts, 0 AS side,
+         |         CAST(NULL AS BIGINT) AS m_ts_us, CAST(NULL AS DOUBLE) AS m_value
+         |  FROM e WHERE event_type <> '$MarkerType'
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts, 1,
+         |         epoch_us(ts), value
+         |  FROM e WHERE event_type = '$MarkerType'),
+         |w AS (
+         |  SELECT event_id, user_id, ts, side,
+         |         first_value(m_ts_us IGNORE NULLS) OVER win AS next_err_us,
+         |         first_value(m_value IGNORE NULLS) OVER win AS next_err_value
+         |  FROM u
+         |  WINDOW win AS (
+         |    PARTITION BY user_id ORDER BY ts, side, event_id
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |       next_err_us, next_err_value,
+         |       next_err_us - epoch_us(ts) AS gap_us
+         |FROM w WHERE side = 0
+         |ORDER BY event_id""".stripMargin))
+
+  /** SCD Type-2 dimension build from a change log: fold each user's
+    * event stream into versioned state rows with half-open validity
+    * ranges [valid_from, valid_to) — the warehouse shape the reference's
+    * snapshot loads approximate by re-inserting full copies
+    * (cartera.py's daily snapshot table). Three window passes over ONE
+    * (user_id)-partitioned sort — Catalyst reuses the single shuffle +
+    * sort for all of them (lag → run-id prefix-sum → lead), so the whole
+    * build is one exchange at any scale:
+    *  1. run-length encode consecutive identical states (lag ≠ current
+    *     starts a new run; re-assertions of the same state collapse);
+    *  2. first event of each run opens a version (valid_from);
+    *  3. lead(valid_from) closes it (valid_to; NULL = current row). */
+  val scd2State: Q = Q(
+    "events_scd2_state",
+    (s, dir) => {
+      val byTs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val runs = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byRun = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      Sources.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type").as("state"))
+        .withColumn("chg",
+          when(lag(col("state"), 1).over(byTs).isNull ||
+            lag(col("state"), 1).over(byTs) =!= col("state"), 1L).otherwise(0L))
+        .withColumn("run_id", sum(col("chg")).over(runs))
+        .groupBy(col("user_id"), col("run_id"))
+        .agg(min(struct(col("ts_us"), col("event_id"))).as("o"),
+          first(col("state")).as("state"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("run_id").as("version"),
+          col("state"), col("o.ts_us").as("valid_from_us"), col("n_events"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(byRun))
+        .withColumn("is_current", col("valid_to_us").isNull)
+        .orderBy("user_id", "version")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type AS state
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, event_id, ts_us, state,
+        |         CASE WHEN lag(state) OVER w IS NULL
+        |                OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS chg
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |r AS (
+        |  SELECT user_id, ts_us, state,
+        |         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS run_id
+        |  FROM c),
+        |v AS (
+        |  SELECT user_id, run_id AS version, min(state) AS state,
+        |         min(ts_us) AS valid_from_us, count(*) AS n_events
+        |  FROM r GROUP BY user_id, run_id)
+        |SELECT user_id, version, state, valid_from_us, n_events,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |         AS valid_to_us,
+        |       lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+        |         IS NULL AS is_current
+        |FROM v
+        |ORDER BY user_id, version""".stripMargin))
+
+  /** Ordered funnel (view → click → purchase): per user, the earliest
+    * timestamp of each stage where every stage must STRICTLY follow the
+    * previous one. Built as staged conditional aggregations — stage N
+    * is a groupBy over rows filtered by the user's stage-N-1 time,
+    * joined back on user_id. Three shuffles all on the SAME key
+    * (user_id), so at scale they co-partition (no re-exchange after the
+    * first under identical partitioning); the per-user state is 3
+    * timestamps, never a buffered event list — a per-key
+    * collect+sort funnel would O(heaviest-user) memory. */
+  val funnel: Q = Q(
+    "events_funnel",
+    (s, dir) => {
+      val e = Sources.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("ts_us"))
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t_view_us"))
+      val s2 = e.join(s1, "user_id")
+        .filter(col("event_type") === "click" && col("ts_us") > col("t_view_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t_click_us"))
+      val s3 = e.join(s2, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts_us") > col("t_click_us"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t_purchase_us"))
+      s1.join(s2, Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view_us"), col("t_click_us"),
+          col("t_purchase_us"),
+          col("t_purchase_us").isNotNull.as("converted"))
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |s1 AS (
+        |  SELECT user_id, min(ts_us) AS t_view_us
+        |  FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t_click_us
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts_us > s1.t_view_us
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS t_purchase_us
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts_us > s2.t_click_us
+        |  GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t_view_us, s2.t_click_us, s3.t_purchase_us,
+        |       s3.t_purchase_us IS NOT NULL AS converted
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin))
+
+  /** CDC merge with tombstone semantics: fold a change log into the
+    * live table. Each user's LATEST event wins ((ts, event_id) argmax,
+    * same partial-aggregating `max(struct(...))` as [[latestState]] —
+    * map-side combine means the shuffle carries one candidate per key
+    * per partition, never the log); a key whose latest op is a DELETE
+    * (the 'error' type stands in for the tombstone) leaves the table
+    * entirely. This is the Delta/Iceberg MERGE INTO shape: upserts +
+    * deletes in one pass, no per-key window over the full log. The
+    * oracle is the rank-window formulation plus the tombstone filter —
+    * crossing formulations, not just engines. */
+  val cdcMerge: Q = Q(
+    "cdc_merge_log",
+    (s, dir) => Sources.events(s, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+        col("value"))).as("m"),
+        count(lit(1)).as("n_ops"))
+      .filter(col("m.event_type") =!= MarkerType)
+      .select(col("user_id"), col("m.ts_us").as("ts_us"),
+        col("m.event_id").as("event_id"),
+        col("m.event_type").as("last_op"), col("m.value").as("value"),
+        col("n_ops"))
+      .orderBy("user_id"),
+    Some(
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+         |  FROM events),
+         |r AS (
+         |  SELECT user_id, ts_us, event_id, event_type, value,
+         |         ROW_NUMBER() OVER (PARTITION BY user_id
+         |                            ORDER BY ts_us DESC, event_id DESC) AS rn,
+         |         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+         |  FROM e)
+         |SELECT user_id, ts_us, event_id, event_type AS last_op, value, n_ops
+         |FROM r WHERE rn = 1 AND event_type <> '$MarkerType'
+         |ORDER BY user_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
+    asofNextError, scd2State, funnel, cdcMerge)
 }

@@ -347,9 +347,44 @@ object TextQueries {
          |FROM r
          |ORDER BY doc_id""".stripMargin))
 
+  /** Equi-depth quality histogram: ntile(10) deciles over the fully
+    * tie-broken (quality, doc_id) order, summarized per decile (count +
+    * exact min/max bounds). This is the curation dashboard shape —
+    * "what does each quality band look like" — and the cut points for a
+    * downstream keep-top-N%-by-band policy. ntile's ordering is total,
+    * so bucket assignment is deterministic on both engines; per-decile
+    * stats are min/max only (order-independent), no double summation.
+    * Single global-ORDER window: fine while one machine holds the doc
+    * ids+scores (they're 16 bytes/row — ~2 TB of docs is ~16 GB of
+    * window input); past that the same cut points come from a two-pass
+    * percentile histogram, same caveat as [[qualityRank]]. */
+  val qualityNtile: Q = Q(
+    "text_quality_ntile",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("q"), col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), T.qualityScore(col("text")).as("q"))
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n"),
+          min(col("q")).as("min_q"), max(col("q")).as("max_q"))
+        .orderBy("decile")
+    },
+    Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, ${TextOracleSql.quality} AS q FROM documents),
+         |d AS (SELECT doc_id, q,
+         |        ntile(10) OVER (ORDER BY q, doc_id) AS decile
+         |      FROM s)
+         |SELECT decile, count(*) AS n, min(q) AS min_q, max(q) AS max_q
+         |FROM d
+         |GROUP BY decile
+         |ORDER BY decile""".stripMargin))
+
   def all: Seq[Q] = Seq(
     tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition,
-    qualityBySource, vocab, gopherRules, qualityRank)
+    qualityBySource, vocab, gopherRules, qualityRank, qualityNtile)
 }
 
 /** Shared DuckDB fragments for the text formulas — the single source of

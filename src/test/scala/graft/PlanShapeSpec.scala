@@ -79,4 +79,34 @@ class PlanShapeSpec extends SparkSpec {
     // rangepartitioning) — the corpus itself never hash-shuffles
     assert(count(p, "Exchange hashpartitioning") <= 2, p)
   }
+
+  test("forward as-of join: ONE data shuffle, no join operator (mirror of backward)") {
+    val p = plan("events_asof_forward")
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("SCD2 build: all three window passes reuse ONE per-user shuffle") {
+    val p = plan("events_scd2_state")
+    // lag/run-encode, run groupBy, and lead(close) all partition on
+    // user_id — Catalyst must not re-exchange between them
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("fuzzy name join: equi-join on the block key, never a nested loop over names") {
+    val p = plan("join_fuzzy_names")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("CDC merge: aggregate-only fold — no window, no join over the log") {
+    val p = plan("cdc_merge_log")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("KMV sketch: distinct collapses map-side; bottom-k is TakeOrdered, not a global sort") {
+    val p = plan("sketch_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
