@@ -317,8 +317,115 @@ object AnalysisQueries {
         |FROM w
         |ORDER BY day""".stripMargin))
 
+  /** Ordered path/sequence analysis: each user's full event-type
+    * journey as a '->'-joined string, ordered by (ts, event_id). One
+    * shuffle (groupBy user) collecting (ts_us, event_id, type) structs,
+    * then pure array HOFs — array_sort on the struct's natural
+    * (ts, id)-lexicographic order, transform to the type, array_join —
+    * all codegen'd, no window, no driver collect. Per-user memory is the
+    * user's own event list: inherent to the operator (a path IS the
+    * whole sequence); a heavy-user cap would truncate with a marker,
+    * not documented-away (not needed at this fixture's fan-out). */
+  val pathSeq: Q = Q(
+    "events_path_seq",
+    (s, dir) => graft.etl.Sources.events(s, dir)
+      .select(col("user_id"),
+        struct(unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(collect_list(col("e")).as("evs"))
+      .select(col("user_id"),
+        size(col("evs")).as("n_events"),
+        array_join(
+          transform(array_sort(col("evs")), e => e.getField("event_type")),
+          "->").as("path"))
+      .orderBy("user_id"),
+    Some(
+      """SELECT user_id, count(*) AS n_events,
+        |       string_agg(event_type, '->'
+        |                  ORDER BY epoch_us(ts), event_id) AS path
+        |FROM events
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin))
+
+  /** Relational set difference: churn candidates — customers with no
+    * order in the final 90 days of the data. `EXCEPT` compiles to a
+    * distinct left-anti hash join — the build side is the (smaller,
+    * distinct) recent-order key set, and a runtime bloom/broadcast
+    * kicks in under AQE when it fits. The cutoff derives from
+    * max(o_orderdate) as a 1-row broadcast scalar (never a driver
+    * collect); the cutoff compare is a post-scan filter (it depends on
+    * the broadcast value — only a literal cutoff could push into the
+    * parquet scan; with date-partitioned storage this same shape gets
+    * dynamic partition pruning instead). The mktsegment breakdown
+    * keeps the output meaningfully aggregated. */
+  val churnCandidates: Q = Q(
+    "set_except_customers",
+    (s, dir) => {
+      val orders = table(s, dir, "orders")
+      val cutoff = orders
+        .agg(date_sub(max(col("o_orderdate")).cast("date"), 90).as("cut"))
+      val recent = orders.select(col("o_custkey").as("c_custkey"),
+          col("o_orderdate"))
+        .crossJoin(broadcast(cutoff))
+        .filter(col("o_orderdate").cast("date") >= col("cut"))
+        .select(col("c_custkey"))
+      table(s, dir, "customer").select(col("c_custkey"))
+        .except(recent)
+        .join(table(s, dir, "customer"), Seq("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_lapsed"),
+          min(col("c_custkey")).as("min_custkey"))
+        .orderBy("c_mktsegment")
+    },
+    Some(
+      """WITH lapsed AS (
+        |  SELECT c_custkey FROM customer
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) >=
+        |        (SELECT CAST(max(o_orderdate) AS DATE) - INTERVAL 90 DAY
+        |         FROM orders))
+        |SELECT c_mktsegment, count(*) AS n_lapsed,
+        |       min(c_custkey) AS min_custkey
+        |FROM lapsed JOIN customer USING (c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin))
+
+  /** Ratio-to-report (percent of total): each order priority's share of
+    * total revenue. The grand total is an unpartitioned window sum over
+    * the PRE-AGGREGATED per-priority rows (a handful of rows — the
+    * window never sees the fact table), and the share is one
+    * decimal-by-decimal division evaluated in DOUBLE once, so both
+    * engines produce identical bits. */
+  val revenueShare: Q = Q(
+    "revenue_share",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy()
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+        .withColumn("grand_dec", sum(col("rev_dec")).over(w))
+        .select(col("o_orderpriority"),
+          col("rev_dec").cast("double").as("revenue"),
+          (col("rev_dec").cast("double") / col("grand_dec").cast("double"))
+            .as("share"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      """WITH p AS (
+        |  SELECT o_orderpriority,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1)
+        |SELECT o_orderpriority,
+        |       CAST(rev_dec AS DOUBLE) AS revenue,
+        |       CAST(rev_dec AS DOUBLE) / CAST(SUM(rev_dec) OVER () AS DOUBLE) AS share
+        |FROM p
+        |ORDER BY o_orderpriority""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
-    pivotStatusQty, trendMovingAvg)
+    pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare)
 }

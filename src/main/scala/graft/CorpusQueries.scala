@@ -247,5 +247,69 @@ object CorpusQueries {
            |ORDER BY doc_id, term_rank""".stripMargin))
   }
 
-  def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms)
+  // ------------------------------------------- trigram substring search
+
+  /** Literal pattern for the substring-search operator — present at
+    * every scale factor with useful selectivity (~5% of docs). */
+  private val SearchPattern = "merge batch"
+
+  /** The pattern's distinct character trigrams, precomputed at plan
+    * time (a constant — the pattern is a query parameter, never data). */
+  private val PatternTrigrams: Seq[String] =
+    SearchPattern.sliding(3).toSeq.distinct
+
+  /** Index-backed substring search: find documents containing a literal
+    * pattern via a character-trigram inverted index, then verify with
+    * the exact `contains` — the pg_trgm/Lucene regex-to-trigram shape.
+    *
+    * Why not just scan? `contains()` over 100 TB reads every byte of
+    * every document. The trigram route builds (doc_id, trigram) postings
+    * RESTRICTED to the pattern's own trigrams (the isin filter sits
+    * inside the explode projection, so non-matching postings die
+    * map-side and the shuffle carries only candidate postings — a few
+    * rows per matching doc), intersects postings with a
+    * count-distinct-equals-k group (a doc must contain ALL k pattern
+    * trigrams), and runs the exact verifier only on that candidate set
+    * via a semi-join. In production the postings table is precomputed
+    * once and shared by every query; the in-query build here stands in
+    * for that read path. Trigram blocking is LOSSLESS for containment
+    * (text ⊇ pattern ⇒ text's trigram set ⊇ pattern's trigram set), so
+    * the brute-force LIKE oracle proves the candidate set misses
+    * nothing. */
+  val trigramSearch: Q = Q(
+    "search_trigram",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val k = PatternTrigrams.length
+      val patTriSql =
+        PatternTrigrams.map(t => s"'${t.replace("'", "\\'")}'")
+          .mkString("array(", ", ", ")")
+      // doc → its distinct trigrams ∩ pattern trigrams, exploded to
+      // postings; the intersect runs inside the projection so only
+      // pattern-relevant postings ever leave the scan
+      val postings = docs.select(col("doc_id"),
+        explode(expr(
+          s"""array_intersect(
+             |  transform(sequence(1, greatest(length(text) - 2, 0)),
+             |            i -> substring(text, i, 3)),
+             |  $patTriSql)""".stripMargin)).as("tri"))
+      val candidates = postings
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tris"))  // intersect output is distinct
+        .filter(col("n_tris") === k)
+        .select("doc_id")
+      docs.join(candidates, "doc_id")
+        .filter(col("text").contains(SearchPattern))
+        .select(col("doc_id"), col("source"),
+          instr(col("text"), SearchPattern).as("pos"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""SELECT doc_id, source, instr(text, '$SearchPattern') AS pos
+         |FROM documents
+         |WHERE contains(text, '$SearchPattern')
+         |ORDER BY doc_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch)
 }

@@ -183,6 +183,50 @@ object EventStream {
       }
   }
 
+  // ------------------------------------------------------ streaming CDC
+
+  final case class CdcOp(
+      user_id: Long, ts_us: Long, event_id: Long, is_delete: Boolean,
+      value: Double)
+  final case class CdcState(
+      user_id: Long, ts_us: Long, event_id: Long, is_delete: Boolean,
+      value: Double, n_ops: Long)
+
+  /** Streaming CDC merge — the stream twin of `cdc_merge_log`
+    * (TemporalJoinQueries): per-key GroupState holds only the current
+    * winner (latest (ts, id) op — bounded state, one record per live
+    * key), updated as ops arrive in any micro-batch order; each batch
+    * emits the key's refreshed state (Update-mode semantics — the
+    * memory/console sink shows the live table converging). Tombstones
+    * stay IN state (a late pre-tombstone op must still lose to the
+    * tombstone — dropping it would resurrect deleted keys) and are
+    * filtered at read time, exactly like the batch query's final
+    * filter. Cross-batch carry is order-insensitive by the same
+    * (ts, id) total order as the batch argmax. */
+  def cdcStreaming(ops: Dataset[CdcOp]): Dataset[CdcState] = {
+    import ops.sparkSession.implicits._
+    ops
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[CdcState, CdcState](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[CdcOp], state: GroupState[CdcState]) =>
+          var cur = state.getOption
+          batch.foreach { op =>
+            val wins = cur.forall(c =>
+              op.ts_us > c.ts_us ||
+                (op.ts_us == c.ts_us && op.event_id > c.event_id))
+            val n = cur.map(_.n_ops).getOrElse(0L) + 1L
+            cur =
+              if (wins)
+                Some(CdcState(uid, op.ts_us, op.event_id, op.is_delete,
+                  op.value, n))
+              else Some(cur.get.copy(n_ops = n))
+          }
+          val out = cur.get
+          state.update(out)
+          out
+      }
+  }
+
   /** Streaming sessionization with explicit state:
     * flatMapGroupsWithState keeps the open session per user and emits a
     * session whenever a new event lands beyond the gap. (Demo semantics:

@@ -268,6 +268,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcStreaming: final state matches the batch CDC merge; late ops lose; tombstones persist") {
+    import graft.streaming.EventStream.{CdcOp, CdcState}
+    implicit val sc = spark.sqlContext
+
+    // unit case: out-of-order delivery across micro-batches
+    val input = MemoryStream[CdcOp]
+    val q = EventStream.cdcStreaming(input.toDS())
+      .writeStream.format("memory").queryName("cdc_unit_out")
+      .outputMode("update").start()
+    try {
+      input.addData(CdcOp(1, 100, 10, is_delete = false, 1.0),
+        CdcOp(2, 100, 11, is_delete = false, 2.0))
+      q.processAllAvailable()
+      // batch 2: user 1 gets a TOMBSTONE, user 2 gets a LATE (older) op
+      input.addData(CdcOp(1, 200, 12, is_delete = true, 0.0),
+        CdcOp(2, 50, 9, is_delete = false, 9.9))
+      q.processAllAvailable()
+      import spark.implicits._
+      val fin = spark.table("cdc_unit_out").as[CdcState].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_.n_ops) }
+      // user 1: tombstone carried in state (key is dead)
+      assert(fin(1L).is_delete && fin(1L).event_id == 12)
+      // user 2: late op did NOT displace the newer value
+      assert(!fin(2L).is_delete && fin(2L).event_id == 11 &&
+        fin(2L).value == 2.0 && fin(2L).n_ops == 2)
+    } finally q.stop()
+
+    // full-set equivalence: live rows of the final state == cdc_merge_log
+    val all = graft.etl.Sources.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), (col("event_type") === "error").as("is_delete"),
+        col("value"))
+      .as[CdcOp].collect()
+    val input2 = MemoryStream[CdcOp]
+    val q2 = EventStream.cdcStreaming(input2.toDS())
+      .writeStream.format("memory").queryName("cdc_full_out")
+      .outputMode("update").start()
+    try {
+      // split into two micro-batches to exercise cross-batch carry
+      val (b1, b2) = all.partition(_.event_id % 2 == 0)
+      input2.addData(b1.toIndexedSeq); q2.processAllAvailable()
+      input2.addData(b2.toIndexedSeq); q2.processAllAvailable()
+      val streamed = spark.table("cdc_full_out").as[CdcState].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_.n_ops) }
+        .filter(!_._2.is_delete)
+        .map { case (u, s) => u -> ((s.ts_us, s.event_id, s.value, s.n_ops)) }
+      val batch = Registry.queries("cdc_merge_log")(spark, Sf)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(4), r.getLong(5))))
+        .toMap
+      assert(streamed == batch)
+    } finally q2.stop()
+  }
+
   test("fileStream wrapper reads the raw nanos schema") {
     // fileStream targets the driver's raw events layout; point it at a
     // copy of the raw file (nanos timestamps) and check one micro-batch.
