@@ -311,5 +311,44 @@ object CorpusQueries {
          |WHERE contains(text, '$SearchPattern')
          |ORDER BY doc_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch)
+  // --------------------------------------------- BPE pair statistics
+
+  /** The BPE-training inner step: corpus-wide adjacent-symbol pair
+    * counts, ranked — the argmax of this table IS the next merge rule.
+    * One explode chain (doc → words → adjacent char pairs via a
+    * sequence/substring HOF, all codegen'd) into one map-side-combining
+    * groupBy; the shuffle carries (pair, partial count), never
+    * positions. A full BPE trainer is this step in a driver loop
+    * (count → pick argmax → rewrite the vocab → recount), the same
+    * loop discipline as the k-means and connected-components operators;
+    * the rewrite is a replace() over the (tiny) vocab table, not the
+    * corpus — documents are never re-materialized between merges.
+    * Top-50 with a total (n DESC, pair) order so the cut is
+    * deterministic on both engines. */
+  val bpePairCounts: Q = Q(
+    "bpe_pair_counts",
+    (s, dir) => table(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("pair"))
+      .limit(50),
+    Some(
+      s"""WITH w AS (
+         |  SELECT unnest($ddbToks) AS word FROM documents),
+         |p AS (
+         |  SELECT substr(word, CAST(i AS INTEGER), 2) AS pair
+         |  FROM w, unnest(range(1, length(word))) AS t(i)
+         |  WHERE length(word) >= 2)
+         |SELECT pair, count(*) AS n
+         |FROM p GROUP BY pair
+         |ORDER BY n DESC, pair
+         |LIMIT 50""".stripMargin))
+
+  def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch,
+    bpePairCounts)
 }

@@ -452,9 +452,13 @@ object DedupQueries {
         .createDataFrame(smallPlan.rdd, smallPlan.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       // full materialization BEFORE dropping the old round; equal
-      // cardinality + one-side inclusion ⟹ set equality (both distinct)
+      // cardinality + one-side inclusion ⟹ set equality (both distinct).
+      // left_anti, not except(): both sides are already distinct, and
+      // except() would re-distinct each side (two extra aggregations
+      // per round) before the anti join it compiles to anyway.
       val smallCount = small.count()
-      converged = smallCount == edgeCount && small.except(edges).isEmpty
+      converged = smallCount == edgeCount &&
+        small.join(edges, Seq("src", "dst"), "left_anti").isEmpty
       edges.unpersist()
       edges = small
       edgeCount = smallCount
