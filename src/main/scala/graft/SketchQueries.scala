@@ -130,5 +130,88 @@ object SketchQueries {
         |GROUP BY 1
         |ORDER BY part_month""".stripMargin))
 
-  def all: Seq[Q] = Seq(kmvDistinct, zoneMaps)
+  /** Count-Min rows (d) and width (w). d=4 rows bounds the
+    * over-estimate probability; w=256 buckets bounds the additive error
+    * at N/w. Both are sketch-SIZE constants (the sketch is d·w longs
+    * regardless of corpus size); production widens w with the expected
+    * distinct count, same constants-become-functions-of-n rule as the
+    * LSH planes. */
+  private val CmRows = 4
+  private val CmWidth = 256
+
+  /** Bucket of `e` (a string SQL expr) in CM row `j` — the row index is
+    * salted into the hashed text so the d rows are independent. */
+  private def cmBucketSql(e: String, j: Int, ddb: Boolean): String = {
+    val h = s"md5(concat($e, '#$j'))"
+    val v = if (ddb) hexValSqlDdb(h) else hexValSql(h)
+    s"($v % $CmWidth)"
+  }
+
+  /** Count-Min frequency sketch over the corpus token stream, read back
+    * for the 20 most frequent tokens: exact count beside the CM
+    * estimate, so the sketch's one-sided error (est ≥ exact, within
+    * N/w) is visible in the hash-checked output itself.
+    *
+    * Build shape at 100 TB: tokens pre-aggregate to (token, count) with
+    * map-side combine (the only pass over the corpus), then each token
+    * fans out to its d=4 (row, bucket) cells and a second
+    * map-side-combining groupBy folds the d·w-cell sketch — the
+    * shuffle after the pre-aggregate carries one row per DISTINCT
+    * token, and the sketch itself is 1024 longs, broadcastable
+    * anywhere. Reads are a join of the probe tokens' (row, bucket)
+    * pairs against those 1024 cells, min over the d row estimates —
+    * never a rescan of the corpus. Same engine-neutral md5 arithmetic
+    * as [[kmvDistinct]], row index salted into the hash, so the DuckDB
+    * oracle reproduces the sketch cell-for-cell. */
+  val countMinFreq: Q = Q(
+    "sketch_countmin_freq",
+    (s, dir) => {
+      import org.apache.spark.storage.StorageLevel
+      val perTok = table(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy(col("tok")).agg(count(lit(1)).as("n_exact"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cells = (0 until CmRows).map { j =>
+        perTok.select(lit(j).as("row_j"),
+          expr(cmBucketSql("tok", j, ddb = false)).as("bucket"),
+          col("n_exact"))
+      }.reduce(_ unionAll _)
+        .groupBy(col("row_j"), col("bucket"))
+        .agg(sum(col("n_exact")).as("cell_total"))
+      val probes = (0 until CmRows).map { j =>
+        perTok.select(col("tok"), col("n_exact"), lit(j).as("row_j"),
+          expr(cmBucketSql("tok", j, ddb = false)).as("bucket"))
+      }.reduce(_ unionAll _)
+      probes.join(cells, Seq("row_j", "bucket"))
+        .groupBy(col("tok"), col("n_exact"))
+        .agg(min(col("cell_total")).as("n_est"))
+        .orderBy(desc("n_exact"), col("tok"))
+        .limit(20)
+    },
+    Some {
+      def cellsFor(j: Int) =
+        s"""SELECT tok, n_exact, $j AS row_j,
+           |       ${cmBucketSql("tok", j, ddb = true)} AS bucket FROM t""".stripMargin
+      s"""WITH t AS (
+         |  SELECT tok, count(*) AS n_exact
+         |  FROM (SELECT unnest(${TextOracleSql.toks}) AS tok FROM documents)
+         |  WHERE length(tok) > 0
+         |  GROUP BY tok),
+         |fan AS (
+         |${(0 until CmRows).map(cellsFor).mkString("", "\nUNION ALL\n", "")}),
+         |sketch AS (
+         |  SELECT row_j, bucket, CAST(SUM(n_exact) AS BIGINT) AS cell_total
+         |  FROM fan GROUP BY row_j, bucket),
+         |est AS (
+         |  SELECT f.tok, f.n_exact, min(s.cell_total) AS n_est
+         |  FROM fan f JOIN sketch s USING (row_j, bucket)
+         |  GROUP BY f.tok, f.n_exact)
+         |SELECT tok, n_exact, n_est
+         |FROM est
+         |ORDER BY n_exact DESC, tok
+         |LIMIT 20""".stripMargin
+    })
+
+  def all: Seq[Q] = Seq(kmvDistinct, zoneMaps, countMinFreq)
 }

@@ -83,6 +83,25 @@ class JoinSketchTemporalSpec extends SparkSpec {
       s"est=$est exact=$exact")
   }
 
+  test("sketch_countmin_freq: estimates are one-sided and within the additive bound") {
+    val rows = Registry.queries("sketch_countmin_freq")(spark, Sf).collect()
+    assert(rows.length > 0)
+    val totalTokens = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0).count()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("n_est")
+      // CM never underestimates…
+      assert(est >= exact, s"${r.getAs[String]("tok")}: est $est < exact $exact")
+      // …and with d=4 rows the min-estimate's expected excess is
+      // N/w per colliding row; 4×N/256 is a loose deterministic-fixture
+      // ceiling (the probabilistic bound is ~2N/256 at 86% confidence)
+      assert(est - exact <= 4L * totalTokens / 256,
+        s"${r.getAs[String]("tok")}: excess ${est - exact}")
+    }
+  }
+
   test("events_scd2_state: dense versions, chained ranges, collapsed runs") {
     val rows = Registry.queries("events_scd2_state")(spark, Sf)
       .collect()
