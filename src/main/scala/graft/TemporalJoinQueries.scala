@@ -404,6 +404,46 @@ object TemporalJoinQueries {
          |FROM r WHERE rn = 1 AND event_type <> '$MarkerType'
          |ORDER BY user_id""".stripMargin))
 
+  /** The SAME as-of contract as [[asofLastError]], executed by the
+    * native whole-operator plan (graft.plans.AsOfJoin → Strategy →
+    * sorted-merge exec — the top rung of the extension ladder): one
+    * exchange per side, per-partition single-pass merge with one carried
+    * marker row, no union inflation and no window buffer. Shares the
+    * window formulation's oracle verbatim — three formulations (window,
+    * stream GroupState, native plan), one contract. */
+  val asofNative: Q = Q(
+    "events_asof_native",
+    (s, dir) => {
+      val e = Sources.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+      val facts = e.filter(col("event_type") =!= MarkerType)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val marks = e.filter(col("event_type") === MarkerType)
+        .select(col("user_id").as("m_user"), col("ts_us").as("m_ts"),
+          col("event_id").as("m_id"), col("value").as("m_value"))
+        .withColumnRenamed("m_user", "user_id")
+        .withColumnRenamed("m_ts", "ts_us")
+        .withColumnRenamed("m_id", "event_id")
+      // AsOf.join resolves key/time/tie by NAME on each side, so the
+      // marker side temporarily shares the fact side's column names;
+      // the projection below restores the output contract.
+      val j = graft.plans.AsOf.join(facts,
+        marks.select(col("user_id"), col("ts_us"), col("event_id"),
+          col("m_value")),
+        key = "user_id", time = "ts_us", tie = "event_id")
+      val cols = j.toDF(
+        "event_id", "user_id", "ts_us",
+        "m_user", "m_ts_us", "m_event_id", "m_value")
+      cols.select(col("event_id"), col("user_id"), col("ts_us"),
+          col("m_ts_us").as("last_err_us"),
+          col("m_value").as("last_err_value"),
+          (col("ts_us") - col("m_ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+    asofLastError.oracle)
+
   def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
-    asofNextError, scd2State, funnel, cdcMerge)
+    asofNextError, scd2State, funnel, cdcMerge, asofNative)
 }

@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Whole-operator custom plan: a native sorted-merge AS-OF join — the
+  * rung of the extension ladder above scalar expressions (PolyHash et
+  * al.) and aggregates (TopKByScore). Spark has no as-of operator; the
+  * library's default formulation is the union+window trick
+  * (TemporalJoinQueries.asofLastError — compose-built-ins-first), and
+  * THIS node is the engine-level alternative: logical node → Strategy →
+  * BinaryExecNode, registered per-session, produced by [[AsOf.join]].
+  *
+  * Semantics (pinned to match the window formulation exactly): for each
+  * left (fact) row, attach the LAST right (marker) row of the same key
+  * with marker.time <= fact.time — a marker AT the fact's exact time
+  * counts, and equal-time markers resolve to the highest tie-break.
+  * Left rows with no eligible marker emit null right columns (left
+  * outer).
+  *
+  * Scale shape: each side is hash-clustered on its key and sorted by
+  * (key, time, tie) — one exchange per side, same as any sort-merge
+  * join — then each co-partition merges in one pass with O(1) state
+  * (the current carried marker, one row copy). No union row-inflation,
+  * no window buffering, no per-key materialization; skew behaves like
+  * any SMJ partition.
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    leftTie: Expression, rightTie: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt, lb, rb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lb, rb) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    leftTie: Expression, rightTie: Expression) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  /** Both sides cluster on their key — EnsureRequirements co-partitions
+    * them exactly as it would a sort-merge join's children. */
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(Seq(leftKey)),
+      ClusteredDistribution(Seq(rightKey)))
+
+  /** (key, time, tie) ascending on each side: the merge then sees each
+    * key's markers in eligibility order, so "last eligible" is a single
+    * carried row. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending),
+      SortOrder(leftTie, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTie, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyB = BindReferences.bindReference(leftKey, left.output)
+    val lTimeB = BindReferences.bindReference(leftTime, left.output)
+    val rKeyB = BindReferences.bindReference(rightKey, right.output)
+    val rTimeB = BindReferences.bindReference(rightTime, right.output)
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val outAttrs = output
+    val leftAttrs = left.output
+    val rightAttrs = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // the input schema's right side must be nullable: BindReferences
+      // takes nullability from the INPUT attributes, and a non-nullable
+      // bound reference reads the null-marker slots as raw zeros when
+      // the merge emits the null-padded right row
+      val proj = UnsafeProjection.create(outAttrs,
+        leftAttrs ++ rightAttrs.map(_.withNullability(true)))
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rightAttrs.length)
+      // iterator rows are reused by the upstream sorter — anything held
+      // across next() calls is a copy (the lookahead and the marker)
+      var nextR: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var marker: InternalRow = null
+      var markerKey: Any = null
+      lIter.map { l =>
+        val lk = lKeyB.eval(l)
+        val lt = lTimeB.eval(l)
+        // consume right rows up to and including (key == lk, time <= lt);
+        // rows of earlier keys are drained without becoming markers
+        var advancing = true
+        while (advancing && nextR != null) {
+          val rk = rKeyB.eval(nextR)
+          val kc = keyOrd.compare(rk, lk)
+          if (kc < 0) {
+            nextR = if (rIter.hasNext) rIter.next().copy() else null
+          } else if (kc == 0 && timeOrd.compare(rTimeB.eval(nextR), lt) <= 0) {
+            marker = nextR // already a copy
+            markerKey = rk
+            nextR = if (rIter.hasNext) rIter.next().copy() else null
+          } else {
+            advancing = false
+          }
+        }
+        // a marker carried from a previous key is not eligible
+        val eligible =
+          marker != null && keyOrd.compare(markerKey, lk) == 0
+        proj(joined(l, if (eligible) marker else nullRight))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing constructor: `AsOf.join(facts, markers, "user_id", ...)`.
+  * Key/time/tie are column NAMES resolved against each side's analyzed
+  * output, so the logical node is born resolved; the planner strategy
+  * self-registers on the session (idempotent) — works both under
+  * `spark.sql.extensions=graft.plans.GraftExtensions` and on live
+  * sessions (specs, shells). */
+object AsOf {
+  import org.apache.spark.sql.{DataFrame, graftbridge}
+
+  private def attr(plan: LogicalPlan, name: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"AsOf.join: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
+
+  def join(
+      facts: DataFrame, markers: DataFrame,
+      key: String, time: String, tie: String): DataFrame = {
+    val spark = facts.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lPlan = graftbridge.Bridge.logicalPlan(facts)
+    val rPlan = graftbridge.Bridge.logicalPlan(markers)
+    graftbridge.Bridge.dataFrame(spark,
+      AsOfJoin(lPlan, rPlan,
+        attr(lPlan, key), attr(rPlan, key),
+        attr(lPlan, time), attr(rPlan, time),
+        attr(lPlan, tie), attr(rPlan, tie)))
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** graft.plans.AsOfJoin — the native whole-operator as-of join. The
+  * oracle gate already proves events_asof_native == the DuckDB SQL; this
+  * spec pins (1) physical-plan shape, (2) full-set equivalence with the
+  * window formulation, and (3) the pinned tie/carry semantics on
+  * adversarial random inputs across partitionings. */
+class AsOfJoinPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("plan: AsOfJoinExec with one exchange per side; no window, no union") {
+    val p = Registry.queries("events_asof_native")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Union"), p)
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 2, p)
+  }
+
+  test("full event set: native == window formulation, row for row") {
+    val native = Registry.queries("events_asof_native")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val window = Registry.queries("events_asof_lastmark")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(native == window)
+    assert(native.nonEmpty)
+  }
+
+  test("random facts/markers with heavy ties: native == in-memory scan, any partitioning") {
+    val rowGen = for {
+      key <- Gen.choose(0L, 3L)     // few keys → heavy per-key traffic
+      ts <- Gen.choose(0L, 20L)     // tiny ts domain → many exact ties
+      id <- Gen.choose(0L, 1000000L)
+      isMark <- Gen.oneOf(true, false)
+      v <- Gen.choose(0, 1000).map(_ / 7.0)
+    } yield (key, ts, id, isMark, v)
+    val p = Prop.forAll(Gen.listOfN(60, rowGen), Gen.oneOf(1, 3, 7)) {
+      (rows0, nPart) =>
+        // distinct ids so the tie-break is total
+        val rows = rows0.zipWithIndex
+          .map { case ((k, t, _, m, v), i) => (k, t, i.toLong, m, v) }
+        val facts = rows.filter(!_._4)
+          .map { case (k, t, i, _, _) => (i, k, t) }
+          .toDF("event_id", "user_id", "ts_us")
+          .repartition(nPart)
+        val marks = rows.filter(_._4)
+          .map { case (k, t, i, _, v) => (k, t, i, v) }
+          .toDF("user_id", "ts_us", "event_id", "m_value")
+          .repartition(nPart)
+        val got = graft.plans.AsOf
+          .join(facts, marks, key = "user_id", time = "ts_us", tie = "event_id")
+          .toDF("event_id", "user_id", "ts_us",
+            "m_user", "m_ts", "m_id", "m_value")
+          .collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(5)) None else Some((r.getLong(5), r.getDouble(6)))))
+          .toMap
+        val expected = rows.filter(!_._4).map { case (k, t, i, _, _) =>
+          val m = rows.filter(r => r._4 && r._1 == k && r._2 <= t)
+            .sortBy(r => (r._2, r._3)).lastOption
+          i -> m.map(r => (r._3, r._5))
+        }.toMap
+        got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(30)
+        .withInitialSeed(org.scalacheck.rng.Seed(7L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("AsOf.join rejects a missing column by name") {
+    val df = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(df, df, key = "nope", time = "b", tie = "c")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
