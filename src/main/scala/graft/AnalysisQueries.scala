@@ -424,8 +424,47 @@ object AnalysisQueries {
         |FROM p
         |ORDER BY o_orderpriority""".stripMargin))
 
+  /** Explicit GROUPING SETS — the general grouping-lattice operator
+    * that ROLLUP/CUBE are shorthands for, over a set selection NEITHER
+    * can express: ((flag, status), (status), ()) — detail, one chosen
+    * marginal, grand total, skipping the (flag) marginal a rollup would
+    * force. Same one-scan/one-shuffle Expand execution as the rollup.
+    * `grouping()` flags (cast BIGINT on both engines) disambiguate a
+    * real 'ALL' data value from the subtotal sentinel — the
+    * belt-and-braces the coalesce-sentinel queries don't need because
+    * their domains are single-char codes. */
+  val groupingSetsFlagStatus: Q = Q(
+    "olap_grouping_sets",
+    (s, dir) => table(s, dir, "lineitem")
+      .asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping(col("l_returnflag")).cast("bigint").as("g_flag"),
+        grouping(col("l_linestatus")).cast("bigint").as("g_status"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("g_flag"), col("g_status"), col("sum_qty"), col("n"))
+      .orderBy("g_flag", "g_status", "flag", "status"),
+    Some(
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
-    pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare)
+    pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare,
+    groupingSetsFlagStatus)
 }

@@ -32,6 +32,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * (the current carried marker, one row copy). No union row-inflation,
   * no window buffering, no per-key materialization; skew behaves like
   * any SMJ partition.
+  *
+  * AQE note: the exec zips the two children's partitions positionally.
+  * AQE's partition coalescing groups the two ENSURE_REQUIREMENTS
+  * shuffles of a binary node together (verified under AQE-on sessions,
+  * including empty-side and skewed random inputs); if a future rule
+  * ever coalesced them asymmetrically, zipPartitions fails LOUDLY with
+  * a partition-count mismatch — never a silent mis-merge.
   */
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
