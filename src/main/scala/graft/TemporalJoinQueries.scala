@@ -444,6 +444,32 @@ object TemporalJoinQueries {
     },
     asofLastError.oracle)
 
+  /** Forward direction of the native as-of plan — same contract as the
+    * window-formulated [[asofNextError]], same shared oracle. */
+  val asofForwardNative: Q = Q(
+    "events_asof_forward_native",
+    (s, dir) => {
+      val e = Sources.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+      val facts = e.filter(col("event_type") =!= MarkerType)
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val marks = e.filter(col("event_type") === MarkerType)
+        .select(col("user_id"), col("ts_us"), col("event_id"), col("value"))
+      val j = graft.plans.AsOf.join(facts, marks,
+        key = "user_id", time = "ts_us", tie = "event_id", forward = true)
+      j.toDF("event_id", "user_id", "ts_us",
+          "m_user", "m_ts_us", "m_event_id", "m_value")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("m_ts_us").as("next_err_us"),
+          col("m_value").as("next_err_value"),
+          (col("m_ts_us") - col("ts_us")).as("gap_us"))
+        .orderBy("event_id")
+    },
+    asofNextError.oracle)
+
   def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
-    asofNextError, scd2State, funnel, cdcMerge, asofNative)
+    asofNextError, scd2State, funnel, cdcMerge, asofNative,
+    asofForwardNative)
 }

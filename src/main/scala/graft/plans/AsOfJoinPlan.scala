@@ -44,7 +44,8 @@ case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    leftTie: Expression, rightTie: Expression) extends BinaryNode {
+    leftTie: Expression, rightTie: Expression,
+    forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -54,8 +55,8 @@ case class AsOfJoin(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt, lb, rb) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lb, rb) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, lb, rb, fwd) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, lb, rb, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +65,8 @@ case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
-    leftTie: Expression, rightTie: Expression) extends BinaryExecNode {
+    leftTie: Expression, rightTie: Expression,
+    forward: Boolean) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -115,26 +117,50 @@ case class AsOfJoinExec(
       lIter.map { l =>
         val lk = lKeyB.eval(l)
         val lt = lTimeB.eval(l)
-        // consume right rows up to and including (key == lk, time <= lt);
-        // rows of earlier keys are drained without becoming markers
-        var advancing = true
-        while (advancing && nextR != null) {
-          val rk = rKeyB.eval(nextR)
-          val kc = keyOrd.compare(rk, lk)
-          if (kc < 0) {
-            nextR = if (rIter.hasNext) rIter.next().copy() else null
-          } else if (kc == 0 && timeOrd.compare(rTimeB.eval(nextR), lt) <= 0) {
-            marker = nextR // already a copy
-            markerKey = rk
-            nextR = if (rIter.hasNext) rIter.next().copy() else null
-          } else {
-            advancing = false
+        if (forward) {
+          // FORWARD: the match is the FIRST right row with key == lk and
+          // time >= lt. Advance past earlier keys and past same-key rows
+          // strictly BEFORE lt; the lookahead row itself is then the
+          // match (right is (time, tie)-ascending, so it carries the
+          // lowest tie at equal time — the pinned forward tie rule).
+          var advancing = true
+          while (advancing && nextR != null) {
+            val rk = rKeyB.eval(nextR)
+            val kc = keyOrd.compare(rk, lk)
+            if (kc < 0 ||
+              (kc == 0 && timeOrd.compare(rTimeB.eval(nextR), lt) < 0)) {
+              nextR = if (rIter.hasNext) rIter.next().copy() else null
+            } else {
+              advancing = false
+            }
           }
+          val eligible =
+            nextR != null && keyOrd.compare(rKeyB.eval(nextR), lk) == 0
+          proj(joined(l, if (eligible) nextR else nullRight))
+        } else {
+          // BACKWARD: consume right rows up to and including (key == lk,
+          // time <= lt); rows of earlier keys drain without becoming
+          // markers, and the last consumed same-key row is the carried
+          // match (highest (time, tie) ≤ the fact's — the pinned rule).
+          var advancing = true
+          while (advancing && nextR != null) {
+            val rk = rKeyB.eval(nextR)
+            val kc = keyOrd.compare(rk, lk)
+            if (kc < 0) {
+              nextR = if (rIter.hasNext) rIter.next().copy() else null
+            } else if (kc == 0 && timeOrd.compare(rTimeB.eval(nextR), lt) <= 0) {
+              marker = nextR // already a copy
+              markerKey = rk
+              nextR = if (rIter.hasNext) rIter.next().copy() else null
+            } else {
+              advancing = false
+            }
+          }
+          // a marker carried from a previous key is not eligible
+          val eligible =
+            marker != null && keyOrd.compare(markerKey, lk) == 0
+          proj(joined(l, if (eligible) marker else nullRight))
         }
-        // a marker carried from a previous key is not eligible
-        val eligible =
-          marker != null && keyOrd.compare(markerKey, lk) == 0
-        proj(joined(l, if (eligible) marker else nullRight))
       }
     }
   }
@@ -158,19 +184,36 @@ object AsOf {
       throw new IllegalArgumentException(
         s"AsOf.join: no column '$name' in [${plan.output.map(_.name).mkString(", ")}]"))
 
+  /** `forward = false`: last marker at-or-before each fact (ties to the
+    * highest tie-break). `forward = true`: first marker at-or-after
+    * (ties to the lowest) — the two directions of the same merge. */
   def join(
       facts: DataFrame, markers: DataFrame,
-      key: String, time: String, tie: String): DataFrame = {
+      key: String, time: String, tie: String,
+      forward: Boolean = false): DataFrame = {
     val spark = facts.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
     val lPlan = graftbridge.Bridge.logicalPlan(facts)
-    val rPlan = graftbridge.Bridge.logicalPlan(markers)
+    // Self-join hygiene: the node is built POST-analysis, so the
+    // analyzer's DeduplicateRelations never sees it — if both sides
+    // derive from the same base plan they share attribute exprIds, and
+    // the optimizer then rewrites one side out from under this node's
+    // key expressions. Break the collision up front by re-aliasing
+    // every right column (aliases mint fresh exprIds).
+    val rPlan = {
+      val r0 = graftbridge.Bridge.logicalPlan(markers)
+      if (r0.outputSet.intersect(lPlan.outputSet).nonEmpty)
+        graftbridge.Bridge.logicalPlan(
+          markers.select(markers.columns.toIndexedSeq
+            .map(c => markers(c).as(c)): _*))
+      else r0
+    }
     graftbridge.Bridge.dataFrame(spark,
       AsOfJoin(lPlan, rPlan,
         attr(lPlan, key), attr(rPlan, key),
         attr(lPlan, time), attr(rPlan, time),
-        attr(lPlan, tie), attr(rPlan, tie)))
+        attr(lPlan, tie), attr(rPlan, tie), forward))
   }
 }

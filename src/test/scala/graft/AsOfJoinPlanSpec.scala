@@ -73,6 +73,52 @@ class AsOfJoinPlanSpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("forward direction: full set == window formulation; random ties agree with scan") {
+    val native = Registry.queries("events_asof_forward_native")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    val window = Registry.queries("events_asof_forward")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(native == window)
+    assert(native.nonEmpty)
+
+    val rowGen = for {
+      key <- Gen.choose(0L, 3L)
+      ts <- Gen.choose(0L, 20L)
+      isMark <- Gen.oneOf(true, false)
+      v <- Gen.choose(0, 1000).map(_ / 7.0)
+    } yield (key, ts, isMark, v)
+    val p = Prop.forAll(Gen.listOfN(60, rowGen), Gen.oneOf(1, 3, 7)) {
+      (rows0, nPart) =>
+        val rows = rows0.zipWithIndex
+          .map { case ((k, t, m, v), i) => (k, t, i.toLong, m, v) }
+        val facts = rows.filter(!_._4)
+          .map { case (k, t, i, _, _) => (i, k, t) }
+          .toDF("event_id", "user_id", "ts_us").repartition(nPart)
+        val marks = rows.filter(_._4)
+          .map { case (k, t, i, _, v) => (k, t, i, v) }
+          .toDF("user_id", "ts_us", "event_id", "m_value").repartition(nPart)
+        val got = graft.plans.AsOf
+          .join(facts, marks, "user_id", "ts_us", "event_id", forward = true)
+          .toDF("event_id", "user_id", "ts_us",
+            "m_user", "m_ts", "m_id", "m_value")
+          .collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(5)) None else Some((r.getLong(5), r.getDouble(6)))))
+          .toMap
+        val expected = rows.filter(!_._4).map { case (k, t, i, _, _) =>
+          val m = rows.filter(r => r._4 && r._1 == k && r._2 >= t)
+            .sortBy(r => (r._2, r._3)).headOption
+          i -> m.map(r => (r._3, r._5))
+        }.toMap
+        got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(30)
+        .withInitialSeed(org.scalacheck.rng.Seed(13L)), p)
+    assert(res.passed, res.status.toString)
+  }
+
   test("AsOf.join rejects a missing column by name") {
     val df = Seq((1L, 2L, 3L)).toDF("a", "b", "c")
     val e = intercept[IllegalArgumentException] {
