@@ -167,5 +167,50 @@ object MultimodalQueries {
          |FROM frames
          |ORDER BY media_id, frame_idx""".stripMargin))
 
-  def all: Seq[Q] = Seq(catalog, decodeFeatures, resize, frameSample)
+  /** Exact media dedup by content hash — the standard first pass of an
+    * image/audio dedup pipeline (content-addressable storage shape):
+    * hash the PAYLOAD bytes, group on the 128-bit digest, keep the
+    * smallest media_id. The shuffle carries (digest, id) — never the
+    * payloads — so 100 TB of media moves 24 bytes per object. Re-crawl
+    * duplicates are planted (every 7th payload re-ingested under a new
+    * id, same bytes) so the group structure is non-trivial at every
+    * scale factor. The NEAR-dup continuation (perceptual hash + Hamming
+    * bucket join) is the dedup_simhash/embedding-cosine pattern applied
+    * to decoded features — the decode seam is mm_decode_features's
+    * per-partition stage. Oracle hashes the same bytes (payload == text
+    * bytes in this fixture). */
+  val dedupContent: Q = Q(
+    "mm_dedup_content",
+    (s, dir) => {
+      val m = media(s, dir).select(col("media_id"), col("payload"))
+      val withDups = m.unionAll(
+        m.filter(col("media_id") % 7 === 0)
+          .select((col("media_id") + 1000000).as("media_id"), col("payload")))
+      withDups
+        .groupBy(md5(col("payload")).as("content_hash"))
+        .agg(count(lit(1)).as("n_copies"),
+          min(col("media_id")).as("keeper_id"),
+          // joined string, not an array: the compare layer sorts rows by
+          // every column and array cells don't sort
+          concat_ws(",", sort_array(collect_list(col("media_id"))))
+            .as("members"))
+        .filter(col("n_copies") > 1)
+        .orderBy("keeper_id")
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT doc_id AS media_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0),
+        |g AS (
+        |  SELECT md5(text) AS content_hash, count(*) AS n_copies,
+        |         min(media_id) AS keeper_id,
+        |         array_to_string(list_sort(array_agg(media_id)), ',') AS members
+        |  FROM m GROUP BY 1)
+        |SELECT content_hash, n_copies, keeper_id, members
+        |FROM g WHERE n_copies > 1
+        |ORDER BY keeper_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(catalog, decodeFeatures, resize, frameSample,
+    dedupContent)
 }
