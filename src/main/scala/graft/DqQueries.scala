@@ -152,5 +152,70 @@ object DqQueries {
         |FROM o FULL OUTER JOIN la ON o.o_orderkey = la.l_orderkey
         |ORDER BY orderkey""".stripMargin))
 
-  def all: Seq[Q] = Seq(profile, histogram, reconFullOuter)
+  /** IQR outlier screen per event type: exact rank-based quartiles
+    * (q1 at rank (n+1)//4, q3 at rank (3(n+1))//4 — pinned integer
+    * ranks, fully tie-broken, same no-interpolation discipline as the
+    * text quantile reports), Tukey fences at 1.5×IQR, and the count of
+    * rows outside each fence. Two passes sharing one shuffle key: the
+    * rank window partitions on event_type, the 5-row quartile table
+    * broadcasts back onto the same partitioning for the fence counts —
+    * the value stream never shuffles twice. Fence arithmetic is plain
+    * double (*, -, + of 2-decimal sources) — IEEE-exact identically on
+    * both engines. */
+  val outlierIqr: Q = Q(
+    "dq_outlier_iqr",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = graft.etl.Sources.events(s, dir)
+        .select(col("event_type"), col("event_id"), col("value"))
+      val byType = Window.partitionBy(col("event_type"))
+      val ranked = e
+        .withColumn("rn",
+          row_number().over(byType.orderBy(col("value"), col("event_id"))))
+        .withColumn("n", count(lit(1)).over(byType))
+      val quart = ranked.groupBy(col("event_type"))
+        .agg(
+          max(col("n")).as("n_rows"),
+          min(when(col("rn") === ((col("n") + 1) / 4).cast("long"), col("value")))
+            .as("q1"),
+          min(when(col("rn") === ((col("n") + 1) * 3 / 4).cast("long"), col("value")))
+            .as("q3"))
+        .withColumn("lo_fence", col("q1") - (col("q3") - col("q1")) * 1.5)
+        .withColumn("hi_fence", col("q3") + (col("q3") - col("q1")) * 1.5)
+      e.join(broadcast(quart), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          max(col("n_rows")).as("n_rows"),
+          max(col("q1")).as("q1"), max(col("q3")).as("q3"),
+          count(when(col("value") < col("lo_fence"), 1)).as("n_low_outliers"),
+          count(when(col("value") > col("hi_fence"), 1)).as("n_high_outliers"))
+        .orderBy("event_type")
+    },
+    Some(
+      """WITH e AS (SELECT event_type, event_id, value FROM events),
+        |r AS (
+        |  SELECT event_type, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM e),
+        |q AS (
+        |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_rows,
+        |         min(CASE WHEN rn = (n + 1) // 4 THEN value END) AS q1,
+        |         min(CASE WHEN rn = (n + 1) * 3 // 4 THEN value END) AS q3
+        |  FROM r GROUP BY event_type),
+        |f AS (
+        |  SELECT event_type, n_rows, q1, q3,
+        |         q1 - (q3 - q1) * 1.5 AS lo_fence,
+        |         q3 + (q3 - q1) * 1.5 AS hi_fence
+        |  FROM q)
+        |SELECT e.event_type, max(f.n_rows) AS n_rows,
+        |       max(f.q1) AS q1, max(f.q3) AS q3,
+        |       count(CASE WHEN e.value < f.lo_fence THEN 1 END) AS n_low_outliers,
+        |       count(CASE WHEN e.value > f.hi_fence THEN 1 END) AS n_high_outliers
+        |FROM e JOIN f USING (event_type)
+        |GROUP BY e.event_type
+        |ORDER BY event_type""".stripMargin))
+
+  def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr)
 }
