@@ -469,7 +469,64 @@ object TemporalJoinQueries {
     },
     asofNextError.oracle)
 
+  /** Last-touch attribution: each purchase credits the user's most
+    * recent preceding NON-purchase event (its type is the "channel");
+    * purchases with no preceding touch credit 'direct'. Built ON the
+    * native as-of plan — the second real consumer of [[graft.plans
+    * .AsOf]], this time purchases⋈touches instead of facts⋈errors —
+    * then one aggregate over the (tiny) channel domain. A purchase AT
+    * the exact timestamp of a touch credits that touch (at-or-before,
+    * the operator's pinned rule). Money sums ride DECIMAL. */
+  val attribution: Q = Q(
+    "events_attribution_last_touch",
+    (s, dir) => {
+      val e = Sources.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_type"), col("value"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("ts_us"), col("event_id"),
+          col("event_type"))
+      graft.plans.AsOf.join(purchases, touches,
+          key = "user_id", time = "ts_us", tie = "event_id")
+        .toDF("event_id", "user_id", "ts_us", "value",
+          "t_user", "t_ts_us", "t_event_id", "t_type")
+        .select(coalesce(col("t_type"), lit("direct")).as("channel"),
+          col("value"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("total_value"))
+        .orderBy("channel")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |  FROM events),
+        |u AS (
+        |  SELECT event_id, user_id, ts_us, 0 AS side,
+        |         event_type AS t_type, CAST(NULL AS DOUBLE) AS p_value
+        |  FROM e WHERE event_type <> 'purchase'
+        |  UNION ALL
+        |  SELECT event_id, user_id, ts_us, 1,
+        |         CAST(NULL AS VARCHAR), value
+        |  FROM e WHERE event_type = 'purchase'),
+        |w AS (
+        |  SELECT side, p_value,
+        |         last_value(t_type IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us, side, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS channel
+        |  FROM u)
+        |SELECT COALESCE(channel, 'direct') AS channel,
+        |       count(*) AS n_purchases,
+        |       CAST(SUM(CAST(p_value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM w WHERE side = 1
+        |GROUP BY 1
+        |ORDER BY channel""".stripMargin))
+
   def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
     asofNextError, scd2State, funnel, cdcMerge, asofNative,
-    asofForwardNative)
+    asofForwardNative, attribution)
 }
