@@ -880,9 +880,62 @@ object DedupQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM fps f WHERE f.fp = b.fp)
         |ORDER BY b.doc_id""".stripMargin))
 
+  // ------------------------------------------------- graph analytics
+
+  /** Triangle enumeration over the near-dup pair graph — the graph
+    * statistic past connected components (a triangle means three docs
+    * pairwise-similar: a tight dup cluster, vs the loose chains CC also
+    * merges). Degree-ordered node-iterator (the MapReduce-era standard):
+    * orient every edge from its lower-(degree, id) endpoint, build
+    * wedges by self-joining oriented edges on the pivot, close each
+    * wedge against the canonical edge set. The orientation bounds any
+    * node's out-degree by O(√m) on any graph — the naive
+    * wedge-from-every-node join explodes on hubs (a node of degree d
+    * contributes d² wedges; orientation caps it), which is the entire
+    * reason this formulation survives power-law graphs at scale. The
+    * oracle is the naive 3-way pair join — crossing formulations again.
+    * Output: canonical (x < y < z) triples. */
+  val triangles: Q = Q(
+    "graph_triangles",
+    (s, dir) => {
+      val e = ngramPairs(s, dir).select(col("i"), col("j"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = e.select(explode(array(col("i"), col("j"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val oriented = e
+        .join(deg.toDF("i", "di"), Seq("i"))
+        .join(deg.toDF("j", "dj"), Seq("j"))
+        .select(
+          when(col("di") < col("dj") ||
+            (col("di") === col("dj") && col("i") < col("j")), col("i"))
+            .otherwise(col("j")).as("src"),
+          when(col("di") < col("dj") ||
+            (col("di") === col("dj") && col("i") < col("j")), col("j"))
+            .otherwise(col("i")).as("dst"))
+      val wedges = oriented.toDF("a", "b")
+        .join(oriented.toDF("a", "c"), Seq("a"))
+        .filter(col("b") < col("c"))
+      wedges.join(e.toDF("b", "c"), Seq("b", "c"))
+        .select(
+          least(col("a"), col("b"), col("c")).as("x"),
+          (col("a") + col("b") + col("c") -
+            least(col("a"), col("b"), col("c")) -
+            greatest(col("a"), col("b"), col("c"))).as("y"),
+          greatest(col("a"), col("b"), col("c")).as("z"))
+        .orderBy("x", "y", "z")
+    },
+    Some(
+      s"""WITH $ddbCorpus,
+         |$ddbNgramPairs
+         |SELECT a.i AS x, a.j AS y, b.j AS z
+         |FROM pairs a
+         |JOIN pairs b ON b.i = a.j
+         |JOIN pairs c ON c.i = a.i AND c.j = b.j
+         |ORDER BY x, y, z""".stripMargin))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, clusters, clustersStar, keepBest, minhashLsh,
     simhashSketches,
     simhashPairs, embeddingNearDup, shingleDfCapReport, decontaminate,
-    contamFraction, passages, incremental)
+    contamFraction, passages, incremental, triangles)
 }
