@@ -933,9 +933,86 @@ object DedupQueries {
          |JOIN pairs c ON c.i = a.i AND c.j = b.j
          |ORDER BY x, y, z""".stripMargin))
 
+  /** k for the core decomposition: the 2-core strips pendant chains and
+    * isolated edges, keeping only cyclically-connected dup structure. */
+  private val CoreK = 2
+
+  /** Oracle unroll depth. Peeling is monotone — once the fixpoint is
+    * reached every further stage is a no-op — so an unroll ≥ the
+    * convergence round count is EXACTLY the fixpoint; the Spark side
+    * asserts it converged within the same bound, so a fixture that
+    * needed more rounds fails loudly there instead of silently
+    * diverging from the oracle. */
+  private val CoreRounds = 12
+
+  /** k-core decomposition of the near-dup pair graph: iteratively peel
+    * nodes of degree < k until fixpoint; emit surviving nodes with
+    * their in-core degree. The dedup reading: 2-core members sit in
+    * cyclic (mutually-corroborated) similarity structure — chain-only
+    * links that CC would still merge peel away, a precision filter on
+    * cluster membership. Each round is one degree aggregate + one
+    * semi-join — all shuffles on the node id; rounds needed = the
+    * peeling depth (≤ graph diameter, 2-3 on dup-cluster graphs). Same
+    * driver-loop discipline as k-means/CC: per-round persist + lineage
+    * cut via RDD rebase is unnecessary here because the loop rebuilds
+    * from the persisted edge set each round (plan depth stays linear
+    * in ONE round, not the round count). */
+  val kcore: Q = Q(
+    "graph_kcore",
+    (s, dir) => {
+      var edges = ngramPairs(s, dir).select(col("i"), col("j"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var nEdges = edges.count()
+      var converged = nEdges == 0
+      var rounds = 0
+      while (!converged && rounds < CoreRounds) {
+        val deg = edges.select(explode(array(col("i"), col("j"))).as("v"))
+          .groupBy(col("v")).agg(count(lit(1)).as("d"))
+        val alive = deg.filter(col("d") >= CoreK).select(col("v"))
+        val next = edges
+          .join(alive.toDF("i"), Seq("i"), "left_semi")
+          .join(alive.toDF("j"), Seq("j"), "left_semi")
+          .select(col("i"), col("j"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val n = next.count()
+        converged = n == nEdges
+        edges.unpersist()
+        edges = next
+        nEdges = n
+        rounds += 1
+      }
+      require(converged, s"graph_kcore: no fixpoint in $rounds rounds")
+      edges.select(explode(array(col("i"), col("j"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))
+        .orderBy("doc_id")
+    },
+    Some {
+      // MATERIALIZED stages: DuckDB inlines plain CTEs at every
+      // reference, and each stage references its predecessor ~3× — an
+      // unmaterialized unroll re-expands the whole upstream tree
+      // 3^rounds times (observed as a file-handle explosion on the
+      // parquet scan)
+      val stages = (1 to CoreRounds).map { r =>
+        s"""d$r AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+           |  SELECT i AS v FROM e${r - 1} UNION ALL SELECT j FROM e${r - 1}) GROUP BY v),
+           |e$r AS MATERIALIZED (
+           |  SELECT i, j FROM e${r - 1}
+           |  JOIN d$r a ON a.v = i AND a.c >= $CoreK
+           |  JOIN d$r b ON b.v = j AND b.c >= $CoreK)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ddbCorpus,
+         |$ddbNgramPairs,
+         |e0 AS MATERIALIZED (SELECT i, j FROM pairs),
+         |$stages
+         |SELECT v AS doc_id, count(*) AS core_deg FROM (
+         |  SELECT i AS v FROM e$CoreRounds UNION ALL SELECT j FROM e$CoreRounds)
+         |GROUP BY v
+         |ORDER BY doc_id""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, clusters, clustersStar, keepBest, minhashLsh,
     simhashSketches,
     simhashPairs, embeddingNearDup, shingleDfCapReport, decontaminate,
-    contamFraction, passages, incremental, triangles)
+    contamFraction, passages, incremental, triangles, kcore)
 }
