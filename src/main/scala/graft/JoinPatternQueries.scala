@@ -135,5 +135,49 @@ object JoinPatternQueries {
         |FROM r WHERE rk <= 3
         |ORDER BY p_brand, rk""".stripMargin))
 
-  def all: Seq[Q] = Seq(saltedSkewJoin, fuzzyNamePairs, topkPartsPerBrand)
+  /** Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): the SQL
+    * equality that matches NULL to NULL — the semantics a plain `=`
+    * join silently drops rows under. Fixture: a nullable segment key
+    * (every 10th user's segment is unknown → NULL), joined null-safely
+    * to the distinct segment table built from the same rows, so the
+    * NULL segment becomes a first-class group instead of vanishing.
+    * Spark plans `<=>` as a hash join on a null-wrapped key (EqualNullSafe
+    * is still an equi-key — no nested loop); counts per segment prove
+    * the NULL row survived. */
+  val nullSafeJoin: Q = Q(
+    "join_null_safe",
+    (s, dir) => {
+      val e = graft.etl.Sources.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          when(col("user_id") % 10 === 0, lit(null).cast("long"))
+            .otherwise(col("user_id") % 10).as("segment"))
+      val dim = e.select(col("segment")).distinct()
+        .select(col("segment").as("d_segment"),
+          coalesce(concat(lit("seg_"), col("segment").cast("string")),
+            lit("seg_unknown")).as("segment_label"))
+      e.join(dim, col("segment") <=> col("d_segment"))
+        .groupBy(col("segment_label"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("segment_label")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN user_id % 10 = 0 THEN NULL
+        |              ELSE user_id % 10 END AS segment
+        |  FROM events),
+        |dim AS (
+        |  SELECT DISTINCT segment AS d_segment,
+        |         COALESCE('seg_' || CAST(segment AS VARCHAR), 'seg_unknown')
+        |           AS segment_label
+        |  FROM e)
+        |SELECT segment_label, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM e JOIN dim ON e.segment IS NOT DISTINCT FROM dim.d_segment
+        |GROUP BY segment_label
+        |ORDER BY segment_label""".stripMargin))
+
+  def all: Seq[Q] = Seq(saltedSkewJoin, fuzzyNamePairs, topkPartsPerBrand,
+    nullSafeJoin)
 }

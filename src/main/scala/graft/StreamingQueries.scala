@@ -101,5 +101,46 @@ object StreamingQueries {
         |SELECT DISTINCT event_id, ts_us, event_type, value FROM u
         |ORDER BY event_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(windowedCounts, sessions, sessionsNative, dedupIngest)
+  /** Windowed trending top-k: per 6-hour tumbling window, the 2 most
+    * frequent event types — the live-dashboard "trending" shape. Two
+    * aggregates share the window key (counts then rank-within-window);
+    * the rank window sees one row per (window, type), never the events.
+    * Under readStream this is windowedCounts + the same rank in a
+    * foreachBatch/complete sink; the batch face is what the oracle can
+    * gate. Fully tie-broken (count DESC, type ASC). */
+  val trending: Q = Q(
+    "stream_trending",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("window_start"))
+        .orderBy(desc("n"), col("event_type"))
+      Sources.events(s, dir)
+        .groupBy(
+          window(col("ts"), "6 hours").getField("start").as("window_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 2)
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+            .as("window_start"),
+          col("event_type"), col("n"), col("rk"))
+        .orderBy("window_start", "rk")
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+        |           AS window_start,
+        |         event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT window_start, event_type, n,
+        |         row_number() OVER (PARTITION BY window_start
+        |                            ORDER BY n DESC, event_type) AS rk
+        |  FROM c)
+        |SELECT window_start, event_type, n, rk
+        |FROM r WHERE rk <= 2
+        |ORDER BY window_start, rk""".stripMargin))
+
+  def all: Seq[Q] = Seq(windowedCounts, sessions, sessionsNative, dedupIngest,
+    trending)
 }
