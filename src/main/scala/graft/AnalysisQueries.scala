@@ -462,9 +462,60 @@ object AnalysisQueries {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
         |ORDER BY g_flag, g_status, flag, status""".stripMargin))
 
+  /** TPC-H Q5 shape (local-supplier volume): the 6-way star-snowflake
+    * join — lineitem⋈orders⋈customer⋈supplier⋈nation⋈region with the
+    * "local" predicate (customer and supplier share a nation), revenue
+    * per nation in one region. The declarative payoff this engine bets
+    * on: Catalyst broadcast-plans every dimension (region→nation 1-row/
+    * 25-row broadcasts prune BEFORE the fact scan joins; customer/
+    * supplier broadcast under AQE at this scale, shuffle-join above
+    * it), picks the join order, and pushes the region filter through
+    * the snowflake — none of it hand-scheduled. DECIMAL revenue, total
+    * ORDER BY. */
+  val q5LocalSupplierVolume: Q = Q(
+    "tpch_q5_region_volume",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = table(s, dir, "nation")
+      val reg = table(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("n_name"))
+    },
+    Some(
+      """SELECT n_name, count(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
     pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare,
-    groupingSetsFlagStatus)
+    groupingSetsFlagStatus, q5LocalSupplierVolume)
 }
