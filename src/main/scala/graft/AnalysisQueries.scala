@@ -513,9 +513,54 @@ object AnalysisQueries {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin))
 
+  /** TPC-H Q3 shape (shipping priority): revenue of orders in one
+    * market segment shipped after they were ordered — top 10 by
+    * revenue. The selective predicates (segment on the dim, ship-after-
+    * order on the fact crossing the join) plus TakeOrdered over the
+    * aggregate: Catalyst pushes the segment filter into the customer
+    * scan, the date comparison runs post-join (it crosses sides), and
+    * the top-10 is TakeOrderedAndProject — no global sort. Ties fully
+    * broken (revenue DESC, orderkey ASC). */
+  val q3ShippingPriority: Q = Q(
+    "tpch_q3_shipping_priority",
+    (s, dir) => {
+      val cust = table(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("l_shipdate") > col("o_orderdate"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), col("o_orderkey"))
+        .limit(10)
+    },
+    Some(
+      """SELECT o_orderkey, o_orderpriority,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND l_shipdate > o_orderdate
+        |GROUP BY o_orderkey, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
     pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare,
-    groupingSetsFlagStatus, q5LocalSupplierVolume)
+    groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority)
 }
