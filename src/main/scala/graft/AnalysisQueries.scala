@@ -558,9 +558,60 @@ object AnalysisQueries {
         |ORDER BY revenue DESC, o_orderkey
         |LIMIT 10""".stripMargin))
 
+  /** TPC-H Q10 shape (returned-item reporting): the 20 customers whose
+    * returned lineitems cost the most revenue. Selective fact filter
+    * (returnflag = 'R') pushed into the parquet scan, customer⋈nation
+    * broadcast onto the aggregated fact, top-20 as TakeOrdered. The
+    * aggregate keys on the customer BEFORE the dim join — the shuffle
+    * carries one row per customer, and the name/nation attach to the
+    * 20-row result, not the fact table. */
+  val q10ReturnedItems: Q = Q(
+    "tpch_q10_returned_items",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = table(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val lost = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_returned_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("lost_revenue"))
+      lost
+        .join(broadcast(table(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(table(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("n_returned_lines"), col("lost_revenue"))
+        .orderBy(desc("lost_revenue"), col("c_custkey"))
+        .limit(20)
+    },
+    Some(
+      """WITH lost AS (
+        |  SELECT o_custkey, count(*) AS n_returned_lines,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |              AS DOUBLE) AS lost_revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, n_name, n_returned_lines, lost_revenue
+        |FROM lost
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY lost_revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
     pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare,
-    groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority)
+    groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
+    q10ReturnedItems)
 }

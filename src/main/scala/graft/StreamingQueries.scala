@@ -141,6 +141,78 @@ object StreamingQueries {
         |FROM r WHERE rk <= 2
         |ORDER BY window_start, rk""".stripMargin))
 
+  /** Session entry/exit analysis: per gap-session, the FIRST and LAST
+    * event types plus duration — the "landing/exit page" shape of
+    * product analytics. Session ids come from the same lag+running-sum
+    * break logic as [[sessions]] (one per-user sorted window); entry
+    * and exit are min/max-of-struct argmaxes over (ts, event_id) — the
+    * partial-aggregating pattern, never a per-session sort or collect.
+    * Tie rule pinned by event_id inside the struct. */
+  val sessionEntryExit: Q = Q(
+    "stream_session_entry_exit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Sources.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_type"))
+        .withColumn("brk",
+          when(lag(col("ts_us"), 1).over(byUser).isNull ||
+            col("ts_us") - lag(col("ts_us"), 1).over(byUser) >
+              EventStream.SessionGapUs, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("brk")).over(run))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(
+          min(struct(col("ts_us"), col("event_id"), col("event_type"))).as("en"),
+          max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("ex"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("sid"),
+          col("en.ts_us").as("session_start_us"),
+          col("en.event_type").as("entry_type"),
+          col("ex.event_type").as("exit_type"),
+          (col("ex.ts_us") - col("en.ts_us")).as("duration_us"),
+          col("n_events"))
+        .orderBy("user_id", "sid")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+         |  FROM events),
+         |o AS (
+         |  SELECT user_id, event_id, ts_us, event_type,
+         |         CASE WHEN lag(ts_us) OVER w IS NULL
+         |                OR ts_us - lag(ts_us) OVER w > ${EventStream.SessionGapUs}
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM e
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |g AS (
+         |  SELECT user_id, event_id, ts_us, event_type,
+         |         CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+         |  FROM o),
+         |r AS (
+         |  SELECT user_id, sid, ts_us, event_type,
+         |         row_number() OVER (PARTITION BY user_id, sid
+         |                            ORDER BY ts_us, event_id) AS rn_a,
+         |         row_number() OVER (PARTITION BY user_id, sid
+         |                            ORDER BY ts_us DESC, event_id DESC) AS rn_d,
+         |         count(*) OVER (PARTITION BY user_id, sid) AS n_events,
+         |         min(ts_us) OVER (PARTITION BY user_id, sid) AS session_start_us,
+         |         max(ts_us) OVER (PARTITION BY user_id, sid) AS session_end_us
+         |  FROM g)
+         |SELECT user_id, sid, session_start_us,
+         |       min(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+         |       min(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+         |       max(session_end_us) - max(session_start_us) AS duration_us,
+         |       max(n_events) AS n_events
+         |FROM r
+         |GROUP BY user_id, sid, session_start_us
+         |ORDER BY user_id, sid""".stripMargin))
+
   def all: Seq[Q] = Seq(windowedCounts, sessions, sessionsNative, dedupIngest,
-    trending)
+    trending, sessionEntryExit)
 }
