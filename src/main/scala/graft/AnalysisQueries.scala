@@ -608,10 +608,113 @@ object AnalysisQueries {
         |ORDER BY lost_revenue DESC, c_custkey
         |LIMIT 20""".stripMargin))
 
+  /** TPC-H Q8 shape (market share): one supplier-nation's share of a
+    * region's revenue, per order year — the conditional-fraction
+    * aggregation (sum-if / sum-all in ONE pass; two scans would read
+    * the joined fact twice). Numerator and denominator are both exact
+    * DECIMAL sums; the share is a single double division. */
+  val q8MarketShare: Q = Q(
+    "tpch_q8_market_share",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), year(col("o_orderdate")).as("o_year"))
+      val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val natC = table(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))
+      val reg = table(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val supp = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val natS = table(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(BigDecimal(1)).cast("decimal(18,2)") -
+          col("l_discount").cast("decimal(18,2)"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+        .groupBy(col("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "GERMANY", rev)
+            .otherwise(lit(BigDecimal(0)).cast("decimal(18,2)")))
+            .cast("double").as("nation_rev"),
+          sum(rev).cast("double").as("total_rev"))
+        .select(col("o_year"), col("nation_rev"), col("total_rev"),
+          (col("nation_rev") / col("total_rev")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    Some(
+      """SELECT year(o_orderdate) AS o_year,
+        |       CAST(SUM(CASE WHEN sn.n_name = 'GERMANY'
+        |                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS nation_rev,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS total_rev,
+        |       CAST(SUM(CASE WHEN sn.n_name = 'GERMANY'
+        |                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                          (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |         / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |                AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE r_name = 'EUROPE'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin))
+
+  /** TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    * quantity is below 20% of their part's average — the per-group
+    * threshold filter. The per-part average joins BACK onto the fact
+    * (agg-then-join, the Q10 discipline): the threshold table is one
+    * row per part and broadcasts; a window-avg formulation would
+    * shuffle every lineitem instead. The average is an exact DECIMAL
+    * sum over a BIGINT count, divided once in DOUBLE; the 0.2×
+    * threshold compare is IEEE-exact on both engines. */
+  val q17SmallQuantity: Q = Q(
+    "tpch_q17_small_quantity",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val avgQ = li.groupBy(col("l_partkey"))
+        .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_qty"))
+      li.join(broadcast(avgQ.toDF("p_key", "avg_qty")),
+          col("l_partkey") === col("p_key"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.2)
+        .agg(
+          count(lit(1)).as("n_small_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("small_revenue"))
+        .select(col("n_small_lines"), col("small_revenue"))
+    },
+    Some(
+      """WITH a AS (
+        |  SELECT l_partkey AS p_key,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS avg_qty
+        |  FROM lineitem GROUP BY l_partkey)
+        |SELECT count(*) AS n_small_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS small_revenue
+        |FROM lineitem JOIN a ON l_partkey = p_key
+        |WHERE l_quantity < avg_qty * 0.2""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
     pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare,
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
-    q10ReturnedItems)
+    q10ReturnedItems, q8MarketShare, q17SmallQuantity)
 }
