@@ -711,10 +711,44 @@ object AnalysisQueries {
         |FROM lineitem JOIN a ON l_partkey = p_key
         |WHERE l_quantity < avg_qty * 0.2""".stripMargin))
 
+  /** TPC-H Q4 shape (order-priority checking): orders with at least one
+    * line shipped more than 60 days after the order date, counted per
+    * priority — the correlated-EXISTS semi-join. LEFT SEMI with the
+    * cross-side date predicate in the join condition: each order emits
+    * at most once no matter how many late lines it has (an inner join
+    * + distinct would shuffle the multiplicity first), and the fact
+    * side carries only (orderkey, shipdate). */
+  val q4OrderPriority: Q = Q(
+    "tpch_q4_order_priority",
+    (s, dir) => {
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate").cast("date") >
+              date_add(col("o_orderdate").cast("date"), 60),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_late_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |    AND CAST(l.l_shipdate AS DATE) >
+        |        CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
     pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare,
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
-    q10ReturnedItems, q8MarketShare, q17SmallQuantity)
+    q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority)
 }
