@@ -745,10 +745,60 @@ object AnalysisQueries {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin))
 
+  /** Period-over-period comparison (YoY): each month's revenue against
+    * the SAME month one year earlier — lag(12) over the month-indexed
+    * series would be wrong on gap months; the join is on the explicit
+    * (year−1, month) key instead, so a missing prior month yields NULL
+    *→ 0-filled flag, never a mis-aligned lag. The monthly pre-aggregate
+    * is the only pass over orders; the self-join runs on the ~tens-of-
+    * rows month table. Delta is exact DECIMAL; pct is one double
+    * division guarded by the prior-month presence flag. */
+  val trendYoy: Q = Q(
+    "trend_yoy",
+    (s, dir) => {
+      val monthly = table(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("anio"),
+          month(col("o_orderdate")).as("mes"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
+      val prior = monthly.select((col("anio") + 1).as("anio"), col("mes"),
+        col("rev_dec").as("prior_dec"))
+      monthly.join(prior, Seq("anio", "mes"), "left")
+        .select(col("anio"), col("mes"),
+          col("rev_dec").cast("double").as("revenue"),
+          coalesce(col("prior_dec"), lit(BigDecimal(0)).cast("decimal(18,2)"))
+            .cast("double").as("prior_revenue"),
+          col("prior_dec").isNotNull.as("has_prior"),
+          (col("rev_dec") - coalesce(col("prior_dec"),
+            lit(BigDecimal(0)).cast("decimal(18,2)")))
+            .cast("double").as("delta"),
+          when(col("prior_dec").isNotNull,
+            col("rev_dec").cast("double") / col("prior_dec").cast("double") - 1.0)
+            .as("pct_change"))
+        .orderBy("anio", "mes")
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT year(o_orderdate) AS anio, month(o_orderdate) AS mes,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT m.anio, m.mes,
+        |       CAST(m.rev_dec AS DOUBLE) AS revenue,
+        |       CAST(COALESCE(p.rev_dec, CAST(0 AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS prior_revenue,
+        |       p.rev_dec IS NOT NULL AS has_prior,
+        |       CAST(m.rev_dec - COALESCE(p.rev_dec, CAST(0 AS DECIMAL(18,2)))
+        |            AS DOUBLE) AS delta,
+        |       CASE WHEN p.rev_dec IS NOT NULL
+        |            THEN CAST(m.rev_dec AS DOUBLE) / CAST(p.rev_dec AS DOUBLE) - 1.0
+        |       END AS pct_change
+        |FROM m LEFT JOIN m p ON p.anio = m.anio - 1 AND p.mes = m.mes
+        |ORDER BY m.anio, m.mes""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
     pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare,
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
-    q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority)
+    q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
+    trendYoy)
 }
