@@ -213,6 +213,41 @@ object StreamingQueries {
          |GROUP BY user_id, sid, session_start_us
          |ORDER BY user_id, sid""".stripMargin))
 
+  /** Windowed unique-user counts: distinct users per 6-hour window, as
+    * a TWO-LEVEL aggregate — (window, user) pre-aggregate with map-side
+    * combine, then a count per window. A direct windowed
+    * countDistinct(user) plans an Expand over every event (the
+    * dq_profile lesson on a windowed shape); this form's shuffle
+    * carries one row per (window, user) pair. Streaming twin: the same
+    * two-level shape under a watermark, or approx_count_distinct for
+    * mergeable state (oracle would drop to rows-only — HLLs aren't
+    * bit-compatible across engines; exact here so the gate holds). */
+  val windowUniqueUsers: Q = Q(
+    "stream_window_unique_users",
+    (s, dir) => Sources.events(s, dir)
+      .groupBy(
+        window(col("ts"), "6 hours").getField("start").as("window_start"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("window_start"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n")).as("n_events"))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("n_users"), col("n_events"))
+      .orderBy("window_start"),
+    Some(
+      """WITH p AS (
+        |  SELECT strftime(time_bucket(INTERVAL 6 HOUR, ts), '%Y-%m-%d %H:%M:%S')
+        |           AS window_start,
+        |         user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, count(*) AS n_users,
+        |       CAST(SUM(n) AS BIGINT) AS n_events
+        |FROM p
+        |GROUP BY window_start
+        |ORDER BY window_start""".stripMargin))
+
   def all: Seq[Q] = Seq(windowedCounts, sessions, sessionsNative, dedupIngest,
-    trending, sessionEntryExit)
+    trending, sessionEntryExit, windowUniqueUsers)
 }
