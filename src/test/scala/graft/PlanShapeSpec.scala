@@ -109,4 +109,15 @@ class PlanShapeSpec extends SparkSpec {
     val p = plan("sketch_kmv_distinct")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("quality ntile: every window is partitioned — the corpus never moves to one partition") {
+    import org.apache.spark.sql.execution.window.WindowExecBase
+    val sp = Registry.queries("text_quality_ntile")(spark, Sf)
+      .queryExecution.sparkPlan
+    val wins = sp.collect { case w: WindowExecBase => w }
+    // the cumulative-histogram and boundary-bin row_number windows
+    assert(wins.nonEmpty, sp.toString)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
+    spark.catalog.clearCache()
+  }
 }
