@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Registry.Q
 import graft.etl.Sources.table
@@ -324,8 +325,9 @@ object AnalysisQueries {
     * (ts, id)-lexicographic order, transform to the type, array_join —
     * all codegen'd, no window, no driver collect. Per-user memory is the
     * user's own event list: inherent to the operator (a path IS the
-    * whole sequence); a heavy-user cap would truncate with a marker,
-    * not documented-away (not needed at this fixture's fan-out). */
+    * whole sequence) — the full-fidelity form for bounded fan-outs.
+    * For 100×-skewed users, [[pathSeqCapped]] is the bounded variant:
+    * same contract plus a truncation marker. */
   val pathSeq: Q = Q(
     "events_path_seq",
     (s, dir) => graft.etl.Sources.events(s, dir)
@@ -347,6 +349,62 @@ object AnalysisQueries {
         |FROM events
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin))
+
+  /** Heavy-user cap for [[pathSeq]]: one pathological user (a bot, a
+    * load test) otherwise owns an unbounded collect_list aggregation
+    * buffer — the buffer is per-group heap memory and cannot spill
+    * mid-group. Cap = keep only the FIRST [[PathSeqCap]] events per
+    * user via a windowed row_number pre-filter: the per-user sort
+    * under WindowExec spills to disk (an external sorter, unlike an
+    * agg buffer), the filter drops everything past the cap BEFORE any
+    * list is collected, so the collect_list buffer is ≤ cap structs
+    * regardless of skew. The true event total rides the same shuffle
+    * as an unbounded-frame count over the user partition, and rows
+    * past the cap surface as `truncated` — a marker, never a silent
+    * drop. One hash exchange on user_id for both window specs + the
+    * aggregation. */
+  val PathSeqCap = 64
+
+  private[graft] def pathPrefix(events: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+    val ordered = byUser.orderBy(col("e"))
+    events
+      .select(col("user_id"),
+        struct(col("ts_us"), col("event_id"), col("event_type")).as("e"))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("n_total", count(lit(1)).over(byUser))
+      .filter(col("rn") <= cap)
+      .groupBy(col("user_id"))
+      .agg(max(col("n_total")).as("n_events"),
+        collect_list(col("e")).as("evs"))
+      .select(col("user_id"), col("n_events"),
+        (col("n_events") > cap).as("truncated"),
+        array_join(
+          transform(array_sort(col("evs")), e => e.getField("event_type")),
+          "->").as("path_prefix"))
+  }
+
+  val pathSeqCapped: Q = Q(
+    "events_path_seq_capped",
+    (s, dir) => pathPrefix(
+      graft.etl.Sources.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type")),
+      PathSeqCap).orderBy("user_id"),
+    Some(
+      s"""WITH r AS (
+         |  SELECT user_id, event_type,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY epoch_us(ts), event_id) AS rn,
+         |         count(*) OVER (PARTITION BY user_id) AS n_total
+         |  FROM events)
+         |SELECT user_id, max(n_total) AS n_events,
+         |       max(n_total) > $PathSeqCap AS truncated,
+         |       string_agg(event_type, '->' ORDER BY rn) AS path_prefix
+         |FROM r WHERE rn <= $PathSeqCap
+         |GROUP BY user_id
+         |ORDER BY user_id""".stripMargin))
 
   /** Relational set difference: churn candidates — customers with no
     * order in the final 90 days of the data. `EXCEPT` compiles to a
@@ -797,7 +855,8 @@ object AnalysisQueries {
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
-    pivotStatusQty, trendMovingAvg, pathSeq, churnCandidates, revenueShare,
+    pivotStatusQty, trendMovingAvg, pathSeq, pathSeqCapped, churnCandidates,
+    revenueShare,
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
     trendYoy)

@@ -40,9 +40,15 @@ object Bench {
     // files repeatedly recorded noise outliers (25 s for a query whose
     // stable cost is 3 s) that cost a round of adjudication each.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // Dev-only subset filter (comma-separated names): profile one family
+    // without paying for the whole registry. The driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     // Sorted order: deterministic run-to-run and across rounds, so
     // per-query timings in BENCH_r{N}.json are comparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -86,16 +92,22 @@ object Bench {
     // silently LOWERS the total, so a regression would read as a win
     // to anyone comparing totals without scanning every sentinel
     val failed = results.filter(_._2 < 0).map(_._1)
+    // stdout line is size-capped (take 10); BENCH_FULL.json is documented
+    // as the complete detail, so it gets the UNtruncated failure list
     val failedNames =
       failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedNamesFull =
+      failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     val allQs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +
       s""""n_queries":${results.size},"failed":${failed.size},""" +
-      s""""failed_queries":$failedNames,"sf":"$sfDir","queries":$allQs}"""
-    try {
+      s""""failed_queries":$failedNamesFull,"sf":"$sfDir","queries":$allQs}"""
+    // a filtered dev run must not clobber the committed full-registry
+    // detail file with a partial one
+    if (only.isEmpty) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("BENCH_FULL.json"),
         full.getBytes("UTF-8"))

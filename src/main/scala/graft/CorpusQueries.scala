@@ -287,12 +287,16 @@ object CorpusQueries {
           .mkString("array(", ", ", ")")
       // doc → its distinct trigrams ∩ pattern trigrams, exploded to
       // postings; the intersect runs inside the projection so only
-      // pattern-relevant postings ever leave the scan
+      // pattern-relevant postings ever leave the scan. Sub-3-char texts
+      // get an EXPLICIT empty posting list: sequence(1, 0) is not empty
+      // but DESCENDING [1, 0] (junk sub-trigrams that only happened to
+      // be harmless because they can never equal a 3-char pattern gram)
       val postings = docs.select(col("doc_id"),
         explode(expr(
           s"""array_intersect(
-             |  transform(sequence(1, greatest(length(text) - 2, 0)),
-             |            i -> substring(text, i, 3)),
+             |  CASE WHEN length(text) < 3 THEN array()
+             |       ELSE transform(sequence(1, length(text) - 2),
+             |                      i -> substring(text, i, 3)) END,
              |  $patTriSql)""".stripMargin)).as("tri"))
       val candidates = postings
         .groupBy(col("doc_id"))

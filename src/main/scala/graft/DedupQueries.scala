@@ -411,46 +411,81 @@ object DedupQueries {
     * finish. Both operations preserve components; at fixpoint the edge
     * set IS the star (node → component-min), so labels fall out of one
     * left join. `edges` may carry any orientation; self-loops drop. */
+
+  /** Iterative loops must cut Catalyst lineage PERIODICALLY, not just
+    * cache: each round's ANALYZED plan embeds the previous round's
+    * several times (the cache substitution that flattens it to an
+    * InMemoryRelation happens later, at planning), so the logical tree
+    * grows exponentially and by ~round 8 merely rendering the plan
+    * string OOMs the driver. But the cut itself is not free — rebasing
+    * on `df.rdd` round-trips every row through external Row objects
+    * and detaches the job from AQE (this ran EVERY round in round 6
+    * and regressed dedup_clusters 3.06 → 4.48 s). So: let the tree
+    * grow for `depth` rounds, then collapse to one LogicalRDD node.
+    * `depth` must reflect the loop's BRANCHING FACTOR — the uncut tree
+    * is branching^depth copies of the loop base, and Catalyst
+    * re-ANALYZES the full tree on every DataFrame built from it: the
+    * min-label loop references its frame 2×/round (depth 4 ⟹ ≤16
+    * copies, measured fastest), while the star loop references its
+    * edge set ~8×/round (depth 4 ⟹ ~4000 copies — measured 38 s of
+    * pure analyzer time at sf0.1, so it cuts every round). Typical
+    * near-dup min-label loops converge in 2-4 rounds and never pay the
+    * round-trip; adversarial long-chain graphs stay OOM-safe. */
+  private def cutLineage(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(df.rdd, df.schema)
+
+  private def maybeCutLineage(df: DataFrame, sinceRebase: Int, depth: Int): DataFrame =
+    if (sinceRebase < depth) df else cutLineage(df)
+
   private[graft] def starLabels(nodes: DataFrame, edges0: DataFrame): DataFrame = {
-    var edges = edges0.select(col("src"), col("dst"))
+    // the initial edge set is cut up front: with ~8 references per
+    // round, even ONE uncut round would embed the (large) upstream
+    // candidate-pair plan 8× in every analysis pass of the loop
+    val initPlan = edges0.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+    var edges = cutLineage(initPlan)
       .persist(StorageLevel.MEMORY_AND_DISK)
     var edgeCount = edges.count()
     var converged = edgeCount == 0
     var rounds = 0
+    var sinceRebase = 0
     while (!converged && rounds < 40) {
+      // Each star phase is "attach rows to min over the node's
+      // neighborhood" — ONE unordered partition-window per phase (the
+      // min and the join-back ride the same shuffle), instead of the
+      // groupBy + join-back pair that shuffles the neighbor list
+      // twice. Three shuffles per round total (large window, small
+      // window, final distinct) — at 100 TB that is half the per-round
+      // shuffle I/O. WindowExec buffers one node's neighborhood per
+      // group (spills via the external sorter); large-star halves hub
+      // degrees every round, so the buffers shrink geometrically.
+      import org.apache.spark.sql.expressions.Window
       // large-star: attach every neighbor v > u to min(Γ(u) ∪ {u})
       val nbrs = edges.select(col("src").as("u"), col("dst").as("v"))
         .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
-      val mins = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
-        .select(col("u"), least(col("mv"), col("u")).as("m"))
-      val large = nbrs.join(mins, Seq("u"))
+      val large = nbrs
+        .withColumn("m",
+          least(min(col("v")).over(Window.partitionBy(col("u"))), col("u")))
         .filter(col("v") > col("u"))
         .select(col("v").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .distinct()
-      // small-star: orient large→small, attach the smaller neighbors
-      // (and u itself) to the neighborhood min
-      val oriented = large.select(
-        greatest(col("src"), col("dst")).as("u"),
-        least(col("src"), col("dst")).as("v"))
-      val mins2 = oriented.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val joined = oriented.join(mins2, Seq("u"))
-      val smallPlan = joined
+      // small-star: large's output is already oriented big→small
+      // (m = a neighborhood min ≤ u < v); attach the smaller neighbors
+      // AND u itself to the neighborhood min
+      val withM2 = large
+        .select(col("src").as("u"), col("dst").as("v"))
+        .withColumn("m", min(col("v")).over(Window.partitionBy(col("u"))))
+      val smallPlan = withM2
         .select(col("v").as("src"), col("m").as("dst"))
         .filter(col("src") =!= col("dst"))
-        .unionAll(joined.select(col("u").as("src"), col("m").as("dst")))
+        .unionAll(withM2.select(col("u").as("src"), col("m").as("dst")))
         .distinct()
-      // Catalyst lineage must be CUT each round, not just cached: the
-      // round's plan embeds the previous round's plan ~5× (two joins +
-      // unions over it), so the logical tree grows exponentially and by
-      // ~round 8 merely rendering the plan string OOMs the driver.
-      // Rebasing on the RDD collapses the plan to one LogicalRDD node;
-      // RDD lineage (linear, one hop per round onto a persisted parent)
-      // keeps recomputability.
-      val small = smallPlan.sparkSession
-        .createDataFrame(smallPlan.rdd, smallPlan.schema)
+      // branching ~8/round ⟹ cut every round (see maybeCutLineage);
+      // the base is a LogicalRDD after the initial cut, so the Row
+      // round-trip over the shrinking edge set is the cheaper side
+      val small = maybeCutLineage(smallPlan, sinceRebase, 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
+      sinceRebase = if (small eq smallPlan) sinceRebase + 1 else 0
       // full materialization BEFORE dropping the old round; equal
       // cardinality + one-side inclusion ⟹ set equality (both distinct).
       // left_anti, not except(): both sides are already distinct, and
@@ -465,6 +500,8 @@ object DedupQueries {
       rounds += 1
     }
     require(converged, s"starLabels: no fixpoint in $rounds rounds")
+    if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+      System.err.println(s"[starLabels] rounds=$rounds edges=$edgeCount")
     val roots = edges.select(col("src").as("doc_id"), col("dst").as("cluster_id"))
     val out = nodes.select(col("doc_id"))
       .join(roots, Seq("doc_id"), "left")
@@ -497,6 +534,7 @@ object DedupQueries {
       var labels: DataFrame = cached
       var converged = false
       var rounds = 0
+      var sinceRebase = 0
       while (!converged && rounds < 20) {
         val neighborMin = edges
           .join(labels.toDF("dst", "n_label"), Seq("dst"))
@@ -509,13 +547,11 @@ object DedupQueries {
           .select(col("doc_id"), col("cluster_id").as("old_id"),
             least(col("cluster_id"), coalesce(col("n_min"), col("cluster_id")))
               .as("cluster_id"))
-        // rebase on the RDD to cut Catalyst lineage: `labels` appears
-        // twice in each round's plan, so the tree doubles per round and
-        // a slow-converging graph would OOM on plan handling long
-        // before the 20-round cap fires (same fix as starLabels)
-        val step = stepPlan.sparkSession
-          .createDataFrame(stepPlan.rdd, stepPlan.schema)
+        // `labels` appears twice in each round's plan — periodic
+        // lineage cut (see maybeCutLineage; every round regressed r6)
+        val step = maybeCutLineage(stepPlan, sinceRebase, 4)
           .persist(StorageLevel.MEMORY_AND_DISK)
+        sinceRebase = if (step eq stepPlan) sinceRebase + 1 else 0
         // full count, not limit(1): every partition of `step` must land in
         // the cache BEFORE the previous round is dropped, or the next
         // round recomputes the whole propagation chain from the corpus
@@ -532,6 +568,8 @@ object DedupQueries {
       // with diameter > 20 needs the large-star/small-star step)
       require(converged,
         s"dedup_clusters: min-label propagation did not converge in $rounds rounds")
+      if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+        System.err.println(s"[clusterLabels] rounds=$rounds")
       edges.unpersist()
       labels
   }

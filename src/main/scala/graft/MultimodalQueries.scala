@@ -211,6 +211,117 @@ object MultimodalQueries {
         |FROM g WHERE n_copies > 1
         |ORDER BY keeper_id""".stripMargin))
 
+  /** Perceptual-hash media NEAR-dup — the documented continuation of
+    * [[dedupContent]]: a re-encoded image (new JPEG pass, stripped
+    * metadata) defeats content-hash dedup because the bytes differ
+    * while the picture doesn't. The classic answer is a perceptual
+    * hash (aHash/pHash family): downsample, compare each region to the
+    * global mean, match on Hamming distance.
+    *
+    * Decode stub (same seam as [[decodeFeatures]]): 4-byte block sums
+    * over the first 128 payload bytes stand in for downsampled pixel
+    * means. Sketch bit j = 32·blockSum_j > totalSum — pure integer
+    * arithmetic, so the bit is exact on both engines (no float means).
+    * Planted re-encodes swap the payload's first two bytes: every
+    * 4-byte block sum (and so the sketch) is preserved while md5
+    * changes — exactly the pair [[dedupContent]] misses and this
+    * catches. Matching reuses the [[DedupQueries.simhashPairs]]
+    * machinery: block on 4×8-bit bands of the 32-bit sketch (pigeonhole
+    * complete at Hamming ≤ 1), verify bit_count(xor) on bucket-local
+    * candidates only — the shuffle carries (band-key, sketch, id),
+    * never payloads, and no all-pairs join exists at any scale. */
+  val dedupPerceptual: Q = Q(
+    "mm_dedup_perceptual",
+    (s, dir) => {
+      val m = media(s, dir)
+        .select(col("media_id"), col("payload").cast("string").as("t"))
+      val swapped = concat(
+        substring(col("t"), 2, 1), substring(col("t"), 1, 1),
+        col("t").substr(lit(3), length(col("t"))))
+      val withReenc = m.unionAll(
+        m.filter(col("media_id") % 9 === 0)
+          .select((col("media_id") + 2000000).as("media_id"),
+            swapped.as("t")))
+      // single-arg lambdas with outer COLUMN refs only (the two-arg
+      // indexed-lambda Spark 4.1.2 hazard — see dedup_embedding_cosine)
+      val sketched = withReenc
+        .withColumn("head", substring(col("t"), 1, 128))
+        .withColumn("chars",
+          transform(sequence(lit(1), lit(128)), p =>
+            when(p <= length(col("head")),
+              ascii(col("head").substr(p, lit(1))).cast("long"))
+              .otherwise(lit(0L))))
+        .withColumn("total",
+          aggregate(col("chars"), lit(0L), (acc, x) => acc + x))
+        .withColumn("bs",
+          transform(sequence(lit(0), lit(31)), j =>
+            element_at(col("chars"), (j * 4 + 1).cast("int")) +
+              element_at(col("chars"), (j * 4 + 2).cast("int")) +
+              element_at(col("chars"), (j * 4 + 3).cast("int")) +
+              element_at(col("chars"), (j * 4 + 4).cast("int"))))
+        .withColumn("phash",
+          aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
+            acc + when(
+              element_at(col("bs"), (j + 1).cast("int")) * 32 > col("total"),
+              pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))))
+        .select(col("media_id"), col("phash"))
+        .persist()
+      val bands = (0 until 4)
+        .map(b => sketched.select(col("media_id"), col("phash"),
+          concat(lit(s"$b|"),
+            shiftright(col("phash"), 8 * b) % 256).as("bk")))
+        .reduce(_ unionAll _)
+      bands.toDF("i", "ph_i", "bk")
+        .join(bands.toDF("j", "ph_j", "bk"), Seq("bk"))
+        .filter(col("i") < col("j"))
+        .select(col("i"), col("j"),
+          bit_count(col("ph_i").bitwiseXOR(col("ph_j"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 1)
+        .select(col("i"), col("j"), col("hamming"),
+          (col("j") >= 2000000).as("is_planted_reencode"))
+        .orderBy("i", "j")
+    },
+    Some {
+      val bandSelects = (0 until 4)
+        .map(b => s"SELECT media_id, phash, '$b|' || CAST((phash >> ${8 * b}) % 256 AS VARCHAR) AS bk FROM h3")
+        .mkString(" UNION ALL ")
+      """WITH pm AS (
+        |  SELECT doc_id AS media_id, text AS t FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |         substr(text, 2, 1) || substr(text, 1, 1) || substr(text, 3)
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |h1 AS (
+        |  SELECT media_id,
+        |         list_transform(generate_series(1, 128), p ->
+        |           CASE WHEN p <= length(substr(t, 1, 128))
+        |                THEN CAST(ascii(substr(substr(t, 1, 128), p, 1)) AS BIGINT)
+        |                ELSE 0 END) AS chars
+        |  FROM pm),
+        |h2 AS (
+        |  SELECT media_id,
+        |         CAST(list_sum(chars) AS BIGINT) AS total,
+        |         list_transform(generate_series(0, 31), j ->
+        |           chars[j*4+1] + chars[j*4+2] + chars[j*4+3] + chars[j*4+4]) AS bs
+        |  FROM h1),
+        |h3 AS (
+        |  SELECT media_id,
+        |         CAST(list_sum(list_transform(generate_series(0, 31), j ->
+        |           CASE WHEN bs[j+1] * 32 > total
+        |                THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS phash
+        |  FROM h2),
+        |""".stripMargin +
+      s"""bands AS ($bandSelects),
+         |pairs AS (
+         |  SELECT DISTINCT l.media_id AS i, r.media_id AS j,
+         |         bit_count(xor(l.phash, r.phash)) AS hamming
+         |  FROM bands l JOIN bands r USING (bk) WHERE l.media_id < r.media_id)
+         |SELECT i, j, hamming, j >= 2000000 AS is_planted_reencode
+         |FROM pairs WHERE hamming <= 1
+         |ORDER BY i, j""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(catalog, decodeFeatures, resize, frameSample,
-    dedupContent)
+    dedupContent, dedupPerceptual)
 }

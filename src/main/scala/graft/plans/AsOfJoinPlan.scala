@@ -95,8 +95,25 @@ case class AsOfJoinExec(
     val lTimeB = BindReferences.bindReference(leftTime, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
     val rTimeB = BindReferences.bindReference(rightTime, right.output)
-    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
-    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    // NULL-safe, nulls-first: the interpreted ordering alone NPEs on a
+    // null key/time (primitive unboxing), while the window-formulation
+    // twin happily treats NULL as a joinable group (partitionBy) that
+    // sorts first (orderBy, NULLS FIRST). Wrapping the comparators the
+    // same way — null == null, null < everything — matches the twin AND
+    // this node's own requiredChildOrdering (Ascending = NULLS FIRST),
+    // so a null-keyed fact merges against null-keyed markers instead of
+    // crashing.
+    def nullsFirst(ord: Ordering[Any]): Ordering[Any] = new Ordering[Any] {
+      override def compare(a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else ord.compare(a, b)
+    }
+    val keyOrd = nullsFirst(
+      TypeUtils.getInterpretedOrdering(leftKey.dataType))
+    val timeOrd = nullsFirst(
+      TypeUtils.getInterpretedOrdering(leftTime.dataType))
     val outAttrs = output
     val leftAttrs = left.output
     val rightAttrs = right.output
@@ -209,6 +226,18 @@ object AsOf {
           markers.select(markers.columns.toIndexedSeq
             .map(c => markers(c).as(c)): _*))
       else r0
+    }
+    // left/right types must match EXACTLY: the merge compares key/time
+    // with one interpreted ordering and co-hash-partitions both sides —
+    // an INT-vs-BIGINT mismatch would otherwise only surface as a
+    // ClassCastException deep inside the per-partition merge (or worse,
+    // as silently non-colocated partitions)
+    Seq(key -> "key", time -> "time", tie -> "tie").foreach {
+      case (c, role) =>
+        val (l, r) = (attr(lPlan, c), attr(rPlan, c))
+        require(l.dataType == r.dataType,
+          s"AsOf.join: $role column '$c' dataType mismatch — " +
+            s"left ${l.dataType.catalogString} vs right ${r.dataType.catalogString}")
     }
     graftbridge.Bridge.dataFrame(spark,
       AsOfJoin(lPlan, rPlan,

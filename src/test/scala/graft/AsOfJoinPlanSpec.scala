@@ -126,4 +126,42 @@ class AsOfJoinPlanSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nope"))
   }
+
+  test("AsOf.join rejects mismatched key/time/tie dataTypes up front") {
+    val facts = Seq((1L, 2L, 3L)).toDF("k", "t", "id")
+    val markers = Seq((1, 2L, 3L)).toDF("k", "t", "id") // INT key
+    val e = intercept[IllegalArgumentException] {
+      graft.plans.AsOf.join(facts, markers, key = "k", time = "t", tie = "id")
+    }
+    assert(e.getMessage.contains("dataType mismatch"), e.getMessage)
+    assert(e.getMessage.contains("'k'"), e.getMessage)
+  }
+
+  test("null keys and times merge like the window twin instead of crashing") {
+    // the window formulation groups NULL keys together (partitionBy)
+    // and sorts NULL times first (NULLS FIRST) — the native merge must
+    // agree, not NPE in the interpreted ordering
+    val facts = Seq[(Option[Long], Option[Long], Long, String)](
+      (Some(1L), Some(10L), 1L, "f1"),
+      (None, Some(10L), 2L, "f-nullkey"),
+      (Some(1L), None, 3L, "f-nulltime"),
+      (None, None, 4L, "f-bothnull")
+    ).toDF("k", "t", "id", "tag")
+    val markers = Seq[(Option[Long], Option[Long], Long, String)](
+      (Some(1L), Some(5L), 10L, "m1"),
+      (None, Some(5L), 11L, "m-nullkey"),
+      (Some(1L), None, 12L, "m-nulltime"),
+      (None, None, 13L, "m-bothnull")
+    ).toDF("k", "t", "id", "mtag")
+    val out = graft.plans.AsOf
+      .join(facts, markers, key = "k", time = "t", tie = "id")
+      .select(col("tag"), col("mtag"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // null time sorts FIRST: a null-time marker is ≤ every fact time;
+    // a null-time fact matches only null-time markers
+    assert(out("f1") == "m1")             // normal path
+    assert(out("f-nullkey") == "m-nullkey")   // null keys group together
+    assert(out("f-nulltime") == "m-nulltime") // null time ≤ null time only
+    assert(out("f-bothnull") == "m-bothnull")
+  }
 }

@@ -102,4 +102,34 @@ class ScaleKnobsSpec extends SparkSpec {
     assert(sessions(0).session_end_us == 99999L * 1000)
     assert(sessions(1).n_events == 3)
   }
+
+  test("pathPrefix: a 10k-event user yields a capped, marked prefix") {
+    // one bot user with 10^4 events and one normal user: the capped
+    // path operator must emit a bounded prefix (the collect_list
+    // buffer never sees rows past the cap) and flag the truncation
+    val heavy = spark.range(10000)
+      .select(lit(1L).as("user_id"), (col("id") * 1000L).as("ts_us"),
+        col("id").as("event_id"),
+        concat(lit("t"), col("id") % 3).as("event_type"))
+    val light = spark.range(5)
+      .select(lit(2L).as("user_id"), (col("id") * 1000L).as("ts_us"),
+        (col("id") + 20000L).as("event_id"),
+        lit("view").as("event_type"))
+    val out = AnalysisQueries
+      .pathPrefix(heavy.unionAll(light), AnalysisQueries.PathSeqCap)
+      .orderBy("user_id").collect()
+    assert(out.length == 2)
+    val bot = out(0)
+    assert(bot.getAs[Long]("n_events") == 10000L)
+    assert(bot.getAs[Boolean]("truncated"))
+    val steps = bot.getAs[String]("path_prefix").split("->")
+    assert(steps.length == AnalysisQueries.PathSeqCap)
+    // the prefix is the FIRST cap events in (ts, id) order
+    assert(steps.head == "t0" && steps(1) == "t1" && steps(2) == "t2")
+    val normal = out(1)
+    assert(normal.getAs[Long]("n_events") == 5L)
+    assert(!normal.getAs[Boolean]("truncated"))
+    assert(normal.getAs[String]("path_prefix") ==
+      "view->view->view->view->view")
+  }
 }
