@@ -63,4 +63,28 @@ class JdbcSinkSpec extends SparkSpec {
       .select("amount").as[Double].collect().toSet
     assert(survived == Set(0.0)) // pre-existing rows untouched
   }
+
+  test("S5/S6 JDBC read pushes the key-only projection and predicate into the scan") {
+    // the 100 TB anti-join reads ONLY the dedup keys from the warehouse
+    // target (SELECT <keys> FROM target WHERE ...) — this pins that the
+    // JDBC relation actually receives the pruned column list and the
+    // predicate, rather than fetching whole rows and filtering in Spark
+    val url = freshDb("pushdown_db")
+    ddl(url, "CREATE TABLE clientes (id_cliente BIGINT, nombre VARCHAR(64), id_zone INT, balance DOUBLE)")
+    ddl(url, "INSERT INTO clientes VALUES (1,'a',1,10.0), (2,'b',2,0.0), (3,'c',1,5.0)")
+    val t = spark.read.jdbc(url, "clientes", props)
+    // Derby reports uppercase identifiers — resolve names as read
+    val key = t.columns.find(_.equalsIgnoreCase("id_cliente")).get
+    val bal = t.columns.find(_.equalsIgnoreCase("balance")).get
+    val wide = t.columns.find(_.equalsIgnoreCase("nombre")).get
+    val q = t.filter(col(bal) > 0).select(key)
+    val plan = q.queryExecution.executedPlan.toString
+    // predicate reached the source
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains(s"GreaterThan($bal,0.0)"), plan)
+    // projection pruned to the key — the wide column never crosses the wire
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains(wide), plan)
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+  }
 }

@@ -110,6 +110,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("tpch_q5 snowflake: every dimension broadcasts; ONE hash exchange (the final group)") {
+    val p = plan("tpch_q5_region_volume")
+    // 5 broadcast joins attach customer/supplier/nation/region and the
+    // orders date filter to lineitem without ever shuffling the fact
+    assert(count(p, "BroadcastHashJoin") == 5, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the only hash exchange is the n_name aggregation; the trailing
+    // sort is a rangepartitioning
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("tpch_q17: per-part average joins back BROADCAST onto the fact — no window, no SMJ") {
+    val p = plan("tpch_q17_small_quantity")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // a window formulation would shuffle every lineitem row; the
+    // agg-then-join shape must stay window-free
+    assert(!p.contains("Window"), p)
+  }
+
   test("quality ntile: every window is partitioned — the corpus never moves to one partition") {
     import org.apache.spark.sql.execution.window.WindowExecBase
     val sp = Registry.queries("text_quality_ntile")(spark, Sf)
