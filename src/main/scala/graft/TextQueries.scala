@@ -322,9 +322,9 @@ object TextQueries {
     * interpolated-quantile float drift (same rationale as
     * [[qualityBySource]]). One shuffle on source; at 100 TB a source is
     * a domain slice, and skewed giant sources remain a single-partition
-    * window — for those the cutoff comes from the quantized-histogram
-    * boundary location implemented in [[qualityNtile]], applied per
-    * source. */
+    * window — [[qualityKeepHist]] is the same contract without that
+    * window (per-source quantized-histogram boundary location), under
+    * the same oracle. */
   val qualityRank: Q = Q(
     "text_quality_rank",
     (s, dir) => {
@@ -345,6 +345,76 @@ object TextQueries {
          |        percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
          |      FROM s)
          |SELECT doc_id, source, q, pr, pr >= 0.7 AS keep
+         |FROM r
+         |ORDER BY doc_id""".stripMargin))
+
+  /** [[qualityRank]]'s scale twin: the same keep-top-30%-of-every-
+    * source contract, computed WITHOUT any per-source total-order
+    * window — the formulation a 100× skewed source needs (a giant
+    * domain slice turns qualityRank's partitionBy(source) window into
+    * one task; here a source only ever contributes ≤10001 histogram
+    * rows and a boundary-bin sliver).
+    *
+    * Shape (per-source version of [[qualityNtile]]'s boundary
+    * location): quantize q ∈ [0,1] to 10⁴ bins; per-(source, bin)
+    * counts cumulate in a window over the tiny histogram; the keep
+    * threshold rank r* = the smallest rank with
+    * (rank−1)/(n−1) ≥ 0.7, derived in EXACT integer arithmetic
+    * (10·(r−1) ≥ 7·(n−1) — no float 0.7 ever meets a float division;
+    * ranks at denominator n are ≥1/n apart, far outside double
+    * rounding range of the oracle's percent_rank compare, and the
+    * exact-equality boundary agrees on both engines). Whole bins
+    * classify as keep-all / drop-all by comparing their rank range to
+    * r*; ONLY the one boundary bin per source needs a row_number, over
+    * its own ≤ n/10⁴-expected rows. Single-row sources pin keep =
+    * false (percent_rank of a lone row is 0). The oracle is the
+    * RANK-WINDOW formulation — crossing formulations, not just
+    * engines. */
+  val qualityKeepHist: Q = Q(
+    "text_quality_keep_hist",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          T.qualityScore(col("text")).as("q"))
+        .withColumn("bin", floor(col("q") * 10000).cast("long"))
+        .persist()
+      val cumW = Window.partitionBy(col("source")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nW = Window.partitionBy(col("source"))
+      val bins = d.groupBy(col("source"), col("bin"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(cumW))
+        .withColumn("cum_before", col("cum") - col("c"))
+        .withColumn("n", sum(col("c")).over(nW))
+        .withColumn("rstar",
+          expr("(7 * (n - 1) + 9) DIV 10 + 1"))
+        .select(col("source"), col("bin"), col("cum_before"), col("n"),
+          col("rstar"),
+          (col("cum_before") + 1 >= col("rstar")).as("keep_all"),
+          (col("cum") < col("rstar")).as("drop_all"))
+      val classified = d.join(bins, Seq("source", "bin"))
+      val whole = classified
+        .filter(col("keep_all") || col("drop_all"))
+        .select(col("doc_id"), col("source"), col("q"),
+          (col("keep_all") && col("n") > 1).as("keep"))
+      val rnW = Window.partitionBy(col("source"), col("bin"))
+        .orderBy(col("q"), col("doc_id"))
+      val boundary = classified
+        .filter(!col("keep_all") && !col("drop_all"))
+        .withColumn("rn", row_number().over(rnW))
+        .select(col("doc_id"), col("source"), col("q"),
+          (col("cum_before") + col("rn") >= col("rstar") && col("n") > 1)
+            .as("keep"))
+      whole.unionByName(boundary).orderBy("doc_id")
+    },
+    Some(
+      s"""WITH s AS (
+         |  SELECT doc_id, source, ${TextOracleSql.quality} AS q FROM documents),
+         |r AS (SELECT doc_id, source, q,
+         |        percent_rank() OVER (PARTITION BY source ORDER BY q, doc_id) AS pr
+         |      FROM s)
+         |SELECT doc_id, source, q, pr >= 0.7 AS keep
          |FROM r
          |ORDER BY doc_id""".stripMargin))
 
@@ -436,7 +506,8 @@ object TextQueries {
 
   def all: Seq[Q] = Seq(
     tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition,
-    qualityBySource, vocab, gopherRules, qualityRank, qualityNtile)
+    qualityBySource, vocab, gopherRules, qualityRank, qualityKeepHist,
+    qualityNtile)
 }
 
 /** Shared DuckDB fragments for the text formulas — the single source of

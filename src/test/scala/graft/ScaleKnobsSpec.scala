@@ -103,6 +103,39 @@ class ScaleKnobsSpec extends SparkSpec {
     assert(sessions(1).n_events == 3)
   }
 
+  test("quality keep-hist == percent_rank window on adversarial source sizes") {
+    // sf fixtures have uniform source sizes; this drives the histogram
+    // formulation over sizes the boundary arithmetic must get right:
+    // n=1 (percent_rank pins keep=false), n=2..4 (r* lands on bin
+    // edges), one big source with heavy q ties (boundary bin filled
+    // with equal scores, tie-broken by doc_id)
+    import org.apache.spark.sql.expressions.Window
+    val rows = Seq(
+      (0L, "solo", "alpha beta gamma")) ++
+      (1L to 2L).map(i => (i, "pair", s"word$i " * 5)) ++
+      (10L to 13L).map(i => (i, "quad", ("the quick fox " * (i - 8).toInt))) ++
+      (100L to 199L).map(i => (i, "big",
+        if (i % 3 == 0) "tie tie tie tie" else s"doc $i " * ((i % 7) + 1).toInt))
+    val dir = java.nio.file.Files.createTempDirectory("keephist").toString
+    import spark.implicits._
+    rows.toDF("doc_id", "src", "txt").select(col("doc_id"),
+      col("txt").as("text"), lit("en").as("lang"), col("src").as("source"),
+      length(col("txt")).cast("long").as("n_chars"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Registry.queries("text_quality_keep_hist")(spark, dir)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val w = Window.partitionBy(col("source")).orderBy(col("q"), col("doc_id"))
+    val want = Registry.queries("text_quality_score")(spark, dir)
+      .select(col("doc_id"), col("quality_score").as("q"))
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("keep", percent_rank().over(w) >= 0.7)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got == want)
+    assert(!got(0L)) // the lone-row source is never kept
+    spark.catalog.clearCache()
+  }
+
   test("pathPrefix: a 10k-event user yields a capped, marked prefix") {
     // one bot user with 10^4 events and one normal user: the capped
     // path operator must emit a bounded prefix (the collect_list
