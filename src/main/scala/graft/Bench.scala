@@ -75,6 +75,13 @@ object Bench {
       val median =
         if (times.size < reps) -1.0
         else times.sorted.apply((times.size - 1) / 2)
+      // Between QUERIES (untimed): broadcasts, shuffle dependencies and
+      // localCheckpoint-style blocks release via ContextCleaner, which
+      // only fires on GC — over a 116-query sweep the un-collected
+      // debris (heap + shuffle files on /tmp) otherwise taxes the tail
+      // of the run. An explicit collection here keeps every query's
+      // timed region starting from the same clean slate.
+      System.gc()
       name -> median
     }
     // The harness that records this line keeps only the LAST 2000

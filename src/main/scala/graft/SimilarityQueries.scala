@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
@@ -414,5 +414,59 @@ object SimilarityQueries {
          |ORDER BY query_id, rank""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans)
+  /** Symmetric int8 embedding quantization — the vector-store
+    * compression step (4× smaller than float32, the standard serving
+    * format): per-vector scale = max|x|/127, elements round-clamped to
+    * [-127, 127], emitted as order-insensitive exact checksums (Σq,
+    * Σq² — integers ≤ 64·127², exact in doubles) plus the max absolute
+    * reconstruction error. Every op is deterministic IEEE double math
+    * with identical expression shape on both engines (round is
+    * half-away-from-zero in Spark's HALF_UP and DuckDB alike), so even
+    * the float error bound hash-matches. Pure per-row projection — at
+    * 100 TB this is a map over the embedding scan, no shuffle before
+    * the output sort. Zero vectors quantize to all-zeros via the 1e-12
+    * scale floor rather than dividing by zero. */
+  val quantizeInt8: Q = Q(
+    "sim_quantize_int8",
+    (s, dir) => {
+      val xd = transform(col("embedding"), x => x.cast("double"))
+      val maxAbs = aggregate(xd, lit(0.0), (a, x) => greatest(a, abs(x)))
+      val qOf = (x: Column) =>
+        least(greatest(round(x / col("scale")), lit(-127.0)), lit(127.0))
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("scale", greatest(maxAbs, lit(1e-12)) / 127.0)
+        .withColumn("qs", transform(xd, x => qOf(x)))
+        .select(col("vec_id"), col("scale"),
+          aggregate(col("qs"), lit(0.0), (a, q) => a + q)
+            .cast("long").as("q_sum"),
+          aggregate(col("qs"), lit(0.0), (a, q) => a + q * q)
+            .cast("long").as("q_sq_sum"),
+          aggregate(
+            transform(xd, x => abs(x - qOf(x) * col("scale"))),
+            lit(0.0), (a, e) => greatest(a, e)).as("max_err"))
+        .orderBy("vec_id")
+    },
+    Some(
+      """WITH s AS (
+        |  SELECT vec_id, embedding,
+        |         greatest(list_max(list_transform(embedding,
+        |           x -> abs(CAST(x AS DOUBLE)))), 1e-12) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, scale, embedding,
+        |         list_transform(embedding, x ->
+        |           least(greatest(round(CAST(x AS DOUBLE) / scale), -127.0), 127.0)) AS qs
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |       CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |       CAST(list_sum(list_transform(qs, v -> v * v)) AS BIGINT) AS q_sq_sum,
+        |       list_max(list_transform(embedding, x ->
+        |         abs(CAST(x AS DOUBLE) -
+        |             least(greatest(round(CAST(x AS DOUBLE) / scale), -127.0), 127.0) * scale))) AS max_err
+        |FROM q
+        |ORDER BY vec_id""".stripMargin))
+
+  def all: Seq[Q] =
+    Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans, quantizeInt8)
 }
