@@ -1048,9 +1048,98 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  // --------------------------------------------------- semantic dedup
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with a coarse k-means-style quantizer,
+    * then dedup WITHIN clusters only — a doc is dropped when a
+    * smaller-id doc in its own cluster sits above the cosine threshold.
+    * Differs from [[embeddingNearDup]] (sign-LSH pair REPORT) in both
+    * blocking and output: cluster blocking follows the semantic
+    * structure of the space rather than random hyperplanes, and the
+    * result is the per-doc keep/drop decision a curation pipeline
+    * consumes, not the candidate pair list.
+    *
+    * Plants the same %13 perturbed near-copies as [[embeddingNearDup]]
+    * (cosine ≈ 0.99 vs the original), so the drop set is non-trivially
+    * exercised: a planted copy lands in its original's cluster (their
+    * cosine to every centroid is nearly equal) and gets dropped there —
+    * unless the perturbation flips the nearest-centroid argmax, which is
+    * the recall trade-off the paper's clustering step genuinely has; the
+    * oracle mirrors it exactly.
+    *
+    * Scale shape (100 TB): centroids are K ≈ √n stride-sampled rows
+    * broadcast everywhere (the trained-quantizer variant is
+    * [[SimilarityQueries.annIvfKmeans]]'s Lloyd loop — the assignment
+    * machinery here is literally shared with it); assignment is a
+    * broadcast argmax whose shuffle carries n pre-reduced rows; the
+    * within-cluster self-join shuffles on centroid_id and compares
+    * Σ|c|² ≈ n²/K = n^1.5 pairs — the published algorithm's own cost
+    * profile, kept off n² by K growing with the corpus. The drop rule
+    * (smallest id survives) is a groupBy-free anti-join: pairs already
+    * carry i < j, so the distinct j-side IS the drop set. */
+  val semantic: Q = Q(
+    "dedup_semantic",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val perturbed = transform(col("embedding"), x => {
+        val xd = x.cast("double")
+        val bucket = ((floor(xd * 1000).cast("long") % 7) + 7) % 7
+        (xd + (bucket.cast("double") - 3.0) * 0.01).cast("float")
+      })
+      val vecs = e.unionAll(
+          e.filter(col("vec_id") % 13 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"),
+              perturbed.as("embedding")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val stride = SimilarityQueries.ivfStride(vecs.count())
+      val centroids = vecs.filter(col("vec_id") % stride === lit(3L % stride))
+        .toDF("centroid_id", "c_emb")
+      val assigned = SimilarityQueries.assignArgmax(vecs, centroids)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val dropped = assigned.toDF("i", "emb_i", "centroid_id")
+        .join(assigned.toDF("j", "emb_j", "centroid_id"), Seq("centroid_id"))
+        .filter(col("i") < col("j"))
+        .filter(H.cosine(col("emb_i"), col("emb_j")) >= 0.95)
+        .select(col("j").as("vec_id")).distinct()
+        .withColumn("is_dropped", lit(true))
+      assigned.select(col("vec_id"), col("centroid_id"))
+        .join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("centroid_id"),
+          coalesce(!col("is_dropped"), lit(true)).as("kept"))
+        .orderBy("vec_id")
+    },
+    Some(
+      s"""WITH vecs AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000,
+         |         list_transform(embedding,
+         |           x -> CAST(CAST(x AS DOUBLE) + (CAST((CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT) % 7 + 7) % 7 AS DOUBLE) - 3.0) * 0.01 AS REAL))
+         |  FROM embeddings WHERE vec_id % 13 = 0),
+         |params AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS stride FROM vecs),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |      FROM vecs, params WHERE vec_id % params.stride = 3 % params.stride),
+         |assigned AS (
+         |  SELECT vec_id, embedding, centroid_id FROM (
+         |    SELECT v.vec_id, v.embedding, c.centroid_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY v.vec_id
+         |             ORDER BY ${H.cosineSql("v.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS crank
+         |    FROM vecs v CROSS JOIN c) WHERE crank = 1),
+         |dropped AS (
+         |  SELECT DISTINCT r.vec_id
+         |  FROM assigned l JOIN assigned r USING (centroid_id)
+         |  WHERE l.vec_id < r.vec_id
+         |    AND ${H.cosineSql("l.embedding", "r.embedding")} >= 0.95)
+         |SELECT a.vec_id, a.centroid_id,
+         |       (d.vec_id IS NULL) AS kept
+         |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+         |ORDER BY a.vec_id""".stripMargin))
+
   def all: Seq[Q] = Seq(
     exact, ngramJaccard, clusters, clustersStar, keepBest, minhashLsh,
     simhashSketches,
-    simhashPairs, embeddingNearDup, shingleDfCapReport, decontaminate,
-    contamFraction, passages, incremental, triangles, kcore)
+    simhashPairs, embeddingNearDup, semantic, shingleDfCapReport,
+    decontaminate, contamFraction, passages, incremental, triangles, kcore)
 }

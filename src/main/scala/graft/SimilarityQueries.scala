@@ -274,7 +274,7 @@ object SimilarityQueries {
 
   /** All (vector, centroid) cosines: one broadcast of the (≈√n-row)
     * centroid table — the corpus never shuffles for scoring. */
-  private def scoredCentroids(e: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def scoredCentroids(e: DataFrame, centroids: DataFrame): DataFrame =
     e.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("centroid_id"),
         H.cosine(col("embedding"), col("c_emb")).as("sim"))
@@ -286,7 +286,7 @@ object SimilarityQueries {
     * full n·K scored set (n^1.5 rows at K≈√n — the thing that explodes
     * at 100×); it survives only in [[probeRanks]], where the input is
     * already the small query subset. */
-  private def assignArgmax(e: DataFrame, centroids: DataFrame): DataFrame =
+  private[graft] def assignArgmax(e: DataFrame, centroids: DataFrame): DataFrame =
     scoredCentroids(e, centroids)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("sim"),
