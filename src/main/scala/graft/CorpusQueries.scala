@@ -353,6 +353,133 @@ object CorpusQueries {
          |ORDER BY n DESC, pair
          |LIMIT 50""".stripMargin))
 
+  // --------------------------------------------- BPE merge training
+
+  /** Delimiter D = U+0001 for the symbol-string form of a word during
+    * BPE training: each token is wrapped D+tok+D and the wrapped tokens
+    * concatenated, so a merge of (a, b) is a plain left-to-right
+    * non-overlapping string replace of D+a+D+D+b+D with D+ab+D — token
+    * boundaries can't false-match (word ["a","ab"] shares no delimiter
+    * window with pair (a,a)), and adjacent same-pair runs merge greedily
+    * left-to-right exactly as a reference BPE trainer does ("aaaa" →
+    * ["aa","aa"]: each match consumes its OWN delimiters, so matches
+    * never share characters). Both engines' replace() scan left-to-right
+    * over non-overlapping occurrences, so the rewrite is engine-neutral
+    * by construction. */
+  private val SymD = "\u0001"
+
+  /** Merge rounds trained: constant, not corpus-derived — a real
+    * trainer runs tens of thousands of rounds of THIS loop body; four
+    * are enough to pin the loop's semantics (including a merged symbol
+    * immediately participating in the next round's top pair) under the
+    * oracle gate without unrolling a 40k-CTE oracle. */
+  private val MergeRounds = 4
+
+  /** BPE merge-rule TRAINING — the [[bpePairCounts]] inner step run to
+    * fixpoint-style rounds: count adjacent symbol pairs over the vocab
+    * weighted by word frequency, take the argmax (count DESC, pair ASC
+    * — the deterministic tie-break), rewrite the vocab's symbol
+    * strings, recount. Emits the learned merge table (round, lhs, rhs,
+    * merged, pair_count) — the artifact a tokenizer ships.
+    *
+    * Scale shape (100 TB): the corpus is touched ONCE (word groupBy
+    * with map-side combine); every round after runs over the DISTINCT
+    * word vocab (Heaps-law sublinear in corpus size, persisted), so
+    * training cost is rounds × vocab, independent of corpus bytes. Per
+    * round: one vocab-scale pair aggregation (the shuffle carries
+    * (pair, partial count) rows), one 1-row argmax collect to the
+    * driver (same justified driver hop as the k-means stride and the
+    * count-min cell materialization), one literal replace() projection
+    * — the merge pattern is a foldable literal, so the rewrite is a
+    * codegen'd map over the vocab with no shuffle. Pair counts weight
+    * every occurrence (3 for "aaaa"→(a,a), though only 2 merge) —
+    * the standard BPE statistic, identical on both engines.
+    *
+    * The oracle unrolls the same four rounds as CTEs from the same
+    * delimiter arithmetic (chr(1) wrapping, replace-based merge), so
+    * the merge tables match exactly — including the round where a
+    * previously-merged symbol wins again. */
+  val bpeTrainMerges: Q = Q(
+    "bpe_train_merges",
+    (s, dir) => {
+      import s.implicits._
+      val words = table(s, dir, "documents")
+        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      var vocab = words.select(
+        concat(lit(SymD),
+          array_join(expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            SymD + SymD),
+          lit(SymD)).as("syms"),
+        col("wcount"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+      for (r <- 1 to MergeRounds) {
+        val top = vocab
+          .select(split(expr("substring(syms, 2, length(syms) - 2)"),
+            SymD + SymD).as("ts"), col("wcount"))
+          .filter(size(col("ts")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(ts) - 1),
+              |  i -> named_struct('l', element_at(ts, i),
+              |                    'r', element_at(ts, i + 1)))""".stripMargin))
+            .as("p"), col("wcount"))
+          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+          .agg(sum(col("wcount")).as("n"))
+          .orderBy(desc("n"), col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, rr, n) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, l, rr, l + rr, n))
+          val next = vocab.select(
+            replace(col("syms"), lit(SymD + l + SymD + SymD + rr + SymD),
+              lit(SymD + l + rr + SymD)).as("syms"),
+            col("wcount"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          // materialize before releasing the input it was derived from
+          next.count()
+          vocab.unpersist()
+          vocab = next
+        }
+      }
+      val out = merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
+      vocab.unpersist()
+      out.orderBy("round")
+    },
+    Some {
+      def roundSql(r: Int): String = {
+        val vIn = s"v${r - 1}"
+        s"""t$r AS (SELECT str_split(substr(syms, 2, length(syms) - 2), chr(1)||chr(1)) AS ts, wcount FROM $vIn),
+           |p$r AS (SELECT ts[CAST(i AS INTEGER)] AS lhs, ts[CAST(i AS INTEGER)+1] AS rhs, wcount
+           |        FROM t$r, unnest(generate_series(1, len(ts) - 1)) AS u$r(i)
+           |        WHERE len(ts) >= 2),
+           |c$r AS (SELECT lhs, rhs, CAST(SUM(wcount) AS BIGINT) AS n FROM p$r GROUP BY lhs, rhs),
+           |m$r AS (SELECT lhs, rhs, n FROM c$r ORDER BY n DESC, lhs, rhs LIMIT 1),
+           |v$r AS (SELECT replace(syms, chr(1)||m.lhs||chr(1)||chr(1)||m.rhs||chr(1),
+           |                       chr(1)||m.lhs||m.rhs||chr(1)) AS syms, wcount
+           |        FROM $vIn, m$r m)""".stripMargin
+      }
+      s"""WITH w AS (
+         |  SELECT word, count(*) AS wcount FROM (
+         |    SELECT unnest($ddbToks) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word),
+         |v0 AS (
+         |  SELECT chr(1) || array_to_string(
+         |           list_transform(generate_series(1, length(word)),
+         |             i -> substr(word, CAST(i AS INTEGER), 1)),
+         |           chr(1)||chr(1)) || chr(1) AS syms,
+         |         wcount FROM w),
+         |${(1 to MergeRounds).map(roundSql).mkString(",\n")}
+         |SELECT * FROM (
+         |${(1 to MergeRounds).map(r =>
+        s"  SELECT CAST($r AS INTEGER) AS round, lhs, rhs, lhs || rhs AS merged, n AS pair_count FROM m$r")
+        .mkString("\n  UNION ALL\n")})
+         |ORDER BY round""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch,
-    bpePairCounts)
+    bpePairCounts, bpeTrainMerges)
 }
