@@ -11,7 +11,8 @@ class QueryPropertiesSpec extends SparkSpec {
       .filter(col("rank") <= 3)
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    for (ann <- Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_kmeans")) {
+    for (ann <- Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_kmeans",
+        "sim_pq_adc")) {
       val approx = Registry.queries(ann)(spark, Sf)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -19,9 +20,10 @@ class QueryPropertiesSpec extends SparkSpec {
       // Uniform random unit vectors are the WORST case for locality
       // hashing: true top-3 neighbors sit at cosine ≈ 0.5, barely more
       // bucket-localized than strangers (measured here: LSH ≈ 0.27,
-      // IVF ≈ 0.43). Clustered real embeddings do far better; the bound
-      // asserts the probes beat random candidate picking (3 random
-      // candidates ⇒ expected recall ≈ 0.006), not production quality.
+      // IVF ≈ 0.43, PQ shortlist+re-rank ≈ 0.40). Clustered real
+      // embeddings do far better; the bound asserts the probes beat
+      // random candidate picking (3 random candidates ⇒ expected
+      // recall ≈ 0.006), not production quality.
       assert(recall >= 0.2, s"$ann recall@3 = $recall")
       assert(approx.nonEmpty)
     }
