@@ -475,16 +475,12 @@ object SimilarityQueries {
   private val PqM = 4
   private val PqSubDim = Dims / PqM
 
-  /** Order-pinned squared-L2 over a subvector pair — the PQ metric.
-    * Same fold discipline as [[HashFunctions.cosineHof]]: left-to-right
-    * double accumulation, so both engines produce identical bits. */
-  private def l2sq(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (u, v) => {
-        val d = u.cast("double") - v.cast("double")
-        d * d
-      }),
-      lit(0.0), (acc, v) => acc + v)
+  /** Order-pinned squared-L2 over a subvector pair — the PQ metric,
+    * evaluated n·M·K times per build: the NATIVE codegen'd kernel
+    * ([[HashFunctions.l2sq]] → graft.plans.ArrayL2Sq). The first cut
+    * used the interpreted HOF fold here and the encode pass alone was
+    * ~10× the arithmetic cost (same lesson as ArrayCosine). */
+  private def l2sq(a: Column, b: Column): Column = H.l2sq(a, b)
 
   private def l2sqSql(a: String, b: String): String =
     H.foldSumSql(s"list_transform(list_zip($a, $b), " +
@@ -541,26 +537,47 @@ object SimilarityQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val codes = subs.filter(col("vec_id") % stride === lit(3L % stride))
         .select(col("m"), col("vec_id").as("code_id"), col("sub").as("c_sub"))
-      // encode: nearest code per (vector, subspace), ties to lower code id
+      // encode: nearest code per (vector, subspace), ties to lower code
+      // id — then WIDE (one row per vector, M int code columns): the ADC
+      // scan's per-candidate work must be scalar math on one row, not an
+      // M-row aggregation per (query, candidate). The first cut of this
+      // operator summed per-pair distances through a
+      // collect_list+array_sort fold and measured 13.9× wall-clock at 5×
+      // corpus (quadratic pair count × per-pair buffer churn); the wide
+      // form is the same quadratic scan but each pair is 4 hash-lookups
+      // + 3 codegen'd adds, no shuffle, no buffers.
       val encoded = subs.join(broadcast(codes), Seq("m"))
         .select(col("vec_id"), col("m"), col("code_id"),
           l2sq(col("sub"), col("c_sub")).as("d"))
         .groupBy(col("vec_id"), col("m"))
         .agg(max(struct((-col("d")).as("nd"), (-col("code_id")).as("tb"),
           col("code_id").as("cid"))).as("best"))
-        .select(col("vec_id").as("neighbor_id"), col("m"),
-          col("best.cid").as("code_id"))
+        .groupBy(col("vec_id"))
+        .pivot("m", 0 until PqM)
+        .agg(first(col("best.cid")))
+        .toDF(("neighbor_id" +: (0 until PqM).map(m => s"c$m")): _*)
       // per-query distance table: every (subspace, code) distance
       val dtable = subs.filter(col("vec_id") % QueryMod === 0)
         .join(broadcast(codes), Seq("m"))
         .select(col("vec_id").as("query_id"), col("m"), col("code_id"),
           l2sq(col("sub"), col("c_sub")).as("d"))
-      val scored = encoded.join(broadcast(dtable), Seq("m", "code_id"))
-        .filter(col("neighbor_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("neighbor_id"))
-        .agg(aggregate(
-          array_sort(collect_list(struct(col("m"), col("d")))),
-          lit(0.0), (acc, x) => acc + x.getField("d")).as("adc_dist"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // M broadcast joins (one per subspace slice of the distance table),
+      // then a FIXED-ORDER scalar sum — left-associated adds, the same
+      // expression shape the oracle writes, so the double is bit-identical
+      val scored0 = (0 until PqM).foldLeft(encoded) { (acc, m) =>
+        val dt = dtable.filter(col("m") === m)
+          .select(col("query_id").as(s"q$m"), col("code_id").as(s"k$m"),
+            col("d").as(s"d$m"))
+        val cond =
+          if (m == 0) col(s"c$m") === col(s"k$m")
+          else col(s"c$m") === col(s"k$m") && col("q0") === col(s"q$m")
+        acc.join(broadcast(dt), cond)
+      }
+      val scored = scored0
+        .filter(col("neighbor_id") =!= col("q0"))
+        .select(col("q0").as("query_id"), col("neighbor_id"),
+          (0 until PqM).map(m => col(s"d$m")).reduceLeft(_ + _).as("adc_dist"))
       // ADC shortlist (lowest approximate distance wins, ties to the
       // lower neighbor id via the heap's id tie-break on equal scores)
       val shortlist = scored
@@ -600,12 +617,22 @@ object SimilarityQueries {
          |         ${l2sqSql("s.sub", "c.c_sub")} AS d
          |  FROM subs s JOIN codes c USING (m)
          |  WHERE s.vec_id % $QueryMod = 0),
+         |ewide AS (
+         |  SELECT e0.neighbor_id,
+         |         e0.code_id AS c0, e1.code_id AS c1,
+         |         e2.code_id AS c2, e3.code_id AS c3
+         |  FROM (SELECT neighbor_id, code_id FROM encoded WHERE m = 0) e0
+         |  JOIN (SELECT neighbor_id, code_id FROM encoded WHERE m = 1) e1 USING (neighbor_id)
+         |  JOIN (SELECT neighbor_id, code_id FROM encoded WHERE m = 2) e2 USING (neighbor_id)
+         |  JOIN (SELECT neighbor_id, code_id FROM encoded WHERE m = 3) e3 USING (neighbor_id)),
          |scored AS (
-         |  SELECT t.query_id, n.neighbor_id,
-         |         ${H.foldSumSql("list(t.d ORDER BY t.m)")} AS adc_dist
-         |  FROM encoded n JOIN dtable t ON n.m = t.m AND n.code_id = t.code_id
-         |  WHERE n.neighbor_id <> t.query_id
-         |  GROUP BY t.query_id, n.neighbor_id),
+         |  SELECT t0.query_id, w.neighbor_id, t0.d + t1.d + t2.d + t3.d AS adc_dist
+         |  FROM ewide w
+         |  JOIN dtable t0 ON t0.m = 0 AND t0.code_id = w.c0
+         |  JOIN dtable t1 ON t1.m = 1 AND t1.code_id = w.c1 AND t1.query_id = t0.query_id
+         |  JOIN dtable t2 ON t2.m = 2 AND t2.code_id = w.c2 AND t2.query_id = t0.query_id
+         |  JOIN dtable t3 ON t3.m = 3 AND t3.code_id = w.c3 AND t3.query_id = t0.query_id
+         |  WHERE w.neighbor_id <> t0.query_id),
          |shortlist AS (
          |  SELECT query_id, neighbor_id FROM (
          |    SELECT query_id, neighbor_id,

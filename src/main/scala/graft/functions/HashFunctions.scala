@@ -199,6 +199,26 @@ object HashFunctions {
       Bridge.expression(a), Bridge.expression(b)))
   }
 
+  /** Squared-L2 distance — the native codegen'd expression
+    * (graft.plans.ArrayL2Sq): one fused loop, one order-pinned
+    * accumulator, bit-identical to [[l2sqHof]] and the oracle's
+    * list_reduce fold (pinned by ArrayL2SqSpec). The PQ metric. */
+  def l2sq(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.ArrayL2Sq(
+      Bridge.expression(a), Bridge.expression(b)))
+  }
+
+  /** The HOF reference formulation of [[l2sq]] (order-pinned left fold
+    * of (x−y)²) — the property-test twin, off the hot path. */
+  def l2sqHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (u, v) => {
+        val d = u.cast("double") - v.cast("double")
+        d * d
+      }),
+      lit(0.0), (acc, v) => acc + v)
+
   /** The HOF reference formulation of [[cosine]] (order-pinned double
     * folds, left-to-right; sqrt is IEEE-exact). ArrayAggregate cannot
     * whole-stage-codegen, so this stays off the hot path — it is the

@@ -55,6 +55,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[ArrayCosine].getName, "graft_cosine"),
       arity("graft_cosine", 2)(cs => ArrayCosine(cs(0), cs(1)))),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[ArrayL2Sq].getName, "graft_l2sq"),
+      arity("graft_l2sq", 2)(cs => ArrayL2Sq(cs(0), cs(1)))),
     (FunctionIdentifier("graft_clean_name"),
       new ExpressionInfo(classOf[CleanName].getName, "graft_clean_name"),
       arity("graft_clean_name", 1)(cs => CleanName(cs.head))),
