@@ -852,6 +852,66 @@ object AnalysisQueries {
         |FROM m LEFT JOIN m p ON p.anio = m.anio - 1 AND p.mes = m.mes
         |ORDER BY m.anio, m.mes""".stripMargin))
 
+  /** TPC-H Q2 shape (minimum-cost supplier): for each part in a
+    * filtered subset, the supplier(s) offering the corpus-wide minimum
+    * line price — the correlated-scalar-subquery-in-WHERE pattern. The
+    * Spark-first rewrite is agg-then-broadcast-join-back (the Q17
+    * discipline): one pass computes the per-part DECIMAL min, the
+    * tiny (part, min) table broadcasts back onto the fact, and the
+    * equality filter keeps every min-price (supplier, part) pair —
+    * preserving the classic query's multi-row tie semantics, which an
+    * argmax would silently collapse. Supplier and nation dims attach
+    * AFTER the distinct (attributes join onto winners, never the fact
+    * table). The testdata has no partsupp table, so lineitem plays the
+    * supply catalog: l_extendedprice is the offer price. */
+  val q2MinCostSupplier: Q = Q(
+    "tpch_q2_min_cost_supplier",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price"))
+      val parts = table(s, dir, "part")
+        .filter(col("p_size") % 7 === 3)
+        .select(col("p_partkey"))
+      val offers = li.join(broadcast(parts),
+        col("l_partkey") === col("p_partkey"))
+      val minP = offers.groupBy(col("l_partkey"))
+        .agg(min(col("price")).as("min_price"))
+        .toDF("m_key", "min_price")
+      val winners = offers
+        .join(broadcast(minP), col("l_partkey") === col("m_key"))
+        .filter(col("price") === col("min_price"))
+        .select(col("p_partkey"), col("l_suppkey"), col("min_price"))
+        .distinct()
+      winners
+        .join(broadcast(table(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(table(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("p_partkey"), col("min_price").cast("double").as("min_price"),
+          col("s_suppkey"), col("s_name"), col("n_name"),
+          col("s_acctbal").cast("decimal(18,2)").cast("double").as("acctbal"))
+        .orderBy(desc("acctbal"), col("s_name"), col("p_partkey"))
+    },
+    Some(
+      """WITH pl AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         CAST(l_extendedprice AS DECIMAL(18,2)) AS price
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size % 7 = 3)),
+        |w AS (
+        |  SELECT DISTINCT p.l_partkey AS p_partkey, p.l_suppkey, p.price AS min_price
+        |  FROM pl p
+        |  WHERE p.price = (SELECT min(price) FROM pl p2
+        |                   WHERE p2.l_partkey = p.l_partkey))
+        |SELECT w.p_partkey, CAST(w.min_price AS DOUBLE) AS min_price,
+        |       s.s_suppkey, s.s_name, n.n_name,
+        |       CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS acctbal
+        |FROM w
+        |JOIN supplier s ON w.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |ORDER BY acctbal DESC, s.s_name, w.p_partkey""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -859,5 +919,5 @@ object AnalysisQueries {
     revenueShare,
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
-    trendYoy)
+    trendYoy, q2MinCostSupplier)
 }

@@ -130,6 +130,119 @@ object SketchQueries {
         |GROUP BY 1
         |ORDER BY part_month""".stripMargin))
 
+  /** Bloom hash-function count. k=4 with m ≈ 8 bits/member puts the
+    * false-positive rate near (k·n/m)⁴ ≈ 1% — dense enough that the
+    * planted probes actually surface false positives in the report
+    * (measured: 15 of 1500 at sf0.01). k is an error-shape constant;
+    * m is the knob that scales with membership (derived in-plan
+    * below). */
+  private val BloomK = 4
+
+  /** Bloom-filter membership sketch over the has-ordered customer set,
+    * probed with planted non-members so the sketch's ONE-SIDED error is
+    * measured in the hash-checked output itself (the Count-Min
+    * discipline applied to membership): members are distinct
+    * orders.o_custkey; probes are every customer key plus a shifted
+    * (+1 000 000, provably-out-of-range) twin per key; a false positive
+    * is a non-member whose k=4 salted positions are all set.
+    *
+    * m derives from the member count IN-PLAN — smallest power of two
+    * ≥ 8·n_members, computed as `1 << length(bin(8n−1))`: binary
+    * STRING length is exact integer ceil-log2 on both engines, where a
+    * float log2 lands a ulp either side of whole numbers (the lshPlanes
+    * lesson). Constants-become-functions-of-n.
+    *
+    * Plan shape at 100 TB: the filter is built as the DISTINCT set of
+    * set-bit positions — one map-side-combining distinct whose shuffle
+    * carries ≤ k·n rows (bounded by m), then broadcast everywhere; the
+    * probe side explodes k salted positions per key and joins the
+    * broadcast bit set, all map-side. A production build replaces the
+    * distinct-positions table with a fixed m-bit buffer and associative
+    * OR-merge (O(m/8) bytes of state per partition, what
+    * spark.util.sketch.BloomFilter does internally — not reproducible
+    * cross-engine, which is why the oracle-gated twin pins md5
+    * positions); the EXACT-membership anti-join here exists only to
+    * label the probes for the error report, not in a production probe
+    * path. Everything emitted is integer arithmetic — the fp rate is
+    * exact ppm by integer division. */
+  val bloomMembership: Q = Q(
+    "sketch_bloom",
+    (s, dir) => {
+      val members = table(s, dir, "orders")
+        .select(col("o_custkey").as("key")).distinct()
+      val mRow = members.agg(count(lit(1)).as("n_members"))
+        .select(col("n_members"),
+          expr("shiftleft(CAST(1 AS BIGINT), length(bin(8 * n_members - 1)))")
+            .as("m_bits"))
+      def posCol(keyExpr: String, j: Int) =
+        expr(hexValSql(s"md5(concat(CAST($keyExpr AS STRING), '#b$j'))") +
+          " % m_bits").as("pos")
+      def positions(df: org.apache.spark.sql.DataFrame) =
+        (0 until BloomK).map(j =>
+            df.select(col("key"), posCol("key", j)))
+          .reduce(_ unionAll _)
+      // MATERIALIZE the trained filter (the countMinFreq discipline): the
+      // distinct set-bit positions are bounded by m — "broadcastable
+      // anywhere" is the sketch's whole point — so one aggregation job to
+      // the driver replaces a persist that would otherwise leak across
+      // bench reps. import for toDF on the collected rows:
+      import s.implicits._
+      val bitSeq = positions(members.crossJoin(broadcast(mRow)))
+        .select(col("pos")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val bits = bitSeq.toDF("pos")
+      val cust = table(s, dir, "customer").select(col("c_custkey"))
+      val probes = cust.select(col("c_custkey").as("key"))
+        .unionAll(cust.select((col("c_custkey") + 1000000L).as("key")))
+      val nonMembers = probes.join(members, Seq("key"), "left_anti")
+      val nmCount = nonMembers.agg(count(lit(1)).as("n_nonmember_probes"))
+      val nmPos = positions(nonMembers.crossJoin(broadcast(mRow))).distinct()
+      val falsePos = nmPos
+        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .groupBy(col("key"))
+        .agg(count(lit(1)).as("n_pos"), sum(col("hit")).as("n_hit"))
+        .filter(col("n_pos") === col("n_hit"))
+        .agg(count(lit(1)).as("n_false_positives"))
+      mRow.crossJoin(nmCount).crossJoin(falsePos)
+        .select(col("m_bits"), lit(BloomK).as("k_hashes"),
+          col("n_members"), lit(bitSeq.size.toLong).as("bits_set"),
+          col("n_nonmember_probes"), col("n_false_positives"),
+          expr("n_false_positives * 1000000 div n_nonmember_probes")
+            .as("fp_ppm"))
+    },
+    Some {
+      def posSql(keyExpr: String, j: Int) =
+        s"(${hexValSqlDdb(s"md5(CAST($keyExpr AS VARCHAR) || '#b$j')")} % m.m_bits)"
+      def positionsSql(src: String) =
+        (0 until BloomK)
+          .map(j => s"SELECT key, ${posSql("key", j)} AS pos FROM $src, m")
+          .mkString("\nUNION ALL\n")
+      s"""WITH mem AS (SELECT DISTINCT o_custkey AS key FROM orders),
+         |m AS (SELECT count(*) AS n_members,
+         |             CAST(1 AS BIGINT) << length(bin(CAST(8 * count(*) - 1 AS BIGINT))) AS m_bits
+         |      FROM mem),
+         |bits AS (SELECT DISTINCT pos FROM (
+         |${positionsSql("mem")})),
+         |bs AS (SELECT count(*) AS bits_set FROM bits),
+         |probes AS (
+         |  SELECT c_custkey AS key FROM customer
+         |  UNION ALL SELECT c_custkey + 1000000 FROM customer),
+         |nm AS (SELECT key FROM probes WHERE key NOT IN (SELECT key FROM mem)),
+         |nmc AS (SELECT count(*) AS n_nonmember_probes FROM nm),
+         |nmpos AS (SELECT DISTINCT key, pos FROM (
+         |${positionsSql("nm")})),
+         |fp AS (
+         |  SELECT count(*) AS n_false_positives FROM (
+         |    SELECT p.key
+         |    FROM nmpos p LEFT JOIN bits b ON p.pos = b.pos
+         |    GROUP BY p.key
+         |    HAVING count(*) = count(b.pos)))
+         |SELECT m.m_bits, $BloomK AS k_hashes, m.n_members, bs.bits_set,
+         |       nmc.n_nonmember_probes, fp.n_false_positives,
+         |       fp.n_false_positives * 1000000 // nmc.n_nonmember_probes AS fp_ppm
+         |FROM m, bs, nmc, fp""".stripMargin
+    })
+
   /** Count-Min rows (d) and width (w). d=4 rows bounds the
     * over-estimate probability; w=256 buckets bounds the additive error
     * at N/w. Both are sketch-SIZE constants (the sketch is d·w longs
@@ -231,5 +344,5 @@ object SketchQueries {
          |LIMIT 20""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(kmvDistinct, zoneMaps, countMinFreq)
+  def all: Seq[Q] = Seq(kmvDistinct, zoneMaps, countMinFreq, bloomMembership)
 }
