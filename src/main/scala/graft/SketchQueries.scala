@@ -344,5 +344,118 @@ object SketchQueries {
          |LIMIT 20""".stripMargin
     })
 
-  def all: Seq[Q] = Seq(kmvDistinct, zoneMaps, countMinFreq, bloomMembership)
+  /** 8-bit × 8-bit Morton (Z-order) interleave as a 16-term unrolled
+    * integer expression — the same text runs on both engines (BIGINT
+    * shifts/ands only, no literal-suffix divergence). 8 bits per
+    * dimension because the inputs are NORMALIZED buckets (below): a
+    * raw interleave of unequal-width keys (11-bit partkey × 7-bit
+    * suppkey here) puts the wide key's high bits above every bit of
+    * the narrow key, and the curve degenerates to a leading-key sort —
+    * measured on the first cut: only 6 of 22 z-files pruned. */
+  private def mortonSql(x: String, y: String): String =
+    (0 until 8).map { b =>
+      s"((($x >> $b) & 1) << ${2 * b}) + ((($y >> $b) & 1) << ${2 * b + 1})"
+    }.mkString("(", " + ", ")")
+
+  /** Z-order (Morton-curve) layout clustering + its data-skipping
+    * payoff, measured — the Delta/Iceberg OPTIMIZE ZORDER BY shape: a
+    * 100 TB table clustered on the Z-interleave of two filter columns
+    * keeps BOTH dimensions' per-file min/max ranges tight, so a
+    * predicate on the NON-leading column prunes files that a linear
+    * (lexicographic) sort layout must all read.
+    *
+    * The operator assigns every lineitem row to a file under each
+    * layout — files are equal-width ranges of the ordering key (Z-value
+    * ranges vs leading-key ranges), the file count a power of two
+    * derived in-plan from the row count (≈1000 rows/file, ceil-log2 via
+    * the exact binary-string-length trick) — then emits both layouts'
+    * zone-map manifests side by side: per file, row count, min/max of
+    * both key columns, and whether a mid-decile range probe on the
+    * non-leading suppkey column (bounds derived from the data, so every
+    * scale factor exercises pruning) would have to read the file. The
+    * skipping argument IS the output: under 'zorder' most files report
+    * `probe_hit = false`; under 'linear' every non-empty file hits.
+    *
+    * Everything is integer arithmetic (Morton interleave = unrolled
+    * shifts/ands; file ids = range shifts), so the manifests
+    * hash-match exactly. One groupBy per layout over (file_id) — the
+    * corpus shuffles its 2-int key projection twice, nothing else; the
+    * actual 100 TB rewrite this models (sort-by-Z + write) is one
+    * range-partitioned sort, the same cost as any OPTIMIZE pass.
+    * Production buckets real value domains to 16 bits via per-column
+    * quantiles first; the keys here already fit. */
+  val layoutZorder: Q = Q(
+    "layout_zorder",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .selectExpr("CAST(l_partkey AS BIGINT) & 65535 AS x",
+          "CAST(l_suppkey AS BIGINT) & 65535 AS y")
+      // per-column normalization to the shared 8-bit budget — xb/yb =
+      // (key · 256) div (max+1) — then file_id = (ordering key · F) div
+      // (domain size): F roughly-equal-width ranges over the ACTUAL
+      // ordering-key domain (equal-width ranges over the full raw
+      // Morton space collapse to one file when the keys occupy only
+      // the low bits — measured, not hypothesized)
+      val params = li.selectExpr(
+          "count(*) AS n", "min(y) AS min_y", "max(y) AS max_y", "max(x) AS max_x")
+        .selectExpr(
+          "CAST(shiftleft(1, CASE WHEN n <= 1000 THEN 0 ELSE length(bin(CAST((n - 1) DIV 1000 AS BIGINT))) END) AS BIGINT) AS f",
+          "max_x", "max_y",
+          "min_y + (max_y - min_y) DIV 10 AS probe_lo",
+          "min_y + (max_y - min_y) DIV 10 + GREATEST(1, (max_y - min_y) DIV 10) AS probe_hi")
+      val li2 = li.crossJoin(broadcast(params))
+        .selectExpr("x", "y", "f", "probe_lo", "probe_hi",
+          "(x * 256) DIV (max_x + 1) AS xb",
+          "(y * 256) DIV (max_y + 1) AS yb",
+          "max_x")
+      def manifest(layout: String, fileIdExpr: String) =
+        li2
+          .selectExpr(s"'$layout' AS layout", s"$fileIdExpr AS file_id",
+            "x", "y", "probe_lo", "probe_hi")
+          .groupBy(col("layout"), col("file_id"))
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("x")).as("min_part"), max(col("x")).as("max_part"),
+            min(col("y")).as("min_supp"), max(col("y")).as("max_supp"),
+            (!(max(col("y")) < min(col("probe_lo")) ||
+              min(col("y")) > min(col("probe_hi")))).as("probe_hit"))
+      manifest("zorder", s"(${mortonSql("xb", "yb")} * f) DIV 65536")
+        .unionAll(manifest("linear", "(x * f) DIV (max_x + 1)"))
+        .orderBy("layout", "file_id")
+    },
+    Some(
+      s"""WITH li AS (
+         |  SELECT CAST(l_partkey AS BIGINT) & 65535 AS x,
+         |         CAST(l_suppkey AS BIGINT) & 65535 AS y
+         |  FROM lineitem),
+         |p AS (
+         |  SELECT CAST(1 AS BIGINT) << (CASE WHEN count(*) <= 1000 THEN 0
+         |              ELSE length(bin(CAST((count(*) - 1) // 1000 AS BIGINT))) END) AS f,
+         |         max(x) AS max_x, max(y) AS max_y,
+         |         min(y) + (max(y) - min(y)) // 10 AS probe_lo,
+         |         min(y) + (max(y) - min(y)) // 10
+         |           + GREATEST(1, (max(y) - min(y)) // 10) AS probe_hi
+         |  FROM li),
+         |lb AS (
+         |  SELECT x, y, p.f, p.probe_lo, p.probe_hi, p.max_x,
+         |         (x * 256) // (p.max_x + 1) AS xb,
+         |         (y * 256) // (p.max_y + 1) AS yb
+         |  FROM li, p),
+         |z AS (
+         |  SELECT 'zorder' AS layout,
+         |         (${mortonSql("xb", "yb")} * f) // 65536 AS file_id,
+         |         x, y, probe_lo, probe_hi
+         |  FROM lb
+         |  UNION ALL
+         |  SELECT 'linear', (x * f) // (max_x + 1), x, y, probe_lo, probe_hi
+         |  FROM lb)
+         |SELECT layout, file_id, count(*) AS n_rows,
+         |       min(x) AS min_part, max(x) AS max_part,
+         |       min(y) AS min_supp, max(y) AS max_supp,
+         |       NOT (max(y) < min(probe_lo) OR min(y) > min(probe_hi)) AS probe_hit
+         |FROM z
+         |GROUP BY layout, file_id
+         |ORDER BY layout, file_id""".stripMargin))
+
+  def all: Seq[Q] = Seq(kmvDistinct, zoneMaps, countMinFreq, bloomMembership,
+    layoutZorder)
 }
