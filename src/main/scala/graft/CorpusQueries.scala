@@ -480,6 +480,79 @@ object CorpusQueries {
          |ORDER BY round""".stripMargin
     })
 
+  /** Co-occurrence vocabulary size — a MODELING knob (how many matrix
+    * rows the embedding/PMI model keeps), not a corpus-size knob: the
+    * pair universe is V²/2 regardless of corpus bytes, which is exactly
+    * what makes the operator scale — pairs per document are bounded by
+    * V, so the explode is linear in documents. */
+  private val CoocV = 64
+
+  /** Document-level co-occurrence statistics with a PMI-style score —
+    * the count pass behind PMI matrices / GloVe-style co-occurrence
+    * embeddings and collocation mining: restrict to the top-[[CoocV]]
+    * vocabulary, count the documents where each pair co-occurs
+    * (presence, not positions), and rank by the RATIONAL association
+    * ratio p(a,b)/(p(a)·p(b)) = c_ab·N/(c_a·c_b) — the PMI argument
+    * without the log, which induces the same monotone order (the
+    * TF-IDF no-libm rule) and stays bit-exact: integer numerator and
+    * denominator, ONE double division.
+    *
+    * Plan shape: one corpus pass builds distinct (doc, word) presence
+    * (map-side distinct); the top-V vocab (count desc, word — fully
+    * tie-broken) broadcasts as a semi-filter; pairs come from a
+    * presence self-join ON doc_id with a < b — each doc contributes
+    * ≤ V²/2 pairs, so the join output is linear in documents with a
+    * vocab-bounded constant, never corpus-quadratic. Marginals ride
+    * the same presence table. Top-50 by (score desc, pair). */
+  val cooccurPmi: Q = Q(
+    "text_cooccur_pmi",
+    (s, dir) => {
+      val presence = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nDocs = table(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
+      val vocab = presence.groupBy(col("word"))
+        .agg(count(lit(1)).as("c_w"))
+        .orderBy(desc("c_w"), col("word"))
+        .limit(CoocV)
+      val pv = presence.join(broadcast(vocab), Seq("word"))
+      val pairs = pv.toDF("a", "doc_id", "c_a")
+        .join(pv.toDF("b", "doc_id", "c_b"), Seq("doc_id"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"), col("c_a"), col("c_b"))
+        .agg(count(lit(1)).as("c_ab"))
+      pairs.crossJoin(broadcast(nDocs))
+        .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+          ((col("c_ab") * col("n_docs")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double")).as("assoc"))
+        .orderBy(desc("assoc"), col("a"), col("b"))
+        .limit(50)
+    },
+    Some(
+      s"""WITH pres AS (
+         |  SELECT DISTINCT doc_id, word FROM (
+         |    SELECT doc_id, unnest($ddbToks) AS word FROM documents)
+         |  WHERE length(word) > 0),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |vocab AS (
+         |  SELECT word, count(*) AS c_w FROM pres GROUP BY word
+         |  ORDER BY c_w DESC, word LIMIT $CoocV),
+         |pv AS (SELECT p.doc_id, p.word, v.c_w FROM pres p JOIN vocab v USING (word)),
+         |pairs AS (
+         |  SELECT l.word AS a, r.word AS b, l.c_w AS c_a, r.c_w AS c_b,
+         |         count(*) AS c_ab
+         |  FROM pv l JOIN pv r ON l.doc_id = r.doc_id AND l.word < r.word
+         |  GROUP BY l.word, r.word, l.c_w, r.c_w)
+         |SELECT a, b, c_ab, c_a, c_b,
+         |       CAST(c_ab * nd.n_docs AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS assoc
+         |FROM pairs, nd
+         |ORDER BY assoc DESC, a, b
+         |LIMIT 50""".stripMargin))
+
   def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch,
-    bpePairCounts, bpeTrainMerges)
+    bpePairCounts, bpeTrainMerges, cooccurPmi)
 }

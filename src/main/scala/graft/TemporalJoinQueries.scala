@@ -526,7 +526,67 @@ object TemporalJoinQueries {
         |GROUP BY 1
         |ORDER BY channel""".stripMargin))
 
+  /** Golden-record build with FIELD-LEVEL survivorship — the MDM/entity
+    * -consolidation shape: different event types carry different
+    * "fields" of a user's profile, and the golden record takes, PER
+    * FIELD, the most recent value with a deterministic tie-break —
+    * not the whole most-recent row ([[cdcMerge]] is row-level
+    * last-write-wins; a real consolidation is per-attribute).
+    *
+    * One groupBy pass: each field is a conditional partial-aggregating
+    * argmax — `max(when(type = f, struct(ts, id, value)))` — so the
+    * shuffle carries one ≤3-struct row per user, never the event log,
+    * and users missing a field surface it as NULL (counted in
+    * n_fields_present). No window, no per-field join, no event
+    * buffering: the same O(1)-state discipline as the funnel. */
+  val goldenRecord: Q = Q(
+    "events_golden_record",
+    (s, dir) => {
+      def lastOf(t: String) =
+        max(when(col("event_type") === t,
+          struct(col("ts_us"), col("event_id"), col("value"))))
+      Sources.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(lastOf("view").as("v"), lastOf("click").as("c"),
+          lastOf("purchase").as("p"))
+        .select(col("user_id"),
+          col("v.value").as("view_value"), col("v.ts_us").as("view_ts_us"),
+          col("c.value").as("click_value"), col("c.ts_us").as("click_ts_us"),
+          col("p.value").as("purchase_value"), col("p.ts_us").as("purchase_ts_us"),
+          (when(col("v").isNotNull, 1).otherwise(0) +
+            when(col("c").isNotNull, 1).otherwise(0) +
+            when(col("p").isNotNull, 1).otherwise(0)).as("n_fields_present"))
+        .orderBy("user_id")
+    },
+    Some(
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_type, ts_us, event_id, value,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                            ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  FROM e WHERE event_type IN ('view', 'click', 'purchase')),
+        |u AS (SELECT DISTINCT user_id FROM e),
+        |v AS (SELECT user_id, value, ts_us FROM r WHERE event_type = 'view' AND rn = 1),
+        |c AS (SELECT user_id, value, ts_us FROM r WHERE event_type = 'click' AND rn = 1),
+        |p AS (SELECT user_id, value, ts_us FROM r WHERE event_type = 'purchase' AND rn = 1)
+        |SELECT u.user_id,
+        |       v.value AS view_value, v.ts_us AS view_ts_us,
+        |       c.value AS click_value, c.ts_us AS click_ts_us,
+        |       p.value AS purchase_value, p.ts_us AS purchase_ts_us,
+        |       (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+        |        + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END
+        |        + CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END) AS n_fields_present
+        |FROM u
+        |LEFT JOIN v ON u.user_id = v.user_id
+        |LEFT JOIN c ON u.user_id = c.user_id
+        |LEFT JOIN p ON u.user_id = p.user_id
+        |ORDER BY u.user_id""".stripMargin))
+
   def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
     asofNextError, scd2State, funnel, cdcMerge, asofNative,
-    asofForwardNative, attribution)
+    asofForwardNative, attribution, goldenRecord)
 }

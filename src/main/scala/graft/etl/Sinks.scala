@@ -21,6 +21,17 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * No server-style driver (SQL Server/Postgres) ships, so the reference's
   * exact wire target stays unexercised; the code path is identical
   * modulo the URL.
+  *
+  * SQL Server dialect assumptions (stated, not exercised): target
+  * tables pre-exist with their own IDENTITY columns (the reference
+  * appends and never writes the id — mirror that by EXCLUDING identity
+  * columns from the frame); Spark's MsSqlServerDialect maps
+  * TimestampType→DATETIME2 and StringType→NVARCHAR(max), so DATE-typed
+  * business columns should be cast explicitly before the write; and
+  * `batchsize` rides JDBC addBatch — with SQL Server's driver,
+  * `sendStringParametersAsUnicode=false` in the URL is the standard
+  * knob when the target columns are VARCHAR, or every batch pays a
+  * per-row implicit conversion.
   */
 object Sinks {
 
