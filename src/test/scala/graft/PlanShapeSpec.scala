@@ -140,4 +140,52 @@ class PlanShapeSpec extends SparkSpec {
     wins.foreach(w => assert(w.partitionSpec.nonEmpty, w.toString))
     spark.catalog.clearCache()
   }
+
+  test("semantic dedup: centroid assignment is broadcast argmax, no rank window") {
+    val p = plan("dedup_semantic")
+    // corpus×centroid scoring must be a broadcast crossJoin + argmax
+    // (the IVF assignment shape — a BroadcastNestedLoopJoin against the
+    // √n centroid frame) — never a rank window over the n·K scored set
+    assert(!p.contains("Window ["), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the within-cluster pair join and the kept-flag join are ALLOWED
+    // to shuffle: cluster lists / the drop set are corpus-sized in the
+    // worst case, not broadcastable
+    assert(count(p, "SortMergeJoin") <= 2, p)
+  }
+
+  test("PQ ADC: every distance-table join broadcasts; the corpus is never rank-windowed") {
+    val p = plan("sim_pq_adc")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window ["), p)
+    // encode join + M=4 dtable joins + 2 re-rank fetches, all broadcast
+    assert(count(p, "BroadcastHashJoin") >= 5, p)
+  }
+
+  test("golden record: single aggregate fold — no window, no join over the event log") {
+    val p = plan("events_golden_record")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+  }
+
+  test("int8 quantization: pure projection — no hash exchange before the output sort") {
+    val p = plan("sim_quantize_int8")
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("z-order manifests: no sort-merge join; only the two layout groupBys shuffle") {
+    val p = plan("layout_zorder")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("co-occurrence: vocab attaches broadcast; no rank window over the pair set") {
+    val p = plan("text_cooccur_pmi")
+    // (the only BroadcastNestedLoopJoin is the 1-row n_docs scalar
+    // attach — the standard pattern, not asserted against)
+    assert(count(p, "BroadcastHashJoin") >= 2, p)
+    assert(!p.contains("Window ["), p)
+  }
 }
