@@ -227,6 +227,48 @@ object EventStream {
       }
   }
 
+  final case class FieldEvent(
+      user_id: Long, ts_us: Long, event_id: Long, event_type: String,
+      value: Double)
+  final case class GoldenField(ts_us: Long, event_id: Long, value: Double)
+  final case class GoldenState(
+      user_id: Long, view: Option[GoldenField], click: Option[GoldenField],
+      purchase: Option[GoldenField])
+
+  /** Streaming golden record — the stream twin of `events_golden_record`
+    * (TemporalJoinQueries): per-user GroupState holds ONE (ts, id,
+    * value) triple per profile field (bounded state — three records per
+    * user, never the event history), each field updated independently
+    * by the same (ts_us, event_id) total order the batch argmax pins,
+    * so cross-batch and out-of-order delivery converge to the batch
+    * result. Event types outside the field set pass through state
+    * untouched. Each micro-batch emits the user's refreshed record
+    * (Update-mode semantics). */
+  def goldenStreaming(events: Dataset[FieldEvent]): Dataset[GoldenState] = {
+    import events.sparkSession.implicits._
+    def fold(cur: Option[GoldenField], e: FieldEvent): Option[GoldenField] =
+      if (cur.forall(c => e.ts_us > c.ts_us ||
+          (e.ts_us == c.ts_us && e.event_id > c.event_id)))
+        Some(GoldenField(e.ts_us, e.event_id, e.value))
+      else cur
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[GoldenState, GoldenState](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[FieldEvent], state: GroupState[GoldenState]) =>
+          var cur = state.getOption.getOrElse(GoldenState(uid, None, None, None))
+          batch.foreach { e =>
+            cur = e.event_type match {
+              case "view" => cur.copy(view = fold(cur.view, e))
+              case "click" => cur.copy(click = fold(cur.click, e))
+              case "purchase" => cur.copy(purchase = fold(cur.purchase, e))
+              case _ => cur
+            }
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Streaming sessionization with explicit state:
     * flatMapGroupsWithState keeps the open session per user and emits a
     * session whenever a new event lands beyond the gap. (Demo semantics:

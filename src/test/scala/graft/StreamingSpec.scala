@@ -341,4 +341,64 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("raw_out").count() > 0)
     } finally q.stop()
   }
+
+  test("goldenStreaming: fields update independently; final state matches the batch golden record") {
+    import graft.streaming.EventStream.{FieldEvent, GoldenState}
+    implicit val sc = spark.sqlContext
+    import spark.implicits._
+
+    // unit case: per-field independence + late-update rejection
+    val input = MemoryStream[FieldEvent]
+    val q = EventStream.goldenStreaming(input.toDS())
+      .writeStream.format("memory").queryName("golden_unit_out")
+      .outputMode("update").start()
+    try {
+      input.addData(FieldEvent(1, 100, 10, "view", 1.0),
+        FieldEvent(1, 200, 11, "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: a LATE view (loses), a newer click (wins), a signup (ignored)
+      input.addData(FieldEvent(1, 50, 9, "view", 9.9),
+        FieldEvent(1, 300, 12, "click", 3.0),
+        FieldEvent(1, 400, 13, "signup", 7.0))
+      q.processAllAvailable()
+      val fin = spark.table("golden_unit_out").as[GoldenState].collect().last
+      assert(fin.view.get.value == 1.0 && fin.view.get.ts_us == 100)
+      assert(fin.click.get.value == 3.0 && fin.click.get.event_id == 12)
+      assert(fin.purchase.isEmpty)
+    } finally q.stop()
+
+    // full-set equivalence vs the registered batch query, split across
+    // micro-batches to exercise cross-batch carry
+    val all = graft.etl.Sources.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[FieldEvent].collect()
+    val input2 = MemoryStream[FieldEvent]
+    val q2 = EventStream.goldenStreaming(input2.toDS())
+      .writeStream.format("memory").queryName("golden_full_out")
+      .outputMode("update").start()
+    try {
+      val (b1, b2) = all.partition(_.event_id % 2 == 0)
+      input2.addData(b1.toIndexedSeq); q2.processAllAvailable()
+      input2.addData(b2.toIndexedSeq); q2.processAllAvailable()
+      // last emitted row per user = final state
+      val streamed = spark.table("golden_full_out").as[GoldenState].collect()
+        .zipWithIndex.groupBy(_._1.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_._2)._1 }
+      val batch = Registry.queries("events_golden_record")(spark, Sf).collect()
+      assert(streamed.size == batch.length)
+      batch.foreach { r =>
+        val s = streamed(r.getLong(0))
+        def f(g: Option[graft.streaming.EventStream.GoldenField],
+            vIdx: Int, tIdx: Int) = {
+          assert(g.map(_.value) ==
+            (if (r.isNullAt(vIdx)) None else Some(r.getDouble(vIdx))))
+          assert(g.map(_.ts_us) ==
+            (if (r.isNullAt(tIdx)) None else Some(r.getLong(tIdx))))
+        }
+        f(s.view, 1, 2); f(s.click, 3, 4); f(s.purchase, 5, 6)
+        assert(Seq(s.view, s.click, s.purchase).count(_.isDefined) == r.getInt(7))
+      }
+    } finally q2.stop()
+  }
 }
