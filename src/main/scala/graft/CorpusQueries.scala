@@ -403,18 +403,26 @@ object CorpusQueries {
     "bpe_train_merges",
     (s, dir) => {
       import s.implicits._
-      val words = table(s, dir, "documents")
+      // ONE materialization: the initial symbol-string vocab (the only
+      // corpus pass). Each round's rewritten vocab is a LAZY chain of
+      // ≤ MergeRounds literal replace() projections over this cache —
+      // re-running r cheap codegen'd replaces per round beats the
+      // first cut's persist+count+unpersist churn per round (4 extra
+      // jobs and 4 cache writes for frames the next round immediately
+      // replaced).
+      val vocab0 = table(s, dir, "documents")
         .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
         .filter(length(col("word")) > 0)
         .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
-      var vocab = words.select(
-        concat(lit(SymD),
-          array_join(expr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-            SymD + SymD),
-          lit(SymD)).as("syms"),
-        col("wcount"))
+        .select(
+          concat(lit(SymD),
+            array_join(expr(
+              "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+              SymD + SymD),
+            lit(SymD)).as("syms"),
+          col("wcount"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      var vocab = vocab0
       val merges = Seq.newBuilder[(Int, String, String, String, Long)]
       for (r <- 1 to MergeRounds) {
         val top = vocab
@@ -434,19 +442,14 @@ object CorpusQueries {
           val (l, rr, n) =
             (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((r, l, rr, l + rr, n))
-          val next = vocab.select(
+          vocab = vocab.select(
             replace(col("syms"), lit(SymD + l + SymD + SymD + rr + SymD),
               lit(SymD + l + rr + SymD)).as("syms"),
             col("wcount"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          // materialize before releasing the input it was derived from
-          next.count()
-          vocab.unpersist()
-          vocab = next
         }
       }
       val out = merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
-      vocab.unpersist()
+      vocab0.unpersist()
       out.orderBy("round")
     },
     Some {
