@@ -399,72 +399,70 @@ object CorpusQueries {
     * delimiter arithmetic (chr(1) wrapping, replace-based merge), so
     * the merge tables match exactly — including the round where a
     * previously-merged symbol wins again. */
+  /** The shared trainer: runs the merge loop and returns the learned
+    * merge rules plus the vocab AFTER each round (index 0 = the initial
+    * char vocab — the ONE materialization and only corpus pass; later
+    * entries are lazy chains of ≤ [[MergeRounds]] literal replace()
+    * projections over that cache — re-running r cheap codegen'd
+    * replaces per round beats persist+count+unpersist churn per round,
+    * measured 2×). Caller unpersists `vocabs.head` when done. */
+  private def trainBpe(s: org.apache.spark.sql.SparkSession, dir: String)
+      : (Seq[(Int, String, String, String, Long)],
+        Seq[org.apache.spark.sql.DataFrame]) = {
+    val vocab0 = table(s, dir, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
+      .select(
+        concat(lit(SymD),
+          array_join(expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            SymD + SymD),
+          lit(SymD)).as("syms"),
+        col("wcount"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var vocab = vocab0
+    val vocabs = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+    vocabs += vocab0
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (r <- 1 to MergeRounds) {
+      val top = vocab
+        .select(split(expr("substring(syms, 2, length(syms) - 2)"),
+          SymD + SymD).as("ts"), col("wcount"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(ts) - 1),
+            |  i -> named_struct('l', element_at(ts, i),
+            |                    'r', element_at(ts, i + 1)))""".stripMargin))
+          .as("p"), col("wcount"))
+        .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
+        .agg(sum(col("wcount")).as("n"))
+        .orderBy(desc("n"), col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, rr, n) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, l + rr, n))
+        vocab = vocab.select(
+          replace(col("syms"), lit(SymD + l + SymD + SymD + rr + SymD),
+            lit(SymD + l + rr + SymD)).as("syms"),
+          col("wcount"))
+        vocabs += vocab
+      }
+    }
+    (merges.result(), vocabs.result())
+  }
+
   val bpeTrainMerges: Q = Q(
     "bpe_train_merges",
     (s, dir) => {
       import s.implicits._
-      // ONE materialization: the initial symbol-string vocab (the only
-      // corpus pass). Each round's rewritten vocab is a LAZY chain of
-      // ≤ MergeRounds literal replace() projections over this cache —
-      // re-running r cheap codegen'd replaces per round beats the
-      // first cut's persist+count+unpersist churn per round (4 extra
-      // jobs and 4 cache writes for frames the next round immediately
-      // replaced).
-      val vocab0 = table(s, dir, "documents")
-        .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy(col("word")).agg(count(lit(1)).as("wcount"))
-        .select(
-          concat(lit(SymD),
-            array_join(expr(
-              "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
-              SymD + SymD),
-            lit(SymD)).as("syms"),
-          col("wcount"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      var vocab = vocab0
-      val merges = Seq.newBuilder[(Int, String, String, String, Long)]
-      for (r <- 1 to MergeRounds) {
-        val top = vocab
-          .select(split(expr("substring(syms, 2, length(syms) - 2)"),
-            SymD + SymD).as("ts"), col("wcount"))
-          .filter(size(col("ts")) >= 2)
-          .select(explode(expr(
-            """transform(sequence(1, size(ts) - 1),
-              |  i -> named_struct('l', element_at(ts, i),
-              |                    'r', element_at(ts, i + 1)))""".stripMargin))
-            .as("p"), col("wcount"))
-          .groupBy(col("p.l").as("lhs"), col("p.r").as("rhs"))
-          .agg(sum(col("wcount")).as("n"))
-          .orderBy(desc("n"), col("lhs"), col("rhs"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val (l, rr, n) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((r, l, rr, l + rr, n))
-          vocab = vocab.select(
-            replace(col("syms"), lit(SymD + l + SymD + SymD + rr + SymD),
-              lit(SymD + l + rr + SymD)).as("syms"),
-            col("wcount"))
-        }
-      }
-      val out = merges.result().toDF("round", "lhs", "rhs", "merged", "pair_count")
-      vocab0.unpersist()
+      val (merges, vocabs) = trainBpe(s, dir)
+      val out = merges.toDF("round", "lhs", "rhs", "merged", "pair_count")
+      vocabs.head.unpersist()
       out.orderBy("round")
     },
     Some {
-      def roundSql(r: Int): String = {
-        val vIn = s"v${r - 1}"
-        s"""t$r AS (SELECT str_split(substr(syms, 2, length(syms) - 2), chr(1)||chr(1)) AS ts, wcount FROM $vIn),
-           |p$r AS (SELECT ts[CAST(i AS INTEGER)] AS lhs, ts[CAST(i AS INTEGER)+1] AS rhs, wcount
-           |        FROM t$r, unnest(generate_series(1, len(ts) - 1)) AS u$r(i)
-           |        WHERE len(ts) >= 2),
-           |c$r AS (SELECT lhs, rhs, CAST(SUM(wcount) AS BIGINT) AS n FROM p$r GROUP BY lhs, rhs),
-           |m$r AS (SELECT lhs, rhs, n FROM c$r ORDER BY n DESC, lhs, rhs LIMIT 1),
-           |v$r AS (SELECT replace(syms, chr(1)||m.lhs||chr(1)||chr(1)||m.rhs||chr(1),
-           |                       chr(1)||m.lhs||m.rhs||chr(1)) AS syms, wcount
-           |        FROM $vIn, m$r m)""".stripMargin
-      }
       s"""WITH w AS (
          |  SELECT word, count(*) AS wcount FROM (
          |    SELECT unnest($ddbToks) AS word FROM documents)
@@ -475,11 +473,75 @@ object CorpusQueries {
          |             i -> substr(word, CAST(i AS INTEGER), 1)),
          |           chr(1)||chr(1)) || chr(1) AS syms,
          |         wcount FROM w),
-         |${(1 to MergeRounds).map(roundSql).mkString(",\n")}
+         |${(1 to MergeRounds).map(bpeRoundSql).mkString(",\n")}
          |SELECT * FROM (
          |${(1 to MergeRounds).map(r =>
         s"  SELECT CAST($r AS INTEGER) AS round, lhs, rhs, lhs || rhs AS merged, n AS pair_count FROM m$r")
         .mkString("\n  UNION ALL\n")})
+         |ORDER BY round""".stripMargin
+    })
+
+  /** One DuckDB merge round as CTEs (tokens → pair counts → argmax →
+    * rewritten vocab) — shared by the merge-table and compression-curve
+    * oracles. */
+  private def bpeRoundSql(r: Int): String = {
+    val vIn = s"v${r - 1}"
+    s"""t$r AS (SELECT str_split(substr(syms, 2, length(syms) - 2), chr(1)||chr(1)) AS ts, wcount FROM $vIn),
+       |p$r AS (SELECT ts[CAST(i AS INTEGER)] AS lhs, ts[CAST(i AS INTEGER)+1] AS rhs, wcount
+       |        FROM t$r, unnest(generate_series(1, len(ts) - 1)) AS u$r(i)
+       |        WHERE len(ts) >= 2),
+       |c$r AS (SELECT lhs, rhs, CAST(SUM(wcount) AS BIGINT) AS n FROM p$r GROUP BY lhs, rhs),
+       |m$r AS (SELECT lhs, rhs, n FROM c$r ORDER BY n DESC, lhs, rhs LIMIT 1),
+       |v$r AS (SELECT replace(syms, chr(1)||m.lhs||chr(1)||chr(1)||m.rhs||chr(1),
+       |                       chr(1)||m.lhs||m.rhs||chr(1)) AS syms, wcount
+       |        FROM $vIn, m$r m)""".stripMargin
+  }
+
+  /** BPE compression curve — the metric a tokenizer team actually
+    * watches while training: total corpus token count after each merge
+    * round (round 0 = character baseline), i.e. how much sequence
+    * length each learned rule buys. Reuses [[trainBpe]]'s lazy vocab
+    * chain: one corpus pass total, then one vocab-scale sum per round
+    * (token count per word = symbol-array length × word frequency —
+    * exact integers). A merged pair's count drop equals EXACTLY the
+    * number of merge applications, so the curve also cross-checks the
+    * trainer: tokens(r−1) − tokens(r) ≤ pair_count(r), with equality
+    * unless occurrences overlapped ("aaa" has 2 (a,a) pairs but 1
+    * merge). */
+  val bpeCompressionCurve: Q = Q(
+    "bpe_compression_curve",
+    (s, dir) => {
+      import s.implicits._
+      val (_, vocabs) = trainBpe(s, dir)
+      val counts = vocabs.zipWithIndex.map { case (v, r) =>
+        val row = v.select(
+          sum(col("wcount") *
+            size(split(expr("substring(syms, 2, length(syms) - 2)"),
+              SymD + SymD)))).collect()(0)
+        (r, row.getLong(0))
+      }
+      vocabs.head.unpersist()
+      counts.toDF("round", "total_tokens").orderBy("round")
+    },
+    Some {
+      def cntSql(r: Int) =
+        s"""SELECT CAST($r AS INTEGER) AS round,
+           |       CAST(SUM(wcount * len(str_split(substr(syms, 2, length(syms) - 2),
+           |                chr(1)||chr(1)))) AS BIGINT) AS total_tokens
+           |FROM v$r""".stripMargin
+      s"""WITH w AS (
+         |  SELECT word, count(*) AS wcount FROM (
+         |    SELECT unnest($ddbToks) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word),
+         |v0 AS (
+         |  SELECT chr(1) || array_to_string(
+         |           list_transform(generate_series(1, length(word)),
+         |             i -> substr(word, CAST(i AS INTEGER), 1)),
+         |           chr(1)||chr(1)) || chr(1) AS syms,
+         |         wcount FROM w),
+         |${(1 to MergeRounds).map(bpeRoundSql).mkString(",\n")}
+         |SELECT * FROM (
+         |${(0 to MergeRounds).map(cntSql).mkString("\nUNION ALL\n")})
          |ORDER BY round""".stripMargin
     })
 
@@ -557,5 +619,5 @@ object CorpusQueries {
          |LIMIT 50""".stripMargin))
 
   def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch,
-    bpePairCounts, bpeTrainMerges, cooccurPmi)
+    bpePairCounts, bpeTrainMerges, bpeCompressionCurve, cooccurPmi)
 }
