@@ -618,6 +618,99 @@ object CorpusQueries {
          |ORDER BY assoc DESC, a, b
          |LIMIT 50""".stripMargin))
 
+  // ------------------------------------- bigram-LM perplexity filter
+
+  /** Fixed-point scale for the per-bigram conditional probability: six
+    * decimal digits of the ratio survive the integer floor, far below
+    * any count ratio the fixture (or a real corpus) distinguishes. */
+  private val PplScale = 1000000L
+
+  /** Bigram-LM perplexity-proxy scoring — the CCNet-style quality gate:
+    * train a bigram language model on the corpus itself (conditional
+    * frequencies c(w1,w2)/c(w1,·)), then score every document by its
+    * mean conditional probability. Fluent, corpus-typical text scores
+    * high; gibberish and boilerplate-mangled text scores low. This is
+    * the engine's stand-in for perplexity filtering with a real LM —
+    * same data flow, pluggable scorer.
+    *
+    * Float discipline (see object doc): true perplexity is
+    * exp(-mean(ln p)) — libm, engine-divergent in the last ulp. The
+    * MEAN probability needs no logs but naively sums doubles, which is
+    * associativity-dependent and so partition-order-dependent. Instead
+    * each bigram's probability is floored to a [[PplScale]] fixed-point
+    * LONG (integer multiply + integer div, bit-exact everywhere), the
+    * per-doc sum is exact integer arithmetic in ANY order, and the one
+    * double division happens per output row. Ranking quality: floor
+    * error < 1e-6 per term, far below any real score separation.
+    *
+    * Scale shape: the exploded bigram stream is the expensive subtree —
+    * persisted once, consumed three times (pair counts, prefix counts,
+    * scoring). Model size is vocab-bounded (distinct bigrams), NOT
+    * corpus-bounded, so the two count tables stay small relative to the
+    * stream; the scoring join shuffles on (w1,w2) hash keys and the
+    * final agg on doc_id — all linear, AQE-coalesced. Short docs
+    * (< 2 tokens) keep a row via left join: n_bigrams 0, NULL score. */
+  val perplexityLm: Q = Q(
+    "text_perplexity_lm",
+    (s, dir) => {
+      val docs = table(s, dir, "documents")
+      val bigrams = docs
+        .select(col("doc_id"),
+          filter(split(lower(trim(col("text"))), "\\s+"),
+            w => length(w) > lit(0)).as("ts"))
+        .select(col("doc_id"),
+          explode(when(size(col("ts")) < 2,
+            array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(transform(sequence(lit(1), size(col("ts")) - 1,
+              lit(1)),
+              i => struct(element_at(col("ts"), i).as("w1"),
+                element_at(col("ts"), i + 1).as("w2"))))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val pairCounts = bigrams.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c_pair"))
+      val prefixCounts = bigrams.groupBy(col("w1"))
+        .agg(count(lit(1)).as("c_prefix"))
+      val model = pairCounts.join(prefixCounts, Seq("w1"))
+      val scored = bigrams.join(model, Seq("w1", "w2"))
+        .select(col("doc_id"),
+          expr(s"(c_pair * $PplScale) div c_prefix").as("t"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("t")).as("s"), count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("s").cast("double") / col("n_bigrams").cast("double"))
+            .as("fluency"))
+      // the bigram persist is owned by the returned frame (Registry doc:
+      // the harness clearCache()s between queries)
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+          col("fluency"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ts AS (
+         |  SELECT doc_id,
+         |         list_filter($ddbToks, w -> length(w) > 0) AS ts
+         |  FROM documents),
+         |bg AS (
+         |  SELECT doc_id, ts[CAST(i AS INTEGER)] AS w1,
+         |         ts[CAST(i AS INTEGER) + 1] AS w2
+         |  FROM ts, unnest(generate_series(1, len(ts) - 1)) AS u(i)
+         |  WHERE len(ts) >= 2),
+         |pc AS (SELECT w1, w2, count(*) AS c_pair FROM bg GROUP BY w1, w2),
+         |pf AS (SELECT w1, count(*) AS c_prefix FROM bg GROUP BY w1),
+         |sc AS (
+         |  SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |         CAST(SUM((pc.c_pair * $PplScale) // pf.c_prefix) AS BIGINT) AS s
+         |  FROM bg b JOIN pc USING (w1, w2) JOIN pf USING (w1)
+         |  GROUP BY b.doc_id)
+         |SELECT d.doc_id, COALESCE(sc.n_bigrams, 0) AS n_bigrams,
+         |       CAST(s AS DOUBLE) / CAST(n_bigrams AS DOUBLE) AS fluency
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch,
-    bpePairCounts, bpeTrainMerges, bpeCompressionCurve, cooccurPmi)
+    bpePairCounts, bpeTrainMerges, bpeCompressionCurve, cooccurPmi,
+    perplexityLm)
 }
