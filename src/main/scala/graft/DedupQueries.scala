@@ -1048,6 +1048,102 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Fixed-point scale for PageRank mass: ranks are integers counting
+    * trillionths of total probability mass. 10^12 · 85 fits a long with
+    * 2^16 headroom, and sums of per-node ranks stay ≤ 10^12·n ≪ 2^63. */
+  private val PrScale = 1000000000000L
+
+  /** Power-iteration rounds. With damping 0.85 the iteration contracts
+    * by ≥0.85 per round, so after 8 rounds the residual is ≤0.85^8≈0.27
+    * of the initial gap — enough to order hub docs on cluster-sized dup
+    * graphs (diameter 2-3). The count is FIXED, not convergence-tested:
+    * the oracle is an unrolled CTE chain, so both engines must run
+    * exactly the same number of rounds to hash-match. */
+  private val PrRounds = 8
+
+  /** PageRank over the near-dup pair graph — ranks the canonical /
+    * most-corroborated documents inside duplicate clusters (the doc
+    * every near-copy links to scores highest, a principled keeper
+    * choice vs [[keepBest]]'s heuristic).
+    *
+    * Float discipline: textbook PageRank sums double contributions,
+    * and double addition is not associative — a partition-order change
+    * flips low bits, which a hash-comparing oracle cannot tolerate.
+    * Here every rank is a [[PrScale]] fixed-point LONG: contributions
+    * are integer-divided by out-degree, damped by ·85 div 100, summed
+    * exactly in any order. The only doubles are the final per-row
+    * display division. Floor error per round is ≤ deg ulps of 10^-12 —
+    * noise relative to rank gaps, identical noise in both engines.
+    *
+    * Scale shape: the adjacency (2|E| rows) persists once; each round
+    * is one hash join ranks⋈adj (shuffle on node id, AQE-coalesced)
+    * plus one map-side-combining sum — O(rounds·|E|) total, the
+    * standard Pregel cost without a graph library. Ranks frames are
+    * |V|-sized; per-round persist + lineage cut keeps the plan flat
+    * (the [[starLabels]] discipline). Teleport and init use integer
+    * div by |V| computed ONCE driver-side (Spark) / in a 1-row CTE
+    * (oracle) — same floor arithmetic, same values. */
+  val pagerank: Q = Q(
+    "graph_pagerank",
+    (s, dir) => {
+      val e = ngramPairs(s, dir).select(col("i"), col("j"))
+      val adj = e.select(col("i").as("src"), col("j").as("dst"))
+        .unionAll(e.select(col("j").as("src"), col("i").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = deg.count()
+      val init = PrScale / n
+      val tele = (PrScale * 15L) / (100L * n)
+      var ranks = deg.select(col("src").as("v"), lit(init).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      ranks.count()
+      for (_ <- 1 to PrRounds) {
+        val next = cutLineage(
+          adj
+            .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+            .join(deg, Seq("src"))
+            .select(col("dst").as("v"), expr("r div d").as("c"))
+            .groupBy(col("v"))
+            .agg((lit(tele) + expr("(85 * sum(c)) div 100")).as("r")))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        ranks.unpersist()
+        ranks = next
+      }
+      ranks
+        .select(col("v").as("doc_id"), col("r").as("pr_scaled"),
+          (col("r").cast("double") / lit(PrScale.toDouble)).as("pr"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stages = (1 to PrRounds).map { k =>
+        s"""r$k AS MATERIALIZED (
+           |  SELECT a.dst AS v,
+           |         ((($PrScale * 15) // (100 * nn.n))
+           |          + (85 * sum(p.r // deg.d)) // 100) AS r
+           |  FROM adj a
+           |  JOIN r${k - 1} p ON p.v = a.src
+           |  JOIN deg ON deg.src = a.src, nn
+           |  GROUP BY a.dst, nn.n)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ddbCorpus,
+         |$ddbNgramPairs,
+         |e0 AS MATERIALIZED (SELECT i, j FROM pairs),
+         |adj AS MATERIALIZED (
+         |  SELECT i AS src, j AS dst FROM e0
+         |  UNION ALL SELECT j AS src, i AS dst FROM e0),
+         |deg AS MATERIALIZED (SELECT src, count(*) AS d FROM adj GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS MATERIALIZED (
+         |  SELECT src AS v, ($PrScale // nn.n) AS r FROM deg, nn),
+         |$stages
+         |SELECT v AS doc_id, r AS pr_scaled,
+         |       CAST(r AS DOUBLE) / ${PrScale.toDouble} AS pr
+         |FROM r$PrRounds
+         |ORDER BY doc_id""".stripMargin
+    })
+
   // --------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -1141,5 +1237,6 @@ object DedupQueries {
     exact, ngramJaccard, clusters, clustersStar, keepBest, minhashLsh,
     simhashSketches,
     simhashPairs, embeddingNearDup, semantic, shingleDfCapReport,
-    decontaminate, contamFraction, passages, incremental, triangles, kcore)
+    decontaminate, contamFraction, passages, incremental, triangles, kcore,
+    pagerank)
 }
