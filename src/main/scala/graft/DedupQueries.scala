@@ -375,6 +375,104 @@ object DedupQueries {
          |HAVING count(*) >= 2
          |ORDER BY doc_id, span_start""".stripMargin))
 
+  // ------------------------------------------------------- winnowing
+
+  /** Winnowing window width w: each document contributes the minimum
+    * shingle hash of every w consecutive shingles. Guarantee (Schleimer
+    * et al., SIGMOD 2003): any shared run of w+n-1 tokens (w shingles)
+    * yields at least one shared fingerprint, while the selected set is
+    * ~2/(w+1) of all shingles — a DENSITY-GUARANTEED sketch, unlike
+    * MinHash's probabilistic one. */
+  private val WinnowW = 4
+
+  /** Minimum fingerprint-containment ratio for a reported pair. */
+  private val WinnowThreshold = 0.5
+
+  /** Winnowing fingerprint near-dup (the MOSS algorithm): positional
+    * shingle hashes → per-window minimum → distinct fingerprint set per
+    * doc → inverted-index pair join. Differs from [[ngramJaccard]] in
+    * WHAT is indexed: winnowing keeps ~2/(w+1) of the shingles chosen
+    * by a local-minimum rule, so the index (and thus the candidate
+    * join) is ~2.5× smaller at the same guarantee that any w-shingle
+    * run of overlap is caught — the classic local-fingerprinting
+    * trade for plagiarism/clone detection at corpus scale.
+    *
+    * Selection note: classic winnowing records (hash, position) with a
+    * rightmost-tie rule so self-overlap positions can be localized;
+    * pair DETECTION only consumes the fingerprint VALUE set, which is
+    * tie-rule-independent — both engines compute value sets, no
+    * tie-break divergence possible. Docs with 0 < shingles < w keep
+    * their global-min hash as the single fingerprint (the paper's
+    * short-document degenerate case).
+    *
+    * Scale shape: fingerprints travel as 64-bit hashes; the pair join
+    * shuffles on the fingerprint key, df-capped at [[ShingleDfCap]]
+    * like every inverted index here (boilerplate fingerprints carry no
+    * signal and would otherwise go quadratic); scoring is containment
+    * n_shared / min(|A|,|B|) from integer counts — one double division
+    * per surviving pair. */
+  val winnowing: Q = Q(
+    "dedup_winnowing",
+    (s, dir) => {
+      val sh = corpus(s, dir).select(col("doc_id"),
+        H.orderedShingleHashesFrom(H.tokenHashes(T.tokens(col("text"))))
+          .as("sh"))
+      val fps = sh.select(col("doc_id"),
+        explode(
+          when(size(col("sh")) >= WinnowW,
+            array_distinct(
+              transform(sequence(lit(1), size(col("sh")) - (WinnowW - 1)),
+                p => array_min(slice(col("sh"), p, lit(WinnowW))))))
+            .when(size(col("sh")) > 0, array(array_min(col("sh"))))
+            .otherwise(array().cast("array<bigint>"))).as("fp"))
+      val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val capped = fps
+        .withColumn("df", count(lit(1)).over(byFp))
+        .filter(col("df") <= ShingleDfCap)
+        .drop("df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sizes = capped.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
+      capped.toDF("i", "fp")
+        .join(capped.toDF("j", "fp"), Seq("fp"))
+        .filter(col("i") < col("j"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_shared"))
+        .join(sizes.toDF("i", "ni"), Seq("i"))
+        .join(sizes.toDF("j", "nj"), Seq("j"))
+        .select(col("i"), col("j"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            least(col("ni"), col("nj")).cast("double")).as("containment"))
+        .filter(col("containment") >= WinnowThreshold)
+        .orderBy("i", "j")
+    },
+    Some(
+      s"""WITH $ddbCorpus,
+         |sh AS (
+         |  SELECT doc_id, ${H.orderedShingleHashesSql()} AS sh FROM (
+         |    SELECT doc_id, list_transform(regexp_split_to_array(lower(trim(text)), '\\s+'), tok -> ${T.polyHashSql("tok")}) AS hs
+         |    FROM corpus)),
+         |fp0 AS (
+         |  SELECT doc_id, unnest(
+         |    CASE WHEN len(sh) >= $WinnowW THEN
+         |           list_distinct(list_transform(
+         |             generate_series(1, len(sh) - ${WinnowW - 1}),
+         |             p -> list_min(sh[p:p + ${WinnowW - 1}])))
+         |         WHEN len(sh) > 0 THEN [list_min(sh)]
+         |         ELSE CAST([] AS BIGINT[]) END) AS fp
+         |  FROM sh),
+         |fpc AS (
+         |  SELECT doc_id, fp FROM fp0
+         |  QUALIFY count(*) OVER (PARTITION BY fp) <= $ShingleDfCap),
+         |sizes AS (SELECT doc_id, count(*) AS nf FROM fpc GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS n_shared
+         |  FROM fpc a JOIN fpc b USING (fp) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT i, j, n_shared,
+         |       CAST(n_shared AS DOUBLE) / least(sa.nf, sb.nf) AS containment
+         |FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+         |WHERE CAST(n_shared AS DOUBLE) / least(sa.nf, sb.nf) >= $WinnowThreshold
+         |ORDER BY i, j""".stripMargin))
+
   // --------------------------------------------- cluster resolution (CC)
 
   /** Near-dup CLUSTER resolution: pair lists aren't actionable — a real
@@ -1238,5 +1336,5 @@ object DedupQueries {
     simhashSketches,
     simhashPairs, embeddingNearDup, semantic, shingleDfCapReport,
     decontaminate, contamFraction, passages, incremental, triangles, kcore,
-    pagerank)
+    pagerank, winnowing)
 }

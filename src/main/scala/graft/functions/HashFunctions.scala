@@ -90,6 +90,27 @@ object HashFunctions {
     s"CASE WHEN len(hs) >= $n THEN list_distinct(list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $combine)) ELSE [] END"
   }
 
+  /** POSITIONAL n-gram shingle hashes — [[shingleHashesFrom]] without
+    * the distinct: element p is the hash of the shingle starting at
+    * token p, in document order. Position-sensitive consumers
+    * (winnowing's sliding window) need the sequence, not the set. */
+  def orderedShingleHashesFrom(hs: Column, n: Int = 3): Column =
+    when(size(hs) >= n,
+      transform(sequence(lit(1), size(hs) - (n - 1)), i =>
+        (1 until n).foldLeft(element_at(hs, i)) { (acc, k) =>
+          (acc * 8191 + element_at(hs, i + k)) % lit(TextFunctions.HashMod)
+        }))
+      .otherwise(array().cast("array<bigint>"))
+
+  /** DuckDB rendering of [[orderedShingleHashesFrom]] over a token-hash
+    * list column named `hs`. */
+  def orderedShingleHashesSql(n: Int = 3): String = {
+    val combine = (1 until n).foldLeft("hs[i]") { (acc, k) =>
+      s"(($acc * 8191 + hs[i + $k]) % ${TextFunctions.HashMod})"
+    }
+    s"CASE WHEN len(hs) >= $n THEN list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $combine) ELSE CAST([] AS BIGINT[]) END"
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** Number of minhash components and the LSH banding shape (4 bands of
