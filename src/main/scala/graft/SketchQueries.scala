@@ -95,6 +95,106 @@ object SketchQueries {
          |FROM a, x""".stripMargin
     })
 
+  /** HLL precision: p=8 → m=256 registers, standard error
+    * 1.04/√m ≈ 6.5%. The 48-bit hash splits low-8 (bucket) /
+    * high-40 (rank source), so ρ ∈ [1, 41]. */
+  private val HllP = 8
+  private val HllM = 1 << HllP
+  private val HllWBits: Int = 4 * HexDigits - HllP
+
+  /** SQL for the HLL rank ρ(w) = (leading zeros of the [[HllWBits]]-bit
+    * value `w`) + 1 — an UNROLLED descending threshold CASE: pure
+    * integer comparisons against power-of-two literals, the same text
+    * on both engines. No log2()/floor() doubles (exactly the libm drift
+    * an oracle hash cannot tolerate), no engine-specific bit_length. */
+  private def rhoSql(w: String): String =
+    (HllWBits to 1 by -1).map { bl =>
+      s"WHEN $w >= ${1L << (bl - 1)} THEN ${HllWBits - bl + 1}"
+    }.mkString("CASE ", " ", s" ELSE ${HllWBits + 1} END")
+
+  /** HyperLogLog distinct-customer sketch (Flajolet et al. 2007) over
+    * orders.o_custkey — the fixed-size mergeable counterpart to
+    * [[kmvDistinct]]: 256 registers of one byte each, partition-local
+    * max, associative merge; the 100 TB count-distinct whose shuffle
+    * carries 256 bytes per partition regardless of input size. Spark's
+    * own approx_count_distinct is HLL++ over an internal hash no other
+    * engine can replay; this operator pins the md5-derived hash and the
+    * register math so the DuckDB oracle reproduces the ESTIMATE
+    * bit-for-bit, not just the exact count beside it.
+    *
+    * Float discipline: the harmonic mean Σ2^(-r_j) is kept in exact
+    * integers by counting in units of 2^(-41): an occupied register
+    * contributes 2^(41-r_j), an empty one 2^41 — BIGINTs summed in any
+    * order. The estimate α_m·m²/Z then costs ONE double expression,
+    * written with identical literal order on both sides. The
+    * small-range linear-counting branch (m·ln(m/V)) is deliberately
+    * NOT applied in-sketch: ln() is libm, whose last-ulp behavior is
+    * engine-specific — instead the raw estimate, the empty-register
+    * count V, and the exact count ship in the row, so a consumer can
+    * apply any correction while the sketch itself stays hash-exact. */
+  /** The estimator's entire constant factor α_m·m²·2^(wbits+1) folded
+    * to ONE double in JVM arithmetic and embedded as the same
+    * round-trip decimal literal in both engines (strtod is correctly
+    * rounded everywhere, so the parsed bits match): the estimate is
+    * then a single double division — no cross-engine concern about
+    * multiplication order or decimal-vs-double literal typing (Spark
+    * parses bare `0.7213` as DECIMAL(4,4), DuckDB as its own decimal;
+    * folding sidesteps both). */
+  private val HllEstConst: String = {
+    val alpha = 0.7213 / (1.0 + 1.079 / HllM)
+    java.lang.Double.toString(
+      alpha * HllM.toDouble * HllM.toDouble * (1L << (HllWBits + 1)).toDouble)
+  }
+
+  val hllDistinct: Q = Q(
+    "sketch_hll_distinct",
+    (s, dir) => {
+      val hv = hexValSql("md5(CAST(o_custkey AS STRING))")
+      val regs = table(s, dir, "orders")
+        .select(expr(hv).as("hv"))
+        .select((col("hv") % HllM).as("bucket"),
+          expr(rhoSql(s"(hv div $HllM)")).as("rho"))
+        .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+      val exact = table(s, dir, "orders")
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+      regs
+        .agg(count(lit(1)).as("n_occupied"),
+          sum(expr(s"shiftleft(1L, ${HllWBits + 1} - r)")).as("occ_sum"))
+        .select(
+          lit(HllM).as("m"),
+          (lit(HllM.toLong) - col("n_occupied")).as("v_empty"),
+          (col("occ_sum") +
+            (lit(HllM.toLong) - col("n_occupied")) *
+              lit(1L << (HllWBits + 1))).as("sum_int"))
+        .crossJoin(exact)
+        .select(col("m"), col("v_empty"), col("sum_int"),
+          expr(s"CAST($HllEstConst AS DOUBLE) / CAST(sum_int AS DOUBLE)")
+            .as("est_distinct"),
+          col("exact_distinct"))
+    },
+    Some {
+      val hv = hexValSqlDdb("md5(CAST(o_custkey AS STRING))")
+      s"""WITH h AS (SELECT $hv AS hv FROM orders),
+         |b AS (SELECT hv % $HllM AS bucket, ${rhoSql(s"(hv // $HllM)")} AS rho FROM h),
+         |regs AS (SELECT bucket, max(rho) AS r FROM b GROUP BY bucket),
+         |agg AS (
+         |  SELECT count(*) AS n_occupied,
+         |         CAST(sum(CAST(1 AS BIGINT) << (${HllWBits + 1} - r))
+         |            AS BIGINT) AS occ_sum
+         |  FROM regs),
+         |x AS (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders),
+         |f AS (
+         |  SELECT CAST(($HllM - n_occupied) AS BIGINT) AS v_empty,
+         |         (occ_sum + ($HllM - n_occupied)
+         |          * (CAST(1 AS BIGINT) << ${HllWBits + 1})) AS sum_int
+         |  FROM agg)
+         |SELECT $HllM AS m, v_empty, sum_int,
+         |       CAST($HllEstConst AS DOUBLE) / CAST(sum_int AS DOUBLE)
+         |         AS est_distinct,
+         |       exact_distinct
+         |FROM f, x""".stripMargin
+    })
+
   /** Zone-map / data-skipping statistics: per month-partition min/max/
     * count over the columns a scan would prune on. This is the metadata
     * a 100 TB lakehouse keeps per file (parquet footers, Delta/Iceberg
@@ -456,6 +556,7 @@ object SketchQueries {
          |GROUP BY layout, file_id
          |ORDER BY layout, file_id""".stripMargin))
 
-  def all: Seq[Q] = Seq(kmvDistinct, zoneMaps, countMinFreq, bloomMembership,
+  def all: Seq[Q] = Seq(kmvDistinct, hllDistinct, zoneMaps, countMinFreq,
+    bloomMembership,
     layoutZorder)
 }
