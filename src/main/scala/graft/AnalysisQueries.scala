@@ -912,6 +912,135 @@ object AnalysisQueries {
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
         |ORDER BY acctbal DESC, s.s_name, w.p_partkey""".stripMargin))
 
+  /** TPC-H Q6 shape (forecast revenue change): the pure-scan query —
+    * no join, no group key, just three selective range predicates and
+    * one aggregate. Its entire 100 TB cost is whether the predicates
+    * reach the parquet reader: shipdate/discount/quantity are all
+    * plain comparisons on scan columns, so every one lands in
+    * PushedFilters and row-group zone-maps prune before decode
+    * (pinned in PlanShapeSpec). The four scanned columns are the
+    * ReadSchema — nothing else decompresses. DECIMAL revenue product,
+    * single-row output. */
+  val q6ForecastRevenue: Q = Q(
+    "tpch_q6_forecast_revenue",
+    (s, dir) => table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount") >= 0.03 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          col("l_discount").cast("decimal(18,2)"))
+          .cast("double").as("revenue_delta")),
+    Some(
+      """SELECT count(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue_delta
+        |FROM lineitem
+        |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin))
+
+  /** TPC-H Q14 shape (promotion effect): conditional-fraction aggregate
+    * over one month of fact⋈dim — promo revenue as a percentage of all
+    * revenue. The month filter prunes the fact scan BEFORE the join
+    * (PushedFilters), part broadcasts, and the CASE rides the same
+    * aggregate pass as the denominator — one scan, one broadcast, zero
+    * shuffles beyond the final 1-row agg. Both DECIMAL sums cast to
+    * double, then one pinned multiply-divide. */
+  val q14PromoEffect: Q = Q(
+    "tpch_q14_promo_effect",
+    (s, dir) => table(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-03-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .join(broadcast(table(s, dir, "part")
+        .select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO",
+          col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+          .otherwise(lit(BigDecimal(0)).cast("decimal(38,4)")))
+          .as("promo"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(BigDecimal(1)).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)"))).as("total"))
+      .select(
+        (col("promo").cast("double") * lit(100.0) /
+          col("total").cast("double")).as("promo_pct"),
+        col("promo").cast("double").as("promo_revenue"),
+        col("total").cast("double").as("total_revenue")),
+    Some(
+      """WITH a AS (
+        |  SELECT
+        |    SUM(CASE WHEN p_type = 'PROMO'
+        |             THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                  (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |             ELSE CAST(0 AS DECIMAL(38,4)) END) AS promo,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01')
+        |SELECT CAST(promo AS DOUBLE) * 100.0 / CAST(total AS DOUBLE) AS promo_pct,
+        |       CAST(promo AS DOUBLE) AS promo_revenue,
+        |       CAST(total AS DOUBLE) AS total_revenue
+        |FROM a""".stripMargin))
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    * OR of three conjunctions that each cross the join — brand/size
+    * from part AND a quantity band from lineitem. The textbook scale
+    * trap: the disjunction references both sides, so no single branch
+    * can push below the join and the filter runs post-join over the
+    * full fact table. The classic manual fix, applied here: the
+    * IMPLIED single-side envelopes (brand ∈ the three brands, size ≤
+    * the max band, quantity ≤ the max band) are added as redundant
+    * conjuncts — Catalyst pushes them into both scans (PushedFilters
+    * on brand list + quantity range), the broadcast side shrinks to
+    * the three brands, and the exact disjunction then evaluates over
+    * the pre-pruned join output. Semantics are unchanged (each
+    * envelope is implied by the OR); the scan cost drops from "all
+    * rows" to "rows any branch could accept". */
+  val q19Disjunctive: Q = Q(
+    "tpch_q19_disjunctive",
+    (s, dir) => {
+      val branch =
+        (col("p_brand") === "Brand#12" &&
+          col("p_size").between(1, 5) && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#20" &&
+          col("p_size").between(1, 10) && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#24" &&
+          col("p_size").between(1, 15) && col("l_quantity").between(20, 30))
+      table(s, dir, "lineitem")
+        .filter(col("l_quantity").between(1, 30))
+        .join(broadcast(table(s, dir, "part")
+          .filter(col("p_brand").isin("Brand#12", "Brand#20", "Brand#24") &&
+            col("p_size").between(1, 15))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(branch)
+        .agg(
+          count(lit(1)).as("n_lines"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("revenue"))
+    },
+    Some(
+      """SELECT count(*) AS n_lines,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |                (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |            AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -919,5 +1048,6 @@ object AnalysisQueries {
     revenueShare,
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
-    trendYoy, q2MinCostSupplier)
+    trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
+    q19Disjunctive)
 }

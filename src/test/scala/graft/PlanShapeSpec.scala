@@ -188,4 +188,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "BroadcastHashJoin") >= 2, p)
     assert(!p.contains("Window ["), p)
   }
+
+  test("tpch_q6: all three range predicates push into the parquet scan") {
+    val p = plan("tpch_q6_forecast_revenue")
+    // the scan node advertises PushedFilters; shipdate/discount/quantity
+    // must all appear (zone-map pruning at 100 TB depends on it)
+    val scanLine = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(scanLine.contains(c), s"$c not pushed: $scanLine")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("tpch_q19: implied envelopes push to both scans; part side broadcasts") {
+    val p = plan("tpch_q19_disjunctive")
+    // the redundant conjuncts are the whole point: brand IN-list on the
+    // part scan, quantity range on the lineitem scan
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("p_brand"), p)
+    assert(pushed.contains("l_quantity"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pagerank: rank frames stay small — adjacency joins are the only exchanges") {
+    val p = plan("graph_pagerank")
+    // the final executed plan is the LAST round's join + agg over
+    // lineage-cut (in-memory) rank frames: no window, no nested loop
+    assert(!p.contains("Window ["), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("winnowing: fingerprint join is a hash join keyed on the fingerprint") {
+    val p = plan("dedup_winnowing")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
