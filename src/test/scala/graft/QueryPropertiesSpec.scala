@@ -364,4 +364,71 @@ class QueryPropertiesSpec extends SparkSpec {
         s"copy doc $id (t=$t): $ss")
     }
   }
+
+  test("graph_pagerank: probability mass conserved up to floor error, teleport floor holds") {
+    val rows = Registry.queries("graph_pagerank")(spark, Sf)
+      .select("doc_id", "pr_scaled").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    spark.catalog.clearCache()
+    val S = 1000000000000L
+    val n = rows.length
+    val total = rows.map(_._2).sum
+    // every integer division floors away < 1 unit per contribution;
+    // with 8 rounds and |adj| contributions the loss stays far under 1%
+    assert(total <= S, s"mass exceeds scale: $total")
+    assert(total >= S - S / 100, s"mass leaked >1%: $total of $S")
+    // damped walk floor: no rank below the teleport share
+    val tele = S * 15L / (100L * n)
+    rows.foreach { case (d, r) =>
+      assert(r >= tele, s"doc $d rank $r below teleport $tele")
+    }
+    // exact-copy fixture docs (x and x+1000000) have identical
+    // neighborhoods in the jaccard graph, hence identical ranks
+    val byId = rows.toMap
+    byId.keys.filter(k => k >= 1000000 && k < 2000000).foreach { k =>
+      byId.get(k - 1000000).foreach { orig =>
+        assert(byId(k) == orig, s"copy $k rank ${byId(k)} != original $orig")
+      }
+    }
+  }
+
+  test("sketch_hll_distinct: corrected estimate within 3 standard errors of exact") {
+    val r = Registry.queries("sketch_hll_distinct")(spark, Sf).collect()(0)
+    spark.catalog.clearCache()
+    val m = r.getAs[Int]("m").toDouble
+    val vEmpty = r.getAs[Long]("v_empty").toDouble
+    val raw = r.getAs[Double]("est_distinct")
+    val exact = r.getAs[Long]("exact_distinct").toDouble
+    // the sketch row deliberately ships the RAW estimate + v_empty and
+    // leaves ln() to the consumer (libm is engine-specific, the oracle
+    // hash can't tolerate it) — this test IS that consumer: Flajolet's
+    // small-range switch to linear counting when E ≤ 2.5m
+    val est =
+      if (raw <= 2.5 * m && vEmpty > 0) m * math.log(m / vEmpty) else raw
+    // m=256 → stderr ≈ 1.04/√256 = 6.5%; 3σ ≈ 19.5%
+    assert(math.abs(est / exact - 1.0) <= 0.195,
+      s"HLL corrected $est (raw $raw, V $vEmpty) vs exact $exact out of 3σ")
+  }
+
+  test("dedup_winnowing: planted exact copies surface at full containment") {
+    val pairs = Registry.queries("dedup_winnowing")(spark, Sf)
+      .select("i", "j", "containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    spark.catalog.clearCache()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // an exact copy shares every fingerprint (unless the df-cap ate
+    // them all: the %7 fixture docs are ordinary corpus text, so at
+    // test scale their fingerprints stay under the cap)
+    val copies = spark.read.parquet(s"$Sf/documents.parquet")
+      .filter(col("doc_id") % 7 === 0)
+      .select("doc_id").collect().map(_.getLong(0))
+    var found = 0
+    copies.foreach { d =>
+      byPair.get((d, d + 1000000)).foreach { c =>
+        assert(c == 1.0, s"exact copy pair ($d,${d + 1000000}) containment $c")
+        found += 1
+      }
+    }
+    assert(found > 0, "no exact-copy pair surfaced at all")
+  }
 }

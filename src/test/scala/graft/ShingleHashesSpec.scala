@@ -53,4 +53,26 @@ class ShingleHashesSpec extends SparkSpec {
       .collect()(0)
     assert(withNull.getSeq[Any](0) == withNull.getSeq[Any](1))
   }
+
+  test("ordered (positional) shingles: first-occurrence distinct == the deduped chain") {
+    // winnowing consumes the POSITIONAL sequence; its distinct must be
+    // exactly what every other dedup consumer hashes, or the families
+    // would silently index different shingle universes
+    val p = Prop.forAll(docGen) { toks: List[String] =>
+      val row = Seq(Tuple1(toks)).toDF("t")
+        .select(
+          H.orderedShingleHashesFrom(H.tokenHashes(col("t"))).as("ordered"),
+          H.shingleHashesFrom(H.tokenHashes(col("t"))).as("deduped"))
+        .collect()(0)
+      val ordered = row.getSeq[Any](0)
+      val expectedLen = math.max(toks.length - 2, 0)
+      ordered.length == expectedLen &&
+        ordered.distinct == row.getSeq[Any](1)
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(60)
+        .withInitialSeed(org.scalacheck.rng.Seed(23L)), p)
+    assert(res.passed, res.status.toString)
+  }
 }
