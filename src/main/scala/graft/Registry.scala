@@ -35,7 +35,8 @@ object Registry {
     DqQueries.all ++ TextQueries.all ++ DedupQueries.all ++
     SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
     CurateQueries.all ++ PackQueries.all ++ TemporalJoinQueries.all ++
-    CorpusQueries.all ++ JoinPatternQueries.all ++ SketchQueries.all
+    CorpusQueries.all ++ JoinPatternQueries.all ++ SketchQueries.all ++
+    TpchQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
