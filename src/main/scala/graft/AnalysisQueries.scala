@@ -1041,6 +1041,65 @@ object AnalysisQueries {
         |   OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin))
 
+  /** Retention cohort triangle: users bucketed by first-activity week,
+    * tracked across later weeks — the canonical product-analytics cohort
+    * query. Weeks are exact integer day-offsets from the corpus epoch
+    * divided by 7 (calendar-week truncation differs in locale defaults
+    * across engines; the epoch-offset week is engine-neutral). Plan: ONE
+    * heavy shuffle — `collect_set(week)` per user with map-side partial
+    * dedup, per-user state bounded by the CALENDAR (distinct weeks in
+    * the corpus span), never by activity volume; cohort week is
+    * `array_min` on the set, offsets explode from it, and the (cohort,
+    * offset) aggregate shuffles one row per user-week. Cohort size rides
+    * a partitioned window over the ≤|weeks|² aggregate rows — no global
+    * window anywhere. */
+  val retentionCohorts: Q = Q(
+    "events_retention_cohorts",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val week = floor(
+        datediff(col("ts").cast("date"), lit("2024-01-01")) / lit(7.0))
+        .cast("int").as("week")
+      val perUser = graft.etl.Sources.events(s, dir)
+        .select(col("user_id"), week)
+        .groupBy(col("user_id"))
+        .agg(collect_set(col("week")).as("weeks"))
+        .select(array_min(col("weeks")).as("cohort_week"),
+          explode(col("weeks")).as("week"))
+      val tri = perUser
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      tri.withColumn("cohort_size",
+          sum(when(col("week_offset") === 0, col("n_users")))
+            .over(Window.partitionBy(col("cohort_week"))))
+        .select(col("cohort_week"), col("week_offset"), col("n_users"),
+          col("cohort_size"),
+          (col("n_users").cast("double") / col("cohort_size").cast("double"))
+            .as("retention_pct"))
+        .orderBy("cohort_week", "week_offset")
+    },
+    Some(
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(FLOOR(datediff('day', DATE '2024-01-01',
+        |                             CAST(ts AS DATE)) / 7.0) AS INT) AS week
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id),
+        |tri AS (
+        |  SELECT cohort_week, week - cohort_week AS week_offset,
+        |         count(*) AS n_users
+        |  FROM uw JOIN c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_users,
+        |       SUM(CASE WHEN week_offset = 0 THEN n_users END)
+        |         OVER (PARTITION BY cohort_week) AS cohort_size,
+        |       CAST(n_users AS DOUBLE) /
+        |       CAST(SUM(CASE WHEN week_offset = 0 THEN n_users END)
+        |              OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention_pct
+        |FROM tri
+        |ORDER BY cohort_week, week_offset""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1049,5 +1108,5 @@ object AnalysisQueries {
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
-    q19Disjunctive)
+    q19Disjunctive, retentionCohorts)
 }

@@ -217,5 +217,60 @@ object DqQueries {
         |GROUP BY e.event_type
         |ORDER BY event_type""".stripMargin))
 
-  def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr)
+  /** Distribution-drift report between two time slices of the event
+    * stream — the check a pipeline runs before accepting a new batch
+    * whose category mix may have shifted. Statistic: per-category total
+    * variation distance contributions, kept EXACT until the last step —
+    * |cnt_a·N_b − cnt_b·N_a| is BIGINT arithmetic (a PSI/KL formulation
+    * needs log, whose libm rounding differs across engines; TVD needs
+    * only |·|), divided once in DOUBLE by 2·N_a·N_b. Plan: ONE pass over
+    * events with conditional sums per category (a type present in only
+    * one slice still surfaces — no join, no second scan); the 1-row
+    * totals re-aggregate from the grouped table and broadcast back. */
+  val driftTvd: Q = Q(
+    "dq_drift_tvd",
+    (s, dir) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val perType = graft.etl.Sources.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          sum(when(col("ts") < cut, 1L).otherwise(0L)).as("cnt_a"),
+          sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("cnt_b"))
+      val totals = perType.agg(
+        sum(col("cnt_a")).as("total_a"), sum(col("cnt_b")).as("total_b"))
+      perType.crossJoin(broadcast(totals))
+        .select(col("event_type"), col("cnt_a"), col("cnt_b"),
+          (col("cnt_a").cast("double") / col("total_a").cast("double"))
+            .as("share_a"),
+          (col("cnt_b").cast("double") / col("total_b").cast("double"))
+            .as("share_b"),
+          abs(col("cnt_a") * col("total_b") - col("cnt_b") * col("total_a"))
+            .as("abs_diff_num"),
+          (abs(col("cnt_a") * col("total_b") - col("cnt_b") * col("total_a"))
+            .cast("double") /
+            (lit(2L) * col("total_a") * col("total_b")).cast("double"))
+            .as("tvd_contribution"))
+        .orderBy("event_type")
+    },
+    Some(
+      """WITH p AS (
+        |  SELECT event_type,
+        |         CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+        |         CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |                  THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        |  FROM events GROUP BY event_type),
+        |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS total_a,
+        |             CAST(SUM(cnt_b) AS BIGINT) AS total_b FROM p)
+        |SELECT event_type, cnt_a, cnt_b,
+        |       CAST(cnt_a AS DOUBLE) / CAST(total_a AS DOUBLE) AS share_a,
+        |       CAST(cnt_b AS DOUBLE) / CAST(total_b AS DOUBLE) AS share_b,
+        |       abs(cnt_a * total_b - cnt_b * total_a) AS abs_diff_num,
+        |       CAST(abs(cnt_a * total_b - cnt_b * total_a) AS DOUBLE) /
+        |       CAST(2 * total_a * total_b AS DOUBLE) AS tvd_contribution
+        |FROM p, t
+        |ORDER BY event_type""".stripMargin))
+
+  def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr,
+    driftTvd)
 }
