@@ -225,8 +225,10 @@ object DqQueries {
     * needs log, whose libm rounding differs across engines; TVD needs
     * only |·|), divided once in DOUBLE by 2·N_a·N_b. Plan: ONE pass over
     * events with conditional sums per category (a type present in only
-    * one slice still surfaces — no join, no second scan); the 1-row
-    * totals re-aggregate from the grouped table and broadcast back. */
+    * one slice still surfaces — no join, no second scan); the grouped
+    * table PERSISTS (category-cardinality rows — bytes) so the 1-row
+    * totals genuinely re-aggregate from it rather than replanning the
+    * event scan, and broadcast back. */
   val driftTvd: Q = Q(
     "dq_drift_tvd",
     (s, dir) => {
@@ -236,6 +238,7 @@ object DqQueries {
         .agg(
           sum(when(col("ts") < cut, 1L).otherwise(0L)).as("cnt_a"),
           sum(when(col("ts") >= cut, 1L).otherwise(0L)).as("cnt_b"))
+        .persist()
       val totals = perType.agg(
         sum(col("cnt_a")).as("total_a"), sum(col("cnt_b")).as("total_b"))
       perType.crossJoin(broadcast(totals))

@@ -223,4 +223,56 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("tpch_q18: one fact aggregation, survivors broadcast back, TakeOrdered top-100") {
+    val p = plan("tpch_q18_large_volume")
+    // the quantity agg is the only hash exchange; the IN-subquery shape
+    // must NOT plan a second lineitem aggregation or shuffle orders
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("tpch_q21: EXISTS/NOT-EXISTS plan as semi + anti hash joins, no nested loop") {
+    val p = plan("tpch_q21_waiting_orders")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("tpch_q16: distinct supplier count plans without Expand; denylist is a broadcast anti join") {
+    val p = plan("tpch_q16_supplier_cnt")
+    assert(!p.contains("Expand"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tpch_q13: zero-order customers survive — left outer join, two aggregations") {
+    val p = plan("tpch_q13_customer_distribution")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("drift report: ONE pass over events — both consumers read the cached aggregate") {
+    val p = plan("dq_drift_tvd")
+    // the per-type aggregate persists; its plan (with the single events
+    // FileScan) prints under the InMemoryRelation for BOTH consumers,
+    // so count DISTINCT exchange plan ids, not string occurrences
+    assert(count(p, "InMemoryTableScan") == 2, p)
+    val hashExchangeIds = "Exchange hashpartitioning[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(hashExchangeIds.size == 1, p)
+  }
+
+  test("retention cohorts: no global window; per-user set aggregate is the heavy shuffle") {
+    val p = plan("events_retention_cohorts")
+    // every Window must be partitioned (no empty partition spec =
+    // single-partition global window)
+    assert(!p.contains("Window [") ||
+      !p.linesIterator.exists(l => l.contains("Window [") &&
+        l.contains("partitionBy=[]")), p)
+    assert(p.contains("ObjectHashAggregate"), p) // collect_set
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+  }
 }
