@@ -1100,6 +1100,54 @@ object AnalysisQueries {
         |FROM tri
         |ORDER BY cohort_week, week_offset""".stripMargin))
 
+  /** Rolling 7-day active users per day (DAU/WAU/stickiness) — the
+    * sliding-window DISTINCT count, which no window frame can express
+    * (distinct doesn't decompose over frame slides). Shape: the distinct
+    * (user, day) activity set explodes each row into the ≤7 trailing
+    * window-days it serves, a second distinct collapses multi-day users
+    * per window, and the per-window count shuffles one row per
+    * user-window pair — a constant 7× linear expansion, never a
+    * per-window user-set buffer. Window days past the corpus edge are
+    * clipped against the broadcast 1-row max. DAU attaches by joining
+    * the two tiny per-day aggregates. */
+  val rollingActive: Q = Q(
+    "events_rolling_active",
+    (s, dir) => {
+      val day = datediff(col("ts").cast("date"), lit("2024-01-01")).as("day")
+      val uw = graft.etl.Sources.events(s, dir)
+        .select(col("user_id"), day).distinct()
+      val dau = uw.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      val maxDay = uw.agg(max(col("day")).as("max_day"))
+      val wau = uw
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 6)).as("window_day"))
+        .crossJoin(broadcast(maxDay))
+        .filter(col("window_day") <= col("max_day"))
+        .select(col("user_id"), col("window_day")).distinct()
+        .groupBy(col("window_day")).agg(count(lit(1)).as("wau7"))
+      dau.join(wau, col("day") === col("window_day"))
+        .select(col("day"), col("dau"), col("wau7"),
+          (col("dau").cast("double") / col("wau7").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day
+        |  FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM uw GROUP BY day),
+        |m AS (SELECT MAX(day) AS max_day FROM uw),
+        |expand AS (
+        |  SELECT DISTINCT user_id, day + off AS window_day
+        |  FROM uw, (SELECT unnest(generate_series(0, 6)) AS off), m
+        |  WHERE day + off <= max_day),
+        |wau AS (SELECT window_day, count(*) AS wau7 FROM expand GROUP BY window_day)
+        |SELECT day, dau, wau7,
+        |       CAST(dau AS DOUBLE) / CAST(wau7 AS DOUBLE) AS stickiness
+        |FROM dau JOIN wau ON day = window_day
+        |ORDER BY day""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1108,5 +1156,5 @@ object AnalysisQueries {
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
-    q19Disjunctive, retentionCohorts)
+    q19Disjunctive, retentionCohorts, rollingActive)
 }
