@@ -431,4 +431,47 @@ class QueryPropertiesSpec extends SparkSpec {
     }
     assert(found > 0, "no exact-copy pair surfaced at all")
   }
+
+  test("retention cohorts: triangle invariants — full offset-0 diagonal, bounded pct, user conservation") {
+    val tri = Registry.queries("events_retention_cohorts")(spark, Sf).collect()
+    assert(tri.nonEmpty)
+    val byCohort = tri.groupBy(_.getAs[Int]("cohort_week"))
+    byCohort.foreach { case (cw, rows) =>
+      val zero = rows.filter(_.getAs[Int]("week_offset") == 0)
+      assert(zero.length == 1, s"cohort $cw missing its offset-0 row")
+      val size = zero.head.getAs[Long]("cohort_size")
+      assert(zero.head.getAs[Long]("n_users") == size,
+        s"cohort $cw: offset-0 count != cohort_size")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_users") <= size, s"cohort $cw overflows its size")
+        val pct = r.getAs[Double]("retention_pct")
+        assert(pct > 0.0 && pct <= 1.0, s"cohort $cw pct $pct out of range")
+        assert(r.getAs[Int]("week_offset") >= 0)
+      }
+    }
+    // every user lands in exactly one cohort: sizes sum to the user count
+    val users = graft.etl.Sources.events(spark, Sf)
+      .select("user_id").distinct().count()
+    val sizes = byCohort.values.map(_.head.getAs[Long]("cohort_size")).sum
+    assert(sizes == users, s"cohort sizes $sizes != distinct users $users")
+  }
+
+  test("rolling active: wau7 dominates dau and the trailing-window union, tvd drift sums below 1") {
+    val roll = Registry.queries("events_rolling_active")(spark, Sf).collect()
+      .map(r => r.getAs[Int]("day") ->
+        (r.getAs[Long]("dau"), r.getAs[Long]("wau7"))).toMap
+    assert(roll.nonEmpty)
+    roll.foreach { case (d, (dau, wau)) =>
+      assert(wau >= dau, s"day $d: wau $wau < dau $dau")
+      // union bound: the 7-day distinct can't exceed the sum of DAUs
+      val ub = (d - 6 to d).flatMap(roll.get).map(_._1).sum
+      assert(wau <= ub, s"day $d: wau $wau exceeds trailing DAU sum $ub")
+      val stick = dau.toDouble / wau.toDouble
+      assert(stick > 0.0 && stick <= 1.0)
+    }
+    val tvd = Registry.queries("dq_drift_tvd")(spark, Sf)
+      .agg(sum(col("tvd_contribution"))).collect().head.getDouble(0)
+    spark.catalog.clearCache()
+    assert(tvd >= 0.0 && tvd <= 1.0, s"TVD $tvd outside [0,1]")
+  }
 }
