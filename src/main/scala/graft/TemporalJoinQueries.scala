@@ -586,7 +586,62 @@ object TemporalJoinQueries {
         |LEFT JOIN p ON u.user_id = p.user_id
         |ORDER BY u.user_id""".stripMargin))
 
+  /** Incremental materialized-view maintenance: fold a new batch into a
+    * stored monthly aggregate WITHOUT rescanning history — the
+    * partial-merge property (SUM/COUNT decompose over unions) that makes
+    * warehouse MVs incrementally maintainable. The base branch stands in
+    * for reading the stored MV state (group-cardinality rows; at 100 TB
+    * that's the table you persist, never the fact); the delta branch
+    * pre-aggregates ONLY the batch window, and the merge is a union of
+    * the two partial tables re-grouped — its shuffle carries one row per
+    * (source, month), independent of fact size. `changed` marks rows the
+    * batch touched (max over a 0/1 source tag), the refresh log a
+    * downstream cache invalidation consumes. */
+  val mvIncremental: Q = Q(
+    "mv_incremental_month",
+    (s, dir) => {
+      val ord = Sources.table(s, dir, "orders")
+      def monthly(df: org.apache.spark.sql.DataFrame, tag: Int) = df
+        .groupBy(year(col("o_orderdate")).as("anio"),
+          month(col("o_orderdate")).as("mes"))
+        .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"),
+          count(lit(1)).as("n"))
+        .withColumn("src", lit(tag))
+      val base = monthly(
+        ord.filter(col("o_orderdate").cast("date") < lit("2000-01-01")), 0)
+      val delta = monthly(
+        ord.filter(col("o_orderdate").cast("date") >= lit("2000-01-01") &&
+          col("o_orderdate").cast("date") < lit("2000-07-01")), 1)
+      base.unionByName(delta)
+        .groupBy(col("anio"), col("mes"))
+        .agg(sum(col("rev_dec")).cast("double").as("revenue"),
+          sum(col("n")).as("n_orders"),
+          (max(col("src")) === 1).as("changed"))
+        .orderBy("anio", "mes")
+    },
+    Some(
+      """WITH base AS (
+        |  SELECT year(o_orderdate) AS anio, month(o_orderdate) AS mes,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |         count(*) AS n, 0 AS src
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '2000-01-01'
+        |  GROUP BY 1, 2),
+        |delta AS (
+        |  SELECT year(o_orderdate) AS anio, month(o_orderdate) AS mes,
+        |         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec,
+        |         count(*) AS n, 1 AS src
+        |  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '2000-01-01'
+        |                AND CAST(o_orderdate AS DATE) <  DATE '2000-07-01'
+        |  GROUP BY 1, 2)
+        |SELECT anio, mes,
+        |       CAST(SUM(rev_dec) AS DOUBLE) AS revenue,
+        |       CAST(SUM(n) AS BIGINT) AS n_orders,
+        |       MAX(src) = 1 AS changed
+        |FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+        |GROUP BY anio, mes
+        |ORDER BY anio, mes""".stripMargin))
+
   def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
     asofNextError, scd2State, funnel, cdcMerge, asofNative,
-    asofForwardNative, attribution, goldenRecord)
+    asofForwardNative, attribution, goldenRecord, mvIncremental)
 }

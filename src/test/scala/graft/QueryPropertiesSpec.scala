@@ -474,4 +474,29 @@ class QueryPropertiesSpec extends SparkSpec {
     spark.catalog.clearCache()
     assert(tvd >= 0.0 && tvd <= 1.0, s"TVD $tvd outside [0,1]")
   }
+
+  test("mv incremental merge equals the monolithic recompute, changed rows are exactly the batch months") {
+    val inc = Registry.queries("mv_incremental_month")(spark, Sf).collect()
+    assert(inc.nonEmpty)
+    // monolithic recompute over the same horizon — a DIFFERENT
+    // formulation (single aggregate, no union of partials)
+    val full = graft.etl.Sources.table(spark, Sf, "orders")
+      .filter(col("o_orderdate").cast("date") < lit("2000-07-01"))
+      .groupBy(year(col("o_orderdate")).as("anio"),
+        month(col("o_orderdate")).as("mes"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+        .as("revenue"), count(lit(1)).as("n_orders"))
+      .collect()
+      .map(r => (r.getAs[Int]("anio"), r.getAs[Int]("mes")) ->
+        (r.getAs[Double]("revenue"), r.getAs[Long]("n_orders"))).toMap
+    assert(inc.length == full.size)
+    inc.foreach { r =>
+      val key = (r.getAs[Int]("anio"), r.getAs[Int]("mes"))
+      val (rev, n) = full(key)
+      assert(r.getAs[Double]("revenue") == rev, s"$key revenue mismatch")
+      assert(r.getAs[Long]("n_orders") == n, s"$key count mismatch")
+      val inBatch = key._1 == 2000 && key._2 <= 6
+      assert(r.getAs[Boolean]("changed") == inBatch, s"$key changed flag wrong")
+    }
+  }
 }
