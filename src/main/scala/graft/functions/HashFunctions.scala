@@ -90,10 +90,24 @@ object HashFunctions {
     s"CASE WHEN len(hs) >= $n THEN list_distinct(list_transform(generate_series(1, len(hs) - ${n - 1}), i -> $combine)) ELSE [] END"
   }
 
+  /** POSITIONAL n-gram shingle hashes straight from the token array —
+    * the native kernel in ordered mode (no dedup; element p is the
+    * shingle starting at token p). Same 12.7 s → sub-second win over
+    * the interpreted HOF chain as [[shingleHashesOfTokens]]; pinned
+    * value-identical to [[orderedShingleHashesFrom]] by
+    * ShingleHashesSpec. */
+  def orderedShingleHashesOfTokens(toks: Column, n: Int = 3): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(graft.plans.ShingleHashes(Bridge.expression(toks), n,
+      ordered = true))
+  }
+
   /** POSITIONAL n-gram shingle hashes — [[shingleHashesFrom]] without
     * the distinct: element p is the hash of the shingle starting at
     * token p, in document order. Position-sensitive consumers
-    * (winnowing's sliding window) need the sequence, not the set. */
+    * (winnowing's sliding window) need the sequence, not the set.
+    * HOF formulation — kept as [[orderedShingleHashesOfTokens]]'s
+    * property-test twin. */
   def orderedShingleHashesFrom(hs: Column, n: Int = 3): Column =
     when(size(hs) >= n,
       transform(sequence(lit(1), size(hs) - (n - 1)), i =>

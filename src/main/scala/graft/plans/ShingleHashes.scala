@@ -27,7 +27,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   * array, a null token nulls exactly the shingles containing it
   * (array_distinct keeps one null).
   */
-case class ShingleHashes(child: Expression, n: Int)
+case class ShingleHashes(child: Expression, n: Int,
+    ordered: Boolean = false)
     extends UnaryExpression {
 
   require(n >= 1, s"shingle width must be >= 1, got $n")
@@ -39,14 +40,19 @@ case class ShingleHashes(child: Expression, n: Int)
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
-  override def prettyName: String = "graft_shingles"
+  override def prettyName: String =
+    if (ordered) "graft_shingles_ordered" else "graft_shingles"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+    if (ordered) ShingleHashes.computeOrdered(input.asInstanceOf[ArrayData], n)
+    else ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.plans.ShingleHashes.compute($c, $n);")
+      if (ordered)
+        s"${ev.value} = graft.plans.ShingleHashes.computeOrdered($c, $n);"
+      else
+        s"${ev.value} = graft.plans.ShingleHashes.compute($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
@@ -100,5 +106,38 @@ object ShingleHashes {
       j += 1
     }
     new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** tokens → POSITIONAL hashed n-gram shingles (no dedup): element p
+    * is the hash of the shingle starting at token p, in document order
+    * — winnowing's sliding window needs the sequence, not the set.
+    * Same token-hash pass and rolling combine as [[compute]]; a null
+    * token nulls exactly the shingles containing it. */
+  def computeOrdered(tokens: ArrayData, n: Int): ArrayData = {
+    val sz = tokens.numElements()
+    if (sz < n) return new GenericArrayData(Array.empty[Any])
+    val th = new Array[Long](sz)
+    val thNull = new Array[Boolean](sz)
+    var i = 0
+    while (i < sz) {
+      if (tokens.isNullAt(i)) thNull(i) = true
+      else th(i) = hashToken(tokens.getUTF8String(i).toString)
+      i += 1
+    }
+    val out = new Array[Any](sz - n + 1)
+    var j = 0
+    while (j <= sz - n) {
+      var hasNull = false
+      var k = 0
+      while (k < n) { if (thNull(j + k)) hasNull = true; k += 1 }
+      if (!hasNull) {
+        var acc = th(j)
+        k = 1
+        while (k < n) { acc = (acc * Mul + th(j + k)) % Mod; k += 1 }
+        out(j) = java.lang.Long.valueOf(acc)
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -62,12 +62,14 @@ class ShingleHashesSpec extends SparkSpec {
       val row = Seq(Tuple1(toks)).toDF("t")
         .select(
           H.orderedShingleHashesFrom(H.tokenHashes(col("t"))).as("ordered"),
-          H.shingleHashesFrom(H.tokenHashes(col("t"))).as("deduped"))
+          H.shingleHashesFrom(H.tokenHashes(col("t"))).as("deduped"),
+          H.orderedShingleHashesOfTokens(col("t")).as("native"))
         .collect()(0)
       val ordered = row.getSeq[Any](0)
       val expectedLen = math.max(toks.length - 2, 0)
       ordered.length == expectedLen &&
-        ordered.distinct == row.getSeq[Any](1)
+        ordered.distinct == row.getSeq[Any](1) &&
+        row.getSeq[Any](2) == ordered // native ordered kernel == HOF twin
     }
     val res = SCTest.check(
       SCTest.Parameters.default
