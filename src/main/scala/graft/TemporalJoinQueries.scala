@@ -641,7 +641,100 @@ object TemporalJoinQueries {
         |GROUP BY anio, mes
         |ORDER BY anio, mes""".stripMargin))
 
+  /** Interval×interval OVERLAP join — the temporal-join shape
+    * [[rangeBurst]] (point-in-window) can't express: both sides are
+    * ranges. Left side: per-user activity sessions (30-min gap rule —
+    * the sessionization window). Right side: data-derived "incident"
+    * windows — hours whose event count exceeds 1.5× the hourly mean
+    * (compared as cnt·2·n_hours > total·3, exact integer arithmetic),
+    * merged into maximal runs by the gaps-and-islands trick (h −
+    * row_number; that global window ranks qualifying HOURS — calendar-
+    * bounded, never event-bounded). The join bucketizes BOTH interval
+    * sets into the hour grid and equi-joins on the bucket — replication
+    * = interval_length/bucket + 1, no nested-loop join — then the exact
+    * overlap predicate filters bucket-local candidates and a distinct
+    * collapses pairs that met in several buckets. The ORACLE runs the
+    * unblocked theta join (crossing formulations, not just engines).
+    * All bounds are epoch-micros BIGINTs; `div` keeps the bucketing in
+    * integer arithmetic on both engines. */
+  val intervalOverlap: Q = Q(
+    "events_interval_overlap",
+    (s, dir) => {
+      val HourUs = 3600000000L
+      val GapUs = 1800000000L
+      val e = Sources.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val sess = e
+        .withColumn("prev", lag(col("us"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("us") - col("prev") > GapUs, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(w))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+      val hourly = e.groupBy(expr(s"us div $HourUs").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+        .persist()
+      val tot = hourly.agg(sum(col("cnt")).as("total"),
+        count(lit(1)).as("n_hours"))
+      val inc = hourly.crossJoin(broadcast(tot))
+        .filter(col("cnt") * 2 * col("n_hours") > col("total") * 3)
+        .select(col("h"))
+        .withColumn("rn", row_number().over(Window.orderBy(col("h"))))
+        .groupBy((col("h") - col("rn")).as("isl"))
+        .agg((min(col("h")) * HourUs).as("i_start"),
+          ((max(col("h")) + 1) * HourUs - 1).as("i_end"))
+        .drop("isl")
+      val sessB = sess.select(col("user_id"), col("s_start"), col("s_end"),
+        explode(sequence(expr(s"s_start div $HourUs"),
+          expr(s"s_end div $HourUs"))).as("hb"))
+      val incB = inc.select(col("i_start"), col("i_end"),
+        explode(sequence(expr(s"i_start div $HourUs"),
+          expr(s"i_end div $HourUs"))).as("hb"))
+      sessB.join(incB, Seq("hb"))
+        .filter(col("s_start") <= col("i_end") &&
+          col("i_start") <= col("s_end"))
+        .select(col("user_id"), col("s_start"), col("s_end"),
+          col("i_start"), col("i_end"))
+        .distinct()
+        .withColumn("overlap_us",
+          least(col("s_end"), col("i_end")) -
+            greatest(col("s_start"), col("i_start")))
+        .orderBy("user_id", "s_start", "i_start")
+    },
+    Some(
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |s0 AS (SELECT user_id, us,
+        |              lag(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+        |       FROM e),
+        |s1 AS (SELECT user_id, us,
+        |              CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |                   THEN 1 ELSE 0 END AS new_s
+        |       FROM s0),
+        |s2 AS (SELECT user_id, us,
+        |              SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                               ROWS UNBOUNDED PRECEDING) AS sid
+        |       FROM s1),
+        |sess AS (SELECT user_id, sid, MIN(us) AS s_start, MAX(us) AS s_end
+        |         FROM s2 GROUP BY 1, 2),
+        |hourly AS (SELECT us // 3600000000 AS h, count(*) AS cnt
+        |           FROM e GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+        |               CAST(count(*) AS BIGINT) AS n_hours FROM hourly),
+        |hot AS (SELECT h FROM hourly, tot WHERE cnt * 2 * n_hours > total * 3),
+        |inc AS (
+        |  SELECT MIN(h) * 3600000000 AS i_start,
+        |         (MAX(h) + 1) * 3600000000 - 1 AS i_end
+        |  FROM (SELECT h, h - row_number() OVER (ORDER BY h) AS isl FROM hot)
+        |  GROUP BY isl)
+        |SELECT user_id, s_start, s_end, i_start, i_end,
+        |       least(s_end, i_end) - greatest(s_start, i_start) AS overlap_us
+        |FROM sess JOIN inc ON s_start <= i_end AND i_start <= s_end
+        |ORDER BY user_id, s_start, i_start""".stripMargin))
+
   def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
     asofNextError, scd2State, funnel, cdcMerge, asofNative,
-    asofForwardNative, attribution, goldenRecord, mvIncremental)
+    asofForwardNative, attribution, goldenRecord, mvIncremental,
+    intervalOverlap)
 }
