@@ -38,8 +38,11 @@ object TpchQueries {
   val q7VolumeShipping: Q = Q(
     "tpch_q7_volume_shipping",
     (s, dir) => {
+      // range form (not year(..) IN): only an explicit min/max range
+      // reaches the parquet scan's PushedFilters
       val li = table(s, dir, "lineitem")
-        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_orderkey"), col("l_suppkey"),
           year(col("l_shipdate")).as("l_year"),
           col("l_extendedprice"), col("l_discount"))
@@ -74,7 +77,8 @@ object TpchQueries {
         |JOIN nation cn ON c_nationkey = cn.n_nationkey
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation sn ON s_nationkey = sn.n_nationkey
-        |WHERE year(l_shipdate) IN (1995, 1996)
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') OR
         |       (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
         |GROUP BY 1, 2, 3
@@ -339,7 +343,8 @@ object TpchQueries {
       val promoParts = table(s, dir, "part")
         .filter(col("p_type") === "PROMO").select(col("p_partkey"))
       val activeSupp = table(s, dir, "lineitem")
-        .filter(year(col("l_shipdate")) === 1996)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
         .join(broadcast(promoParts), col("l_partkey") === col("p_partkey"),
           "left_semi")
@@ -361,7 +366,8 @@ object TpchQueries {
         |FROM supplier
         |WHERE s_suppkey IN (
         |  SELECT l_suppkey FROM lineitem
-        |  WHERE year(l_shipdate) = 1996
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
         |    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
         |  GROUP BY l_suppkey, l_partkey
         |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 40)
@@ -474,8 +480,50 @@ object TpchQueries {
         |GROUP BY c_nationkey
         |ORDER BY c_nationkey""".stripMargin))
 
+  /** TPC-H Q12 shape (shipping-mode priority check): per category, count
+    * orders split by a priority predicate — the two-CASE-counts-per-
+    * group pattern with a pushed date range. l_linestatus stands in for
+    * the absent l_shipmode, shipped->60-days-late for the absent
+    * commit/receipt pair; the critical predicate (o_orderpriority IN
+    * high set) evaluates CROSS-SIDE (order attr under a lineitem group)
+    * after the key join, both CASE sums in ONE aggregate pass. The ship-
+    * year range lands in the fact scan's PushedFilters. */
+  val q12ShipmodePriority: Q = Q(
+    "tpch_q12_shipmode_priority",
+    (s, dir) => {
+      // explicit range, not year(..) IN (..): the function form is not
+      // a pushable parquet predicate (verified: only IsNotNull reached
+      // PushedFilters), the range lands as min/max row-group filters
+      val li = table(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"))
+      val ord = table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val isHigh = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(isHigh, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(isHigh, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    Some(
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_linestatus
+        |ORDER BY l_linestatus""".stripMargin))
+
   def all: Seq[Q] = Seq(
     q7VolumeShipping, q9ProductProfit, q11ImportantStock,
-    q13CustomerDistribution, q15TopSupplier, q16SupplierCnt,
-    q18LargeVolume, q20PartPromotion, q21WaitingOrders, q22GlobalSales)
+    q12ShipmodePriority, q13CustomerDistribution, q15TopSupplier,
+    q16SupplierCnt, q18LargeVolume, q20PartPromotion, q21WaitingOrders,
+    q22GlobalSales)
 }

@@ -265,6 +265,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(hashExchangeIds.size == 1, p)
   }
 
+  test("tpch_q9: filtered part dim broadcasts ahead of the wider joins; no SMJ") {
+    val p = plan("tpch_q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tpch_q20: the narrowing chain is all semi joins") {
+    val p = plan("tpch_q20_part_promotion")
+    assert(count(p, "LeftSemi") >= 2, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("tpch_q22: inactivity check is a broadcast anti join; avg gate broadcasts") {
+    val p = plan("tpch_q22_global_sales")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("tpch_q12: ship-date range pushes into the fact scan") {
+    val p = plan("tpch_q12_shipmode_priority")
+    // extract ONLY the PushedFilters bracket (the whole FileScan line
+    // also prints DataFilters — a bare substring match passes vacuously)
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findAllIn(p).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(pushed.contains("LessThan(l_shipdate"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("retention cohorts: no global window; per-user set aggregate is the heavy shuffle") {
     val p = plan("events_retention_cohorts")
     // every Window must be partitioned (no empty partition spec =
