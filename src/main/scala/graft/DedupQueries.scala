@@ -328,13 +328,14 @@ object DedupQueries {
     "dedup_passages",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      // positional grams from the native ordered shingle kernel —
+      // measured neutral here (1.96→1.88 s; the winnowing-dominating
+      // fold chain wasn't this query's bottleneck) but the kernel's
+      // values put passages in the SAME shingle universe as every
+      // other dedup consumer, one formula both engines mirror
       val inst = corpus(s, dir)
-        .select(col("doc_id"), H.tokenHashes(T.tokens(col("text"))).as("hs"))
-        .filter(size(col("hs")) >= 3)
         .select(col("doc_id"),
-          posexplode(transform(sequence(lit(1), size(col("hs")) - 2), i =>
-            (element_at(col("hs"), i) * 8191 + element_at(col("hs"), i + 1))
-              .%(lit(T.HashMod)) * 8191 + element_at(col("hs"), i + 2)))
+          posexplode(H.orderedShingleHashesOfTokens(T.tokens(col("text"))))
             .as(Seq("pos", "g")))
       val hot = inst.select(col("doc_id"), col("g")).distinct()
         .groupBy(col("g")).agg(count(lit(1)).as("n_docs"))
@@ -359,8 +360,7 @@ object DedupQueries {
          |gi AS (
          |  SELECT doc_id,
          |         unnest(generate_series(1, len(hs) - 2)) - 1 AS pos,
-         |         unnest(list_transform(generate_series(1, len(hs) - 2),
-         |           i -> ((hs[i] * 8191 + hs[i + 1]) % ${T.HashMod}) * 8191 + hs[i + 2])) AS g
+         |         unnest(${H.orderedShingleHashesSql()}) AS g
          |  FROM th WHERE len(hs) >= 3),
          |hot AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM gi) dg
          |        GROUP BY g HAVING count(*) >= 2),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.Registry.Q
 import graft.etl.Sources.table
 import graft.functions.{TextFunctions => T}
+import graft.functions.{HashFunctions => H}
 
 /** Text-analysis operators over the `documents` table (language-ID,
   * quality scoring, token counting, fingerprinting) — each the same
@@ -128,18 +129,12 @@ object TextQueries {
   val repetition: Q = Q(
     "text_repetition",
     (s, dir) => {
-      import graft.functions.{HashFunctions => H}
+      // all 3-gram instances (NOT distinct — multiplicity is the point),
+      // positional form via the native ordered shingle kernel — measured
+      // neutral (0.72→0.65 s) but one shared formula across consumers
       val grams = table(s, dir, "documents")
-        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), H.tokenHashes(col("toks")).as("hs"))
         .select(col("doc_id"),
-          explode(
-            // all 3-gram instances (NOT distinct — multiplicity is the point)
-            when(size(col("hs")) >= 3,
-              transform(sequence(lit(1), size(col("hs")) - 2), i =>
-                (element_at(col("hs"), i) * 8191 + element_at(col("hs"), i + 1))
-                  .%(lit(T.HashMod)) * 8191 + element_at(col("hs"), i + 2)))
-              .otherwise(array().cast("array<bigint>")))
+          explode(H.orderedShingleHashesOfTokens(T.tokens(col("text"))))
             .as("g"))
       grams
         .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
@@ -156,10 +151,7 @@ object TextQueries {
          |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS t FROM documents),
          |th AS (SELECT doc_id, list_transform(t, tok -> ${T.polyHashSql("tok")}) AS hs FROM toks),
          |grams AS (
-         |  SELECT doc_id, unnest(
-         |    CASE WHEN len(hs) >= 3 THEN list_transform(generate_series(1, len(hs) - 2),
-         |      i -> ((hs[i] * 8191 + hs[i + 1]) % ${T.HashMod}) * 8191 + hs[i + 2])
-         |    ELSE [] END) AS g
+         |  SELECT doc_id, unnest(${H.orderedShingleHashesSql()}) AS g
          |  FROM th),
          |pc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2)
          |SELECT doc_id, max(c) AS top_gram_count, CAST(sum(c) AS BIGINT) AS n_grams,
