@@ -1148,6 +1148,52 @@ object AnalysisQueries {
         |FROM dau JOIN wau ON day = window_day
         |ORDER BY day""".stripMargin))
 
+  /** Skyline / Pareto-front query (Börzsönyi et al. 2001): the parts no
+    * other part dominates — here maximize p_size while minimizing
+    * p_retailprice (a part is OUT if some part is at least as large AND
+    * at least as cheap, strictly better in one). The naive formulation
+    * is a quadratic NOT-EXISTS self-theta-join — exactly what the
+    * DuckDB oracle runs, proving the aggregate formulation loses
+    * nothing.
+    *
+    * Scale-safe 2D formulation: dominance only depends on the cheapest
+    * price AT each size and the cheapest price ABOVE each size, so
+    * (1) one map-side-combining groupBy folds the fact table to ≤
+    * |distinct sizes| rows; (2) a running min over that tiny aggregate
+    * (ordered by size DESC, frame ending 1 PRECEDING — the window
+    * never sees the fact table) yields best_above(size); (3) the
+    * survivors join back BROADCAST: keep (size, price) iff price is
+    * the min at its size and strictly beats every larger size's min.
+    * Co-equal parts (same size, same min price) all survive — neither
+    * strictly dominates the other, and the equality is comparison-only
+    * (no double arithmetic to drift). One shuffle total, O(|sizes|)
+    * window state. */
+  val skylineParts: Q = Q(
+    "olap_skyline",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val part = table(s, dir, "part")
+      val perSize = part.groupBy(col("p_size"))
+        .agg(min(col("p_retailprice")).as("mn"))
+      val above = Window.orderBy(col("p_size").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val front = perSize
+        .withColumn("best_above", min(col("mn")).over(above))
+        .filter(col("best_above").isNull || col("mn") < col("best_above"))
+      part.join(broadcast(front), Seq("p_size"))
+        .filter(col("p_retailprice") === col("mn"))
+        .select(col("p_partkey"), col("p_size"), col("p_retailprice"))
+        .orderBy("p_size", "p_partkey")
+    },
+    Some(
+      """SELECT p.p_partkey, p.p_size, p.p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_size >= p.p_size AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
+        |ORDER BY p_size, p_partkey""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1156,5 +1202,5 @@ object AnalysisQueries {
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
-    q19Disjunctive, retentionCohorts, rollingActive)
+    q19Disjunctive, retentionCohorts, rollingActive, skylineParts)
 }

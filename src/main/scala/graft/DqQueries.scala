@@ -274,6 +274,63 @@ object DqQueries {
         |FROM p, t
         |ORDER BY event_type""".stripMargin))
 
+  /** Benford first-digit conformance screen — the classic anomaly /
+    * fraud test an audit pipeline runs over a money column: natural
+    * multi-magnitude amounts put digit d first with probability
+    * log10(1+1/d); a synthetic or tampered column (like TPC-H's
+    * uniform totalprice — visible in this very report) deviates hard.
+    * The report does not judge; it emits per-digit observed vs expected
+    * shares so the deviation is hash-checked data.
+    *
+    * Float discipline: the first digit comes from floor() then BIGINT
+    * (Spark CASTs double→long by truncation but DuckDB by rounding —
+    * floor first pins both); the nine expected shares are
+    * JVM-precomputed integer ppm literals baked into the same CASE text
+    * on both engines (the HllEstConst move — no engine libm log10);
+    * observed ppm is integer division. Every output column is exact
+    * integer arithmetic. Plan: one map-side-combining groupBy to ≤9
+    * rows, totals re-aggregated from the grouped table and broadcast
+    * back. */
+  val benfordDigits: Q = Q(
+    "dq_benford",
+    (s, dir) => {
+      val expCase = (1 to 9).map { d =>
+        val ppm = math.round(math.log10(1.0 + 1.0 / d) * 1000000.0)
+        s"WHEN first_digit = $d THEN ${ppm}L"
+      }.mkString("CASE ", " ", " END")
+      val perDigit = table(s, dir, "orders")
+        .select(expr(
+          "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS INT)")
+          .as("first_digit"))
+        .groupBy(col("first_digit")).agg(count(lit(1)).as("n_obs"))
+        .persist()
+      val total = perDigit.agg(sum(col("n_obs")).as("n_total"))
+      perDigit.crossJoin(broadcast(total))
+        .select(col("first_digit"), col("n_obs"),
+          expr("n_obs * 1000000 div n_total").as("obs_ppm"),
+          expr(expCase).as("exp_ppm"),
+          (expr("n_obs * 1000000 div n_total") - expr(expCase)).as("dev_ppm"))
+        .orderBy("first_digit")
+    },
+    Some {
+      val expCase = (1 to 9).map { d =>
+        val ppm = math.round(math.log10(1.0 + 1.0 / d) * 1000000.0)
+        s"WHEN first_digit = $d THEN CAST($ppm AS BIGINT)"
+      }.mkString("CASE ", " ", " END")
+      s"""WITH p AS (
+         |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+         |                     1, 1) AS INT) AS first_digit,
+         |         count(*) AS n_obs
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM p)
+         |SELECT first_digit, n_obs,
+         |       n_obs * 1000000 // n_total AS obs_ppm,
+         |       $expCase AS exp_ppm,
+         |       n_obs * 1000000 // n_total - $expCase AS dev_ppm
+         |FROM p, t
+         |ORDER BY first_digit""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr,
-    driftTvd)
+    driftTvd, benfordDigits)
 }

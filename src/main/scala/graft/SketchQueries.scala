@@ -556,7 +556,293 @@ object SketchQueries {
          |GROUP BY layout, file_id
          |ORDER BY layout, file_id""".stripMargin))
 
+  /** Theta-sketch set operations (Dasgupta et al., "Theta sketch
+    * framework"): estimate |A∩B| and |A∪B| of two key sets from their
+    * bottom-k sketches ALONE — the audience-overlap question a 100 TB
+    * warehouse answers without ever co-shuffling the raw sets. A = the
+    * 1995 order cohort's custkeys, B = big-ticket custkeys (>450k):
+    * a/b/common ≈ 1174/962/782 at sf0.01, so both differences and the
+    * intersection are non-trivial at every SF.
+    *
+    * Math: with a shared hash, each side keeps its k smallest hashes;
+    * θ = min(θ_A, θ_B) where θ_X = r_k (the kth smallest) when the
+    * sketch is full, else the whole hash space S. The survivors below θ
+    * are a uniform sample of EACH set at rate θ/S, so
+    * |A∩B| ≈ |S_A∩S_B below θ| · S/θ (and the same for ∪). The
+    * exact counts ride beside the estimates, Count-Min style, so the
+    * sketch's error is visible in the hash-checked output.
+    *
+    * Plan shape at 100 TB: each side is one map-side-combining DISTINCT
+    * over its hash projection plus a TakeOrdered(k) — the shuffle
+    * carries distinct hashes, the result is k longs. The trained
+    * sketches are MATERIALIZED (one ≤2k-row collect, the bloom/CM
+    * discipline — "broadcastable anywhere" is the point); the set
+    * algebra below θ is driver-trivial; the estimate divisions are
+    * in-plan double expressions with identical text on both engines.
+    * The exact-count scans exist only for the error report. */
+  val thetaIntersect: Q = Q(
+    "sketch_theta_intersect",
+    (s, dir) => {
+      import s.implicits._
+      val hv = expr(hexValSql("md5(CAST(k AS STRING))"))
+      val orders = table(s, dir, "orders")
+      val aPred = "o_orderdate < TIMESTAMP '1996-01-01'"
+      val bPred = "o_totalprice > 450000.0"
+      def bottom(pred: String): Seq[Long] = orders.filter(expr(pred))
+        .select(col("o_custkey").as("k")).select(hv.as("hv"))
+        .distinct().orderBy(col("hv")).limit(K)
+        .collect().map(_.getLong(0)).toSeq
+      val sa = bottom(aPred)
+      val sb = bottom(bPred)
+      def thetaOf(kept: Seq[Long]): Long =
+        if (kept.size < K) Space else kept.max
+      val theta = math.min(thetaOf(sa), thetaOf(sb))
+      val aBelow = sa.filter(_ < theta).toSet
+      val bBelow = sb.filter(_ < theta).toSet
+      val nCommon = (aBelow & bBelow).size.toLong
+      val nUnion = (aBelow | bBelow).size.toLong
+      val exact = orders
+        .groupBy(col("o_custkey"))
+        .agg(max(when(expr(aPred), 1L).otherwise(0L)).as("in_a"),
+          max(when(expr(bPred), 1L).otherwise(0L)).as("in_b"))
+        .agg(
+          sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+            .as("exact_intersect"),
+          sum(when(col("in_a") === 1L || col("in_b") === 1L, 1L).otherwise(0L))
+            .as("exact_union"))
+      exact.select(
+        lit(K).as("k"), lit(theta).as("theta"),
+        lit(nCommon).as("n_common_kept"), lit(nUnion).as("n_union_kept"),
+        expr(s"CAST(${nCommon}L * ${Space}L AS DOUBLE) / CAST(${theta}L AS DOUBLE)")
+          .as("est_intersect"),
+        expr(s"CAST(${nUnion}L * ${Space}L AS DOUBLE) / CAST(${theta}L AS DOUBLE)")
+          .as("est_union"),
+        col("exact_intersect"), col("exact_union"))
+    },
+    Some {
+      val hv = hexValSqlDdb("md5(CAST(k AS VARCHAR))")
+      val aPred = "o_orderdate < TIMESTAMP '1996-01-01'"
+      val bPred = "o_totalprice > 450000.0"
+      s"""WITH ah AS (SELECT DISTINCT $hv AS hv
+         |            FROM (SELECT o_custkey AS k FROM orders WHERE $aPred)),
+         |bh AS (SELECT DISTINCT $hv AS hv
+         |       FROM (SELECT o_custkey AS k FROM orders WHERE $bPred)),
+         |ab AS (SELECT hv FROM ah ORDER BY hv LIMIT $K),
+         |bb AS (SELECT hv FROM bh ORDER BY hv LIMIT $K),
+         |ta AS (SELECT CASE WHEN count(*) < $K THEN CAST($Space AS BIGINT)
+         |                   ELSE max(hv) END AS th FROM ab),
+         |tb AS (SELECT CASE WHEN count(*) < $K THEN CAST($Space AS BIGINT)
+         |                   ELSE max(hv) END AS th FROM bb),
+         |th AS (SELECT least(ta.th, tb.th) AS theta FROM ta, tb),
+         |af AS (SELECT hv FROM ab, th WHERE hv < theta),
+         |bf AS (SELECT hv FROM bb, th WHERE hv < theta),
+         |cm AS (SELECT count(*) AS n_common FROM af JOIN bf USING (hv)),
+         |un AS (SELECT count(DISTINCT hv) AS n_union FROM
+         |         (SELECT hv FROM af UNION ALL SELECT hv FROM bf)),
+         |x AS (
+         |  SELECT CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS exact_intersect,
+         |         CAST(SUM(CASE WHEN in_a = 1 OR in_b = 1 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS exact_union
+         |  FROM (SELECT o_custkey,
+         |               max(CASE WHEN $aPred THEN 1 ELSE 0 END) AS in_a,
+         |               max(CASE WHEN $bPred THEN 1 ELSE 0 END) AS in_b
+         |        FROM orders GROUP BY o_custkey))
+         |SELECT $K AS k, th.theta,
+         |       CAST(cm.n_common AS BIGINT) AS n_common_kept,
+         |       CAST(un.n_union AS BIGINT) AS n_union_kept,
+         |       CAST(cm.n_common * CAST($Space AS BIGINT) AS DOUBLE)
+         |         / CAST(th.theta AS DOUBLE) AS est_intersect,
+         |       CAST(un.n_union * CAST($Space AS BIGINT) AS DOUBLE)
+         |         / CAST(th.theta AS DOUBLE) AS est_union,
+         |       x.exact_intersect, x.exact_union
+         |FROM th, cm, un, x""".stripMargin
+    })
+
+  /** Join-size estimation via Count-Min inner product (the AMS/sketch
+    * trick a cost-based planner uses to size a multi-multi join WITHOUT
+    * touching either fact table at plan time): |R ⋈_key S| =
+    * Σ_k f_R(k)·f_S(k), and the inner product of the two relations' CM
+    * rows over-estimates exactly that — collisions only ADD mass, so
+    * min over the d independent rows is a one-sided upper bound.
+    * Fixture: click events × purchase events on user_id (~26k true
+    * pairs at sf0.01 from 2k×2k rows — genuinely multi-multi).
+    *
+    * Plan shape at 100 TB: each side pre-aggregates to (key, count)
+    * with map-side combine — the ONLY passes over the events; each
+    * distinct key fans out to its d=4 (row, bucket) cells and a second
+    * map-side-combining groupBy folds each sketch to ≤ d·w = 1024
+    * longs. The cell-level equi-join and per-row products below touch
+    * 1024-row frames (auto-broadcast); the exact join size is computed
+    * beside it only for the error report. Same engine-neutral salted
+    * md5 buckets as [[countMinFreq]] — critically the SAME (unsalted-
+    * by-relation) hash on both relations, or the inner product would
+    * estimate garbage. */
+  val cmJoinSize: Q = Q(
+    "sketch_cm_joinsize",
+    (s, dir) => {
+      def freqs(t: String) = graft.etl.Sources.events(s, dir)
+        .filter(col("event_type") === t)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      def cells(df: org.apache.spark.sql.DataFrame) =
+        (0 until CmRows).map(j =>
+            df.select(lit(j).as("row_j"),
+              expr(cmBucketSql("CAST(user_id AS STRING)", j, ddb = false))
+                .as("bucket"),
+              col("cnt")))
+          .reduce(_ unionAll _)
+          .groupBy(col("row_j"), col("bucket"))
+          .agg(sum(col("cnt")).as("cell_total"))
+      val r = freqs("click")
+      val sRel = freqs("purchase")
+      val est = cells(r).withColumnRenamed("cell_total", "cr")
+        .join(cells(sRel).withColumnRenamed("cell_total", "cs"),
+          Seq("row_j", "bucket"))
+        .groupBy(col("row_j"))
+        .agg(sum(col("cr") * col("cs")).as("row_est"))
+        .agg(min(col("row_est")).as("est_join_size"))
+      val exact = r.withColumnRenamed("cnt", "cr")
+        .join(sRel.withColumnRenamed("cnt", "cs"), Seq("user_id"))
+        .agg(coalesce(sum(col("cr") * col("cs")), lit(0L))
+          .as("exact_join_size"))
+      val sizes = graft.etl.Sources.events(s, dir)
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("n_click_rows"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchase_rows"))
+      sizes.crossJoin(exact).crossJoin(est)
+        .select(col("n_click_rows"), col("n_purchase_rows"),
+          col("exact_join_size"), col("est_join_size"),
+          expr("(est_join_size - exact_join_size) * 1000000 div exact_join_size")
+            .as("over_ppm"))
+    },
+    Some {
+      def cellsFor(src: String, j: Int) =
+        s"""SELECT $j AS row_j,
+           |       ${cmBucketSql("CAST(user_id AS VARCHAR)", j, ddb = true)} AS bucket,
+           |       cnt FROM $src""".stripMargin
+      def sketch(src: String) =
+        s"""SELECT row_j, bucket, CAST(SUM(cnt) AS BIGINT) AS cell_total FROM (
+           |${(0 until CmRows).map(cellsFor(src, _)).mkString("", "\nUNION ALL\n", "")})
+           |GROUP BY row_j, bucket""".stripMargin
+      s"""WITH r AS (SELECT user_id, count(*) AS cnt FROM events
+         |           WHERE event_type = 'click' GROUP BY user_id),
+         |s AS (SELECT user_id, count(*) AS cnt FROM events
+         |      WHERE event_type = 'purchase' GROUP BY user_id),
+         |cr AS (${sketch("r")}),
+         |cs AS (${sketch("s")}),
+         |est AS (
+         |  SELECT CAST(min(row_est) AS BIGINT) AS est_join_size FROM (
+         |    SELECT cr.row_j, SUM(cr.cell_total * cs.cell_total) AS row_est
+         |    FROM cr JOIN cs ON cr.row_j = cs.row_j AND cr.bucket = cs.bucket
+         |    GROUP BY cr.row_j)),
+         |x AS (SELECT CAST(COALESCE(SUM(r.cnt * s.cnt), 0) AS BIGINT)
+         |             AS exact_join_size
+         |      FROM r JOIN s USING (user_id)),
+         |n AS (SELECT
+         |        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_click_rows,
+         |        CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |             AS BIGINT) AS n_purchase_rows
+         |      FROM events)
+         |SELECT n.n_click_rows, n.n_purchase_rows, x.exact_join_size,
+         |       est.est_join_size,
+         |       (est.est_join_size - x.exact_join_size) * 1000000
+         |         // x.exact_join_size AS over_ppm
+         |FROM n, x, est""".stripMargin
+    })
+
+  /** Small-file compaction planner — the OPTIMIZE/bin-packing pass every
+    * lakehouse runs when streaming ingest has littered a partition with
+    * small files. Input is the per-(month-partition, key-range) file
+    * manifest (the [[zoneMaps]] shape: row count, byte size, min/max of
+    * the clustering key — month × orderkey-range intersections are
+    * ragged, so file sizes genuinely vary); the planner coalesces
+    * ADJACENT files in clustering-key order into target-size bins —
+    * adjacency, not first-fit-decreasing, because concatenating
+    * neighbors preserves the zone-map tightness the Z-order/linear
+    * layouts bought, where size-sorted packing would shred it.
+    *
+    * Bin assignment is `floor(cumulative bytes before this file /
+    * target)` — a PARTITIONED window over the manifest (per month), the
+    * same shape Delta's OPTIMIZE uses (per-partition planning), so the
+    * planner scales with files-per-partition, never total files. The
+    * target derives in-plan from the data (smallest power of two ≥ 16×
+    * the mean file size — constants-become-functions-of-n, via the
+    * exact binary-string-length ceil-log2). Output: one row per planned
+    * bin with its file count, sizes, and compacted zone map; every
+    * column integer arithmetic. The fact table shuffles ONCE (the
+    * manifest groupBy); the window sees only manifest rows. */
+  val compactionBins: Q = Q(
+    "layout_compaction_bins",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val manifest = table(s, dir, "orders")
+        .groupBy(
+          date_format(col("o_orderdate"), "yyyy-MM").as("part_month"),
+          expr("o_orderkey DIV 100").as("file_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) * 64L +
+            sum(length(col("o_orderpriority")))).as("bytes"),
+          min(col("o_orderkey")).as("min_key"),
+          max(col("o_orderkey")).as("max_key"))
+      val target = manifest
+        .agg(sum(col("bytes")).as("sum_bytes"), count(lit(1)).as("n_files"))
+        .select(expr("sum_bytes DIV n_files").as("avg_bytes"))
+        .select(expr(
+          "shiftleft(CAST(1 AS BIGINT), length(bin(16 * avg_bytes - 1)))")
+          .as("target_bytes"))
+      val w = Window.partitionBy(col("part_month")).orderBy(col("min_key"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      manifest.crossJoin(broadcast(target))
+        .withColumn("cum_before",
+          coalesce(sum(col("bytes")).over(w), lit(0L)))
+        .withColumn("bin_id", expr("cum_before DIV target_bytes"))
+        .groupBy(col("part_month"), col("bin_id"))
+        .agg(max(col("target_bytes")).as("target_bytes"),
+          count(lit(1)).as("n_files"),
+          sum(col("n_rows")).as("total_rows"),
+          sum(col("bytes")).as("total_bytes"),
+          min(col("min_key")).as("min_key"),
+          max(col("max_key")).as("max_key"))
+        .orderBy("part_month", "bin_id")
+    },
+    Some(
+      """WITH f AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+        |         o_orderkey // 100 AS file_id,
+        |         count(*) AS n_rows,
+        |         CAST(count(*) * 64 + SUM(length(o_orderpriority)) AS BIGINT)
+        |           AS bytes,
+        |         min(o_orderkey) AS min_key,
+        |         max(o_orderkey) AS max_key
+        |  FROM orders
+        |  GROUP BY 1, 2),
+        |t AS (
+        |  SELECT CAST(1 AS BIGINT) << length(bin(CAST(
+        |           16 * (CAST(SUM(bytes) AS BIGINT) // count(*)) - 1 AS BIGINT)))
+        |         AS target_bytes
+        |  FROM f),
+        |b AS (
+        |  SELECT f.*, t.target_bytes,
+        |         CAST(COALESCE(SUM(bytes) OVER (PARTITION BY part_month
+        |             ORDER BY min_key
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS cum_before
+        |  FROM f, t)
+        |SELECT part_month, cum_before // target_bytes AS bin_id,
+        |       max(target_bytes) AS target_bytes,
+        |       count(*) AS n_files,
+        |       CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+        |       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+        |       min(min_key) AS min_key,
+        |       max(max_key) AS max_key
+        |FROM b
+        |GROUP BY 1, 2
+        |ORDER BY part_month, bin_id""".stripMargin))
+
   def all: Seq[Q] = Seq(kmvDistinct, hllDistinct, zoneMaps, countMinFreq,
     bloomMembership,
-    layoutZorder)
+    layoutZorder, thetaIntersect, cmJoinSize, compactionBins)
 }
