@@ -120,5 +120,62 @@ object CurateQueries {
          |FROM r WHERE rank <= $CapPerSource
          |ORDER BY source, rank""".stripMargin))
 
-  def all: Seq[Q] = Seq(curate, sourceCap)
+  /** k-anonymity audit threshold: a quasi-identifier group with fewer
+    * than this many members is re-identification-risky. */
+  private val AnonK = 5
+
+  /** k-anonymity audit — the privacy screen a training-data release
+    * runs before shipping: group records by their quasi-identifier tuple
+    * (here nation × market segment × account-balance band, the classic
+    * "not identifying alone, identifying together" columns) and report,
+    * per nation, how many records sit in groups smaller than k — each
+    * such record is re-identifiable by its QI tuple alone.
+    *
+    * Float discipline: the balance band is floor(acctbal / 1000) — one
+    * correctly-rounded IEEE division + floor, bit-identical across
+    * engines (no accumulation); the risky fraction crosses engines as
+    * integer parts-per-million (BIGINT multiply + integer divide), never
+    * a double ratio.
+    *
+    * Scale shape: two map-side-combining aggregations (QI groups, then
+    * nation rollup) — the first shuffle carries one row per DISTINCT QI
+    * tuple, the second one row per group; nothing row-level ever
+    * shuffles. At 100 TB this is the cheapest possible shape for an
+    * exact audit. */
+  val kAnonymity: Q = Q(
+    "curate_k_anonymity",
+    (s, dir) => {
+      val groups = table(s, dir, "customer")
+        .select(col("c_nationkey").as("nation"), col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal").cast("double") / 1000.0).cast("long").as("bal_band"))
+        .groupBy(col("nation"), col("segment"), col("bal_band"))
+        .agg(count(lit(1)).as("cnt"))
+      groups.groupBy(col("nation"))
+        .agg(
+          sum(col("cnt")).as("n_rows"),
+          count(lit(1)).as("n_groups"),
+          sum(when(col("cnt") < AnonK, lit(1L)).otherwise(lit(0L))).as("n_risky_groups"),
+          sum(when(col("cnt") < AnonK, col("cnt")).otherwise(lit(0L))).as("n_risky_rows"))
+        .select(col("nation"), col("n_rows"), col("n_groups"),
+          col("n_risky_groups"), col("n_risky_rows"),
+          expr("(n_risky_rows * 1000000L) div n_rows").as("risky_ppm"))
+        .orderBy("nation")
+    },
+    Some(
+      s"""WITH g AS (
+         |  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         |         CAST(floor(CAST(c_acctbal AS DOUBLE) / 1000.0) AS BIGINT) AS bal_band,
+         |         count(*) AS cnt
+         |  FROM customer GROUP BY 1, 2, 3)
+         |SELECT nation,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+         |       count(*) AS n_groups,
+         |       CAST(SUM(CASE WHEN cnt < $AnonK THEN 1 ELSE 0 END) AS BIGINT) AS n_risky_groups,
+         |       CAST(SUM(CASE WHEN cnt < $AnonK THEN cnt ELSE 0 END) AS BIGINT) AS n_risky_rows,
+         |       (CAST(SUM(CASE WHEN cnt < $AnonK THEN cnt ELSE 0 END) AS BIGINT) * 1000000)
+         |         // CAST(SUM(cnt) AS BIGINT) AS risky_ppm
+         |FROM g GROUP BY nation
+         |ORDER BY nation""".stripMargin))
+
+  def all: Seq[Q] = Seq(curate, sourceCap, kAnonymity)
 }

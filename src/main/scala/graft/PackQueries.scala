@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Registry.Q
 import graft.etl.Sources.table
-import graft.functions.{TextFunctions => T}
+import graft.functions.{HashFunctions => H, TextFunctions => T}
 
 /** Training-batch preparation operators: sequence packing (fill
   * fixed-token-budget bins) and deterministic source-mix sampling —
@@ -215,6 +215,64 @@ object PackQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Per-stratum priority sample size. */
+  private val WeightedK = 16
+
+  /** Weighted sampling without replacement, one bounded sample per
+    * source stratum — priority sampling (Duffield–Lund–Thorup): each doc
+    * draws a deterministic 48-bit "uniform" u from its id hash and gets
+    * priority u ⌊/⌋ w (weight w = its length); the k SMALLEST priorities
+    * per stratum win, so P(selected) grows ∝ w. Longer documents are
+    * favored exactly the way a token-budgeted corpus sample wants.
+    *
+    * Determinism rules: u is the engine-neutral md5 hex value (the
+    * sketch family's hash — same SQL text both engines), the priority is
+    * BIGINT integer division (u < 2^48, w ≥ 1: no overflow, no float),
+    * ties break on doc_id. rand()-free for the same reason as
+    * [[sampleMix]]: reproducible across retries, engines, partitionings.
+    *
+    * Scale shape: per-stratum top-k runs on the bounded-heap aggregate
+    * (graft.plans.TopKByScore), NOT a rank window — the map-side partial
+    * pass reduces every partition to ≤ k pairs per stratum, so the
+    * shuffle carries k-element buffers instead of the corpus, and a hot
+    * stratum never serializes through one window task. Priorities are
+    * < 2^48 so their negation is exact in the aggregate's DOUBLE score
+    * slot (IEEE doubles are exact integers to 2^53). */
+  val sampleWeighted: Q = Q(
+    "sample_weighted",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).as("w"),
+          expr(SketchQueries.hexValSql("md5(CAST(doc_id AS STRING))")).as("u"))
+        .select(col("source"), col("doc_id"), col("w"),
+          expr("u div w").as("pr"))
+      d.groupBy(col("source"))
+        .agg(H.topKByScore(-col("pr").cast("double"), col("doc_id"), WeightedK)
+          .as("top"))
+        .select(col("source"), posexplode(col("top")).as(Seq("pos", "p")))
+        .join(d.select(col("doc_id"), col("w"), col("pr")),
+          col("p.id") === col("doc_id"))
+        .select(col("source"), col("doc_id"), col("w"), col("pr"),
+          (col("pos") + 1).cast("int").as("rank"))
+        .orderBy("source", "rank")
+    },
+    Some {
+      val u = SketchQueries.hexValSqlDdb("md5(CAST(doc_id AS VARCHAR))")
+      s"""WITH d AS (
+         |  SELECT source, doc_id, GREATEST(n_chars, 1) AS w,
+         |         $u // GREATEST(n_chars, 1) AS pr
+         |  FROM documents),
+         |r AS (
+         |  SELECT source, doc_id, w, pr,
+         |         row_number() OVER (PARTITION BY source ORDER BY pr, doc_id)
+         |           AS rank
+         |  FROM d)
+         |SELECT source, doc_id, w, pr, CAST(rank AS INT) AS rank
+         |FROM r WHERE rank <= $WeightedK
+         |ORDER BY source, rank""".stripMargin
+    })
+
   /** Deterministic stratified train/val/test split: each doc's
     * content-hash bucket (mod 100) maps to 80/10/10 — hash-ranged, so
     * the split is reproducible across retries, engines and
@@ -345,6 +403,6 @@ object PackQueries {
     })
 
   def all: Seq[Q] =
-    Seq(pack, chunk, sampleMix, sampleTemperature, splitStratified,
-      lengthBuckets, sampleEpochs)
+    Seq(pack, chunk, sampleMix, sampleTemperature, sampleWeighted,
+      splitStratified, lengthBuckets, sampleEpochs)
 }

@@ -32,14 +32,14 @@ object SketchQueries {
     * 1-based, instr 1-based/0-absent), so the SAME text runs on both
     * engines. Powers of 16 are pre-expanded literals: BIGINT arithmetic
     * only, no pow() double drift. */
-  private def hexValSql(e: String): String =
+  private[graft] def hexValSql(e: String): String =
     (0 until HexDigits).map { i =>
       val place = 1L << (4 * (HexDigits - 1 - i))
       s"(instr('0123456789abcdef', substr($e, ${i + 1}, 1)) - 1) * ${place}L"
     }.mkString("(", " + ", ")")
 
   /** DuckDB spells the BIGINT literal suffix-free; Spark wants `L`. */
-  private def hexValSqlDdb(e: String): String =
+  private[graft] def hexValSqlDdb(e: String): String =
     hexValSql(e).replaceAll("(\\d+)L", "CAST($1 AS BIGINT)")
 
   /** KMV (bottom-k) distinct-customer sketch over orders.o_custkey.
