@@ -186,6 +186,97 @@ object DedupQueries {
          |SELECT i, j, jaccard FROM pairs
          |ORDER BY i, j""".stripMargin))
 
+  // --------------------------------------------- prefix-filtered join
+
+  /** Jaccard threshold for the prefix-filtered join. 0.7 (vs ngram's
+    * 0.6) keeps the two operators' outputs distinct under the shared
+    * exhaustive-oracle shape. */
+  val PrefixT = 0.7
+
+  /** PPJoin-style prefix-filtered set-similarity self-join — the
+    * candidate-generation discipline the full inverted-index join
+    * ([[ngramPairs]]) lacks: instead of posting EVERY shingle of every
+    * doc into the candidate join, each doc posts only its prefix under
+    * a global rarest-first token order (df asc, hash asc), sized so the
+    * filter is provably lossless (Bayardo et al., WWW'07 "Scaling Up
+    * All Pairs Similarity Search"; Xiao et al.'s PPJoin adds the
+    * both-side prefix + length filter used here):
+    *
+    *   J(A,B) ≥ t  ⟹  |A∩B| ≥ ceil(t·|A|)  (intersection ≥ t·union ≥
+    *   t·|A|), so A's suffix of ceil(t·|A|)−1 tokens cannot contain all
+    *   of A∩B — at least one shared token sits inside A's
+    *   (|A|−ceil(t·|A|)+1)-prefix, and symmetrically for B; the
+    *   standard prefix lemma upgrades that to a COMMON token in both
+    *   prefixes (our per-side prefixes are ≥ the lemma's
+    *   |X|−ceil(t·max)+1 lengths). Prefix arithmetic is exact integer —
+    *   ceil(0.7·n) = (7n+9) div 10 — no float boundary.
+    *
+    * At t=0.7 each doc posts ≤ 30% of its tokens + 1, and those are its
+    * RAREST tokens — the high-df boilerplate that makes the full index
+    * join quadratic never enters the candidate join at all (the df-cap
+    * is a blunt version of the same idea; prefix filtering keeps hot
+    * tokens usable for verification while excluding them from candidate
+    * generation). The length filter (10·min ≥ 7·max) prunes size-
+    * incompatible pairs before the distinct. Verification then counts
+    * intersections ONLY over candidate pairs. Losslessness is not
+    * asserted, it is GATED: the oracle is the exhaustive index join at
+    * the same threshold — hash-match proves no qualifying pair escaped
+    * the prefix filter (same proof shape as search_trigram's blocking).
+    *
+    * 100 TB shape: shuffles on token hash (df + candidate join) and
+    * doc_id (prefix ranking) — all hash-sized keys; candidate volume is
+    * governed by rare-token collisions instead of hot-token df², which
+    * is the property that survives a boilerplate-heavy web corpus. */
+  val prefixFilter: Q = Q(
+    "dedup_prefix_filter",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      val tokDf = ex.groupBy(col("h")).agg(count(lit(1)).as("tok_df"))
+      val byDoc = Window.partitionBy(col("doc_id"))
+      val ranked = ex.join(tokDf, Seq("h"))
+        .withColumn("sz", count(lit(1)).over(byDoc))
+        .withColumn("rn",
+          row_number().over(byDoc.orderBy(col("tok_df"), col("h"))))
+      val prefix = ranked
+        .filter(col("rn") <= col("sz") - expr("(7 * sz + 9) DIV 10") + 1)
+        .select(col("doc_id"), col("h"), col("sz"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val cands = prefix.toDF("i", "h", "ni")
+        .join(prefix.toDF("j", "h", "nj"), Seq("h"))
+        .filter(col("i") < col("j"))
+        .filter(lit(10) * least(col("ni"), col("nj")) >=
+          lit(7) * greatest(col("ni"), col("nj")))
+        .select(col("i"), col("j")).distinct()
+      val inter = cands
+        .join(ex.toDF("i", "h"), Seq("i"))
+        .join(ex.toDF("j", "h"), Seq("j", "h"))
+        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
+      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      inter
+        .join(sizes.toDF("i", "na"), Seq("i"))
+        .join(sizes.toDF("j", "nb"), Seq("j"))
+        .select(col("i"), col("j"),
+          (col("c").cast("double") / (col("na") + col("nb") - col("c")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= PrefixT)
+        .orderBy("i", "j")
+    },
+    Some(
+      s"""WITH $ddbCorpus,
+         |$ddbShingleIndex,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+         |  FROM ex a JOIN ex b USING (h) WHERE a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT i, j, CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+         |  FROM inter JOIN sizes sa ON sa.doc_id = i JOIN sizes sb ON sb.doc_id = j
+         |  WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= $PrefixT)
+         |SELECT i, j, jaccard FROM pairs
+         |ORDER BY i, j""".stripMargin))
+
   // ------------------------------------------------------ decontamination
 
   /** Benchmark decontamination: flag TRAINING docs whose shingle overlap
@@ -826,6 +917,124 @@ object DedupQueries {
          |ORDER BY i, j""".stripMargin
     })
 
+  /** Incremental near-dup against an already-ingested corpus — the
+    * daily-crawl shape [[incremental]] solves for EXACT re-crawls,
+    * extended to near-duplicates: a re-crawled page with a changed
+    * footer slips past the fingerprint anti-join (the trailer changes
+    * the md5), but its MinHash band keys still collide with the
+    * existing page's. The batch side signatures band-join the EXISTING
+    * side only — no batch×batch pairs, and crucially no
+    * existing×existing pairs, which is what makes this incremental: at
+    * 100 TB the existing corpus's signatures and band keys are
+    * PRECOMPUTED artifacts of previous ingests (here both sides are
+    * derived in-query because the fixture is synthetic; the plan after
+    * the signature stage is identical either way), so per-batch cost
+    * scales with batch size × collision rate, never with corpus². The
+    * production existing-side index would also df-cap its shingles as
+    * [[shingleIndexOf]] does; uncapped here so the oracle stays
+    * side-symmetric.
+    *
+    * Fixture (mirrors [[incremental]]'s %3 split): existing = doc_id %
+    * 3 ≠ 0; batch = the %3 = 0 docs (genuinely new — must be kept) plus
+    * near-re-crawls of existing docs (%4 = 0, text + trailer, id
+    * = −doc_id−1) — exactly those must be flagged. Per batch doc the
+    * output carries the match count, the best match (argmax est, ties
+    * to the smallest existing id — a partial-aggregating max(struct),
+    * the shuffle carries one row per batch doc) and the kept flag. */
+  val incrementalLsh: Q = Q(
+    "dedup_incremental_lsh",
+    (s, dir) => {
+      val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
+      val existing = d.filter(col("doc_id") % 3 =!= 0)
+      val batch = d.filter(col("doc_id") % 3 === 0)
+        .unionAll(existing.filter(col("doc_id") % 4 === 0)
+          .select((-col("doc_id") - 1).as("doc_id"),
+            concat(col("text"), lit(Trailer)).as("text")))
+      def sigOf(docs: DataFrame): DataFrame = {
+        val aggs = H.signatureAggs(col("h"))
+        rawShingleIndexOf(docs).groupBy(col("doc_id"))
+          .agg(aggs.head, aggs.tail: _*)
+      }
+      // each side's signature table feeds its band projections + the
+      // estimate re-join — persist exactly those reuse points
+      val sigE = sigOf(existing).persist(StorageLevel.MEMORY_AND_DISK)
+      val sigB = sigOf(batch).persist(StorageLevel.MEMORY_AND_DISK)
+      def bandsOf(sig: DataFrame): DataFrame = (0 until H.NumBands)
+        .map(b => sig.select(col("doc_id"),
+          concat(lit(s"$b|"), H.bandKey(b)).as("bk")))
+        .reduce(_ unionAll _)
+      val cands = bandsOf(sigB).toDF("b_id", "bk")
+        .join(bandsOf(sigE).toDF("e_id", "bk"), Seq("bk"))
+        .select(col("b_id"), col("e_id")).distinct()
+      val sl = sigB.toDF(sigB.columns.map("l_" + _).toIndexedSeq: _*)
+      val sr = sigE.toDF(sigE.columns.map("r_" + _).toIndexedSeq: _*)
+      val matches = cands
+        .join(sl, col("b_id") === col("l_doc_id"))
+        .join(sr, col("e_id") === col("r_doc_id"))
+        .select(col("b_id"), col("e_id"),
+          H.estJaccard(n => col("l_" + n), n => col("r_" + n)).as("est"))
+        .filter(col("est") >= 0.5)
+      val agg = matches.groupBy(col("b_id"))
+        .agg(count(lit(1)).as("n_matches"),
+          max(struct(col("est"), (-col("e_id")).as("neg_id"))).as("w"))
+        .select(col("b_id").as("doc_id"), col("n_matches"),
+          (-col("w.neg_id")).as("best_match"), col("w.est").as("best_est"))
+      batch.select(col("doc_id"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_match"), col("best_est"),
+          col("n_matches").isNull.as("kept"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val mins = (0 until H.MinHashK)
+        .map(i => s"min(${H.mixSql(i, "h")}) AS m$i").mkString(", ")
+      def bandKeySql(b: Int): String =
+        s"'$b|' || " + (0 until H.BandRows)
+          .map(r => s"CAST(m${b * H.BandRows + r} AS VARCHAR)")
+          .mkString(" || ',' || ")
+      def bandSelects(sig: String): String = (0 until H.NumBands)
+        .map(b => s"SELECT doc_id, ${bandKeySql(b)} AS bk FROM $sig")
+        .mkString(" UNION ALL ")
+      val m = (0 until H.MinHashK)
+        .map(i => s"CASE WHEN sl.m$i = sr.m$i THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH d AS (SELECT doc_id, text FROM documents),
+         |existing AS (SELECT doc_id, text FROM d WHERE doc_id % 3 <> 0),
+         |batch AS (
+         |  SELECT doc_id, text FROM d WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT -doc_id - 1, text || '$Trailer' FROM existing WHERE doc_id % 4 = 0),
+         |exE AS (SELECT doc_id, h FROM ${ddbShingleIx("existing", capped = false)} ge),
+         |exB AS (SELECT doc_id, h FROM ${ddbShingleIx("batch", capped = false)} gb),
+         |sigE AS (SELECT doc_id, $mins FROM exE GROUP BY doc_id),
+         |sigB AS (SELECT doc_id, $mins FROM exB GROUP BY doc_id),
+         |bandsE AS (${bandSelects("sigE")}),
+         |bandsB AS (${bandSelects("sigB")}),
+         |cands AS (
+         |  SELECT DISTINCT b.doc_id AS b_id, e.doc_id AS e_id
+         |  FROM bandsB b JOIN bandsE e USING (bk)),
+         |est AS (
+         |  SELECT c.b_id, c.e_id, CAST($m AS DOUBLE) / ${H.MinHashK}.0 AS est
+         |  FROM cands c
+         |  JOIN sigB sl ON c.b_id = sl.doc_id
+         |  JOIN sigE sr ON c.e_id = sr.doc_id),
+         |r AS (
+         |  SELECT b_id, e_id, est,
+         |         row_number() OVER (PARTITION BY b_id
+         |           ORDER BY est DESC, e_id ASC) AS rn,
+         |         count(*) OVER (PARTITION BY b_id) AS n_matches
+         |  FROM est WHERE est >= 0.5)
+         |SELECT b.doc_id AS doc_id,
+         |       COALESCE(r.n_matches, 0) AS n_matches,
+         |       r.e_id AS best_match, r.est AS best_est,
+         |       r.b_id IS NULL AS kept
+         |FROM batch b LEFT JOIN (SELECT * FROM r WHERE rn = 1) r
+         |  ON b.doc_id = r.b_id
+         |ORDER BY b.doc_id""".stripMargin
+    })
+
   // ------------------------------------------------------------ SimHash
 
   private def simhashDocs(s: SparkSession, dir: String): DataFrame = {
@@ -1338,7 +1547,8 @@ object DedupQueries {
          |ORDER BY a.vec_id""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    exact, ngramJaccard, clusters, clustersStar, keepBest, minhashLsh,
+    exact, ngramJaccard, prefixFilter, clusters, clustersStar, keepBest,
+    minhashLsh, incrementalLsh,
     simhashSketches,
     simhashPairs, embeddingNearDup, semantic, shingleDfCapReport,
     decontaminate, contamFraction, passages, incremental, triangles, kcore,

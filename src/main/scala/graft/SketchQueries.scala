@@ -842,7 +842,65 @@ object SketchQueries {
         |GROUP BY 1, 2
         |ORDER BY part_month, bin_id""".stripMargin))
 
+  /** Bottom-k sample size for [[sampleQuantiles]]. */
+  private val SampleK = 1024
+
+  /** Quantile estimation from a deterministic bottom-k hash sample —
+    * the sample-based companion to the EXACT histogram quantiles
+    * (PackQueries.lengthBuckets works because token lengths compress
+    * into few distinct values; a continuous measure like
+    * l_extendedprice does not, so its exact path would need a full
+    * sort). The k rows with the SMALLEST 48-bit key hashes form a
+    * uniform without-replacement sample (the KMV insight reused as a
+    * sampler): partition-local TakeOrdered keeps ≤ k rows per
+    * partition, the driver merge keeps the global k — fixed-size state,
+    * associative, no shuffle of the data at all, and the same rows are
+    * selected at ANY partitioning, engine, or retry. Quantile q is then
+    * the rank-ceil(q·k) element of the sample under the fully
+    * tie-broken (value, hash) order, read out of one bounded
+    * sort_array(collect_list) buffer (k structs, the TopKByScore size
+    * discipline). Ranks are precomputed Scala integers — no float
+    * ceil() at query time on either engine. Sampling error for a
+    * p-quantile from k=1024 is ~±1.5% rank at 95% confidence,
+    * INDEPENDENT of corpus size — the property that makes this the
+    * 100 TB plan; the oracle replays the identical sample, so the
+    * estimate hash-matches bit-for-bit. */
+  val sampleQuantiles: Q = Q(
+    "sketch_sample_quantiles",
+    (s, dir) => {
+      val ranks = Seq(0.5, 0.9, 0.99)
+        .map(q => (q, math.ceil(q * SampleK).toInt))
+      val hv = expr(hexValSql(
+        "md5(CAST(l_orderkey AS STRING) || '|' || CAST(l_linenumber AS STRING))"))
+      val sample = table(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("v"), hv.as("hv"))
+        .orderBy(col("hv")).limit(SampleK)
+      val packed = sample
+        .agg(sort_array(collect_list(struct(col("v"), col("hv")))).as("sv"))
+      ranks.map { case (q, r) =>
+          packed.select(lit(q).as("q"),
+            element_at(col("sv"), r)("v").as("est"))
+        }
+        .reduce(_ unionAll _)
+        .orderBy("q")
+    },
+    Some {
+      val hv = hexValSqlDdb(
+        "md5(CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))")
+      val ranks = Seq(0.5, 0.9, 0.99)
+        .map(q => (q, math.ceil(q * SampleK).toInt))
+      val qs = ranks.map { case (q, r) => s"($q, $r)" }.mkString(", ")
+      s"""WITH smp AS (
+         |  SELECT l_extendedprice AS v, $hv AS hv
+         |  FROM lineitem ORDER BY hv LIMIT $SampleK),
+         |o AS (SELECT v, row_number() OVER (ORDER BY v, hv) AS rn FROM smp)
+         |SELECT q, v AS est
+         |FROM (VALUES $qs) qs(q, r) JOIN o ON o.rn = qs.r
+         |ORDER BY q""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(kmvDistinct, hllDistinct, zoneMaps, countMinFreq,
     bloomMembership,
-    layoutZorder, thetaIntersect, cmJoinSize, compactionBins)
+    layoutZorder, thetaIntersect, cmJoinSize, compactionBins,
+    sampleQuantiles)
 }
