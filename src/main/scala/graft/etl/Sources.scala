@@ -20,15 +20,31 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` loader: the driver writes `ts` as parquet TIMESTAMP(NANOS),
-    * which Spark's vectorized reader rejects. Read nanos as long (legacy
-    * conf) and convert to a micros timestamp — integral DIV, not double
-    * division: nanos since epoch (~1.7e18) exceeds a double's 2^53 exact
-    * range. Session timezone is pinned UTC, matching DuckDB's naive read. */
+  /** `events` loader, adaptive to the two `ts` layouts the driver has
+    * shipped: parquet TIMESTAMP(NANOS) (surfaced as a nanos long under
+    * the legacy reader conf — converted with integral DIV, not double
+    * division: ~1.7e18 nanos exceeds a double's 2^53 exact range) and
+    * plain TIMESTAMP(MICROS) with isAdjustedToUTC=false (surfaced as
+    * TIMESTAMP_NTZ — cast to the session type; the session timezone is
+    * pinned UTC, so the instant is unchanged and downstream code plus
+    * the DuckDB oracle, which always read the parquet timestamp
+    * natively, see identical values either way). */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts DIV 1000)"))
+    normalizeTs(table(spark, sfDir, "events"))
+  }
+
+  /** Normalize an events frame's `ts` column to the session TimestampType
+    * regardless of which raw layout it was read from (see [[events]]). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
 
   /** S1 — CSV scan skipping N preamble lines and M footer lines

@@ -16,8 +16,9 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Event schema as the driver writes it (ts = parquet TIMESTAMP(NANOS),
-    * surfaced as nanos-long under the legacy reader conf). */
+  /** Event schema with the raw nanos-long `ts` layout (the driver's
+    * original parquet TIMESTAMP(NANOS), surfaced as nanos-long under the
+    * legacy reader conf). Kept for callers that construct raw fixtures. */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -28,14 +29,21 @@ object EventStream {
 
   /** Streaming file source over an events directory: the stream-shaped
     * twin of Sources.events (new parquet files are discovered per
-    * micro-batch; maxFilesPerTrigger bounds batch size). */
+    * micro-batch; maxFilesPerTrigger bounds batch size).
+    *
+    * readStream needs the schema up front, and the driver has shipped
+    * `ts` as both nanos-long and TIMESTAMP(MICROS) (see Sources.events);
+    * a one-file batch probe of the directory picks up whichever layout
+    * is present, then the shared normalizer gives the stream the same
+    * session-TimestampType `ts` the batch loader produces. */
   def fileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val layout = spark.read.parquet(dir).schema
+    graft.etl.Sources.normalizeTs(
+      spark.readStream
+        .schema(layout)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
   }
 
   /** Tumbling-window counts/sums per event type with a 2-hour watermark:
