@@ -899,8 +899,102 @@ object SketchQueries {
          |ORDER BY q""".stripMargin
     })
 
+  /** Mergeable HLL rollup — the property that makes [[hllDistinct]] a
+    * 100 TB operator, exercised explicitly: per-month register tables
+    * (the pre-aggregated sketch table a lakehouse stores next to each
+    * partition) roll up to the global sketch by bucket-wise max ALONE —
+    * the merged estimate never rescans the facts. max is associative,
+    * commutative, and idempotent, so the rollup is exact by algebra:
+    * merging per-month registers yields bit-identical registers to a
+    * single global pass (asserted by `QueryPropertiesSpec`), and any
+    * grouping — day→month→year→all, per-file→per-partition→table —
+    * commutes. COUNT(DISTINCT) has no such decomposition: the exact
+    * per-scope audit columns beside the estimates each cost a full
+    * re-scan, which is precisely why sketch tables exist.
+    *
+    * One corpus pass builds all per-month registers (map-side-combining
+    * groupBy on (month, bucket)); the register table is bounded by
+    * months×m (~80×256 here), so it MATERIALIZES to the driver (the
+    * countMinFreq/bloom discipline — no persist to leak across bench
+    * reps) and both finalizations run over a local relation. The two
+    * exact-count audit passes are the only other corpus touches. */
+  val hllRollup: Q = Q(
+    "sketch_hll_rollup",
+    (s, dir) => {
+      import s.implicits._
+      val hv = hexValSql("md5(CAST(o_custkey AS STRING))")
+      val monthCol = date_format(col("o_orderdate"), "yyyy-MM")
+      val regRows = table(s, dir, "orders")
+        .select(monthCol.as("part_month"), expr(hv).as("hv"))
+        .select(col("part_month"), (col("hv") % HllM).as("bucket"),
+          expr(rhoSql(s"(hv div $HllM)")).as("rho"))
+        .groupBy(col("part_month"), col("bucket"))
+        .agg(max(col("rho")).as("r"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+        .toSeq
+      val regs = regRows.toDF("part_month", "bucket", "r")
+      val merged = regs.groupBy(col("bucket")).agg(max(col("r")).as("r"))
+        .select(lit("ALL").as("part_month"), col("bucket"), col("r"))
+      val finals = regs.unionAll(merged)
+        .groupBy(col("part_month"))
+        .agg(count(lit(1)).as("n_occupied"),
+          sum(expr(s"shiftleft(1L, ${HllWBits + 1} - r)")).as("occ_sum"))
+        .select(col("part_month"),
+          (lit(HllM.toLong) - col("n_occupied")).as("v_empty"),
+          (col("occ_sum") +
+            (lit(HllM.toLong) - col("n_occupied")) *
+              lit(1L << (HllWBits + 1))).as("sum_int"))
+        .withColumn("est_distinct",
+          expr(s"CAST($HllEstConst AS DOUBLE) / CAST(sum_int AS DOUBLE)"))
+      val exact = table(s, dir, "orders")
+        .groupBy(monthCol.as("part_month"))
+        .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+        .unionAll(table(s, dir, "orders")
+          .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+          .select(lit("ALL").as("part_month"), col("exact_distinct")))
+      finals.join(exact, Seq("part_month"))
+        .orderBy("part_month")
+    },
+    Some {
+      val hv = hexValSqlDdb("md5(CAST(o_custkey AS STRING))")
+      s"""WITH h AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS part_month, $hv AS hv
+         |  FROM orders),
+         |b AS (SELECT part_month, hv % $HllM AS bucket,
+         |             ${rhoSql(s"(hv // $HllM)")} AS rho FROM h),
+         |regs AS (SELECT part_month, bucket, max(rho) AS r
+         |         FROM b GROUP BY 1, 2),
+         |u AS (
+         |  SELECT part_month, bucket, r FROM regs
+         |  UNION ALL
+         |  SELECT 'ALL', bucket, max(r) FROM regs GROUP BY bucket),
+         |agg AS (
+         |  SELECT part_month, count(*) AS n_occupied,
+         |         CAST(sum(CAST(1 AS BIGINT) << (${HllWBits + 1} - r))
+         |            AS BIGINT) AS occ_sum
+         |  FROM u GROUP BY 1),
+         |x AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+         |         count(DISTINCT o_custkey) AS exact_distinct
+         |  FROM orders GROUP BY 1
+         |  UNION ALL
+         |  SELECT 'ALL', count(DISTINCT o_custkey) FROM orders),
+         |f AS (
+         |  SELECT part_month,
+         |         CAST(($HllM - n_occupied) AS BIGINT) AS v_empty,
+         |         (occ_sum + ($HllM - n_occupied)
+         |          * (CAST(1 AS BIGINT) << ${HllWBits + 1})) AS sum_int
+         |  FROM agg)
+         |SELECT f.part_month, v_empty, sum_int,
+         |       CAST($HllEstConst AS DOUBLE) / CAST(sum_int AS DOUBLE)
+         |         AS est_distinct,
+         |       exact_distinct
+         |FROM f JOIN x ON f.part_month = x.part_month
+         |ORDER BY f.part_month""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(kmvDistinct, hllDistinct, zoneMaps, countMinFreq,
     bloomMembership,
     layoutZorder, thetaIntersect, cmJoinSize, compactionBins,
-    sampleQuantiles)
+    sampleQuantiles, hllRollup)
 }

@@ -410,6 +410,32 @@ class QueryPropertiesSpec extends SparkSpec {
       s"HLL corrected $est (raw $raw, V $vEmpty) vs exact $exact out of 3σ")
   }
 
+  test("sketch_hll_rollup: merged ALL row is bit-identical to the single-pass global sketch") {
+    // The rollup's whole claim: bucket-wise max over per-month register
+    // tables == the registers of one global pass, so the merged 'ALL'
+    // estimate (which never rescanned the facts) must equal the
+    // single-pass sketch_hll_distinct estimate EXACTLY — same sum_int,
+    // same v_empty, same double — not just approximately.
+    val all = Registry.queries("sketch_hll_rollup")(spark, Sf)
+      .filter(col("part_month") === "ALL").collect()(0)
+    spark.catalog.clearCache()
+    val global = Registry.queries("sketch_hll_distinct")(spark, Sf).collect()(0)
+    spark.catalog.clearCache()
+    assert(all.getAs[Long]("sum_int") == global.getAs[Long]("sum_int"))
+    assert(all.getAs[Long]("v_empty") == global.getAs[Long]("v_empty"))
+    assert(all.getAs[Double]("est_distinct") ==
+      global.getAs[Double]("est_distinct"))
+    assert(all.getAs[Long]("exact_distinct") ==
+      global.getAs[Long]("exact_distinct"))
+    // and each per-month estimate is a plausible sketch: occupied
+    // registers never exceed m, estimates positive
+    Registry.queries("sketch_hll_rollup")(spark, Sf).collect().foreach { r =>
+      assert(r.getAs[Long]("v_empty") >= 0L)
+      assert(r.getAs[Double]("est_distinct") > 0.0)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("dedup_winnowing: planted exact copies surface at full containment") {
     val pairs = Registry.queries("dedup_winnowing")(spark, Sf)
       .select("i", "j", "containment").collect()
