@@ -1092,11 +1092,12 @@ object AnalysisQueries {
         |  FROM uw JOIN c USING (user_id)
         |  GROUP BY 1, 2)
         |SELECT cohort_week, week_offset, n_users,
-        |       SUM(CASE WHEN week_offset = 0 THEN n_users END)
-        |         OVER (PARTITION BY cohort_week) AS cohort_size,
-        |       CAST(n_users AS DOUBLE) /
         |       CAST(SUM(CASE WHEN week_offset = 0 THEN n_users END)
-        |              OVER (PARTITION BY cohort_week) AS DOUBLE) AS retention_pct
+        |              OVER (PARTITION BY cohort_week) AS BIGINT) AS cohort_size,
+        |       CAST(n_users AS DOUBLE) /
+        |       CAST(CAST(SUM(CASE WHEN week_offset = 0 THEN n_users END)
+        |              OVER (PARTITION BY cohort_week) AS BIGINT)
+        |            AS DOUBLE) AS retention_pct
         |FROM tri
         |ORDER BY cohort_week, week_offset""".stripMargin))
 

@@ -16,6 +16,19 @@ object Bench {
       // become parquet-footer reads instead of full count jobs
       .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.ui.enabled", "false")
+      // Even with the UI off, SQLAppStatusListener retains the last
+      // 1000 SQL executions — each holding the FULL physical-plan
+      // description string (100s of KB for the iterative/unrolled
+      // plans). A 160-query × reps sweep never evicts, so heap climbs
+      // monotonically and the tail of the sweep runs under GC pressure
+      // (the round-7 driver sweep measured iterative queries 7-14x
+      // their isolated cost for exactly this reason). Same for the
+      // job/stage/task status stores. Cap them to what a live debugger
+      // would actually look at.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/shuffle-machinery spin-up otherwise

@@ -1391,11 +1391,14 @@ object DedupQueries {
     * Scale shape: the adjacency (2|E| rows) persists once; each round
     * is one hash join ranks⋈adj (shuffle on node id, AQE-coalesced)
     * plus one map-side-combining sum — O(rounds·|E|) total, the
-    * standard Pregel cost without a graph library. Ranks frames are
-    * |V|-sized; per-round persist + lineage cut keeps the plan flat
-    * (the [[starLabels]] discipline). Teleport and init use integer
-    * div by |V| computed ONCE driver-side (Spark) / in a 1-row CTE
-    * (oracle) — same floor arithmetic, same values. */
+    * standard Pregel cost without a graph library. The round count is
+    * FIXED (oracle-pinned), and each round consumes the previous ranks
+    * frame exactly once, so the whole iteration chains lazily into one
+    * linear-size plan / one job — no per-round materialization needed
+    * (contrast [[starLabels]]/[[kcore]], whose convergence tests force
+    * a count per round). Teleport and init use integer div by |V|
+    * computed ONCE driver-side (Spark) / in a 1-row CTE (oracle) —
+    * same floor arithmetic, same values. */
   val pagerank: Q = Q(
     "graph_pagerank",
     (s, dir) => {
@@ -1408,21 +1411,21 @@ object DedupQueries {
       val n = deg.count()
       val init = PrScale / n
       val tele = (PrScale * 15L) / (100L * n)
+      // Unlike k-core (each stage reads its predecessor 3x, so a lazy
+      // unroll is exponential), each PageRank round reads the previous
+      // ranks frame exactly ONCE — the 8-round chain is a linear-size
+      // lazy plan, so the whole iteration is one Spark job over the two
+      // persisted frames instead of 8 materialize/count/unpersist round
+      // trips (which at sf0.1 cost ~8x per-job fixed overhead, the
+      // dominant term on a |V|-sized graph).
       var ranks = deg.select(col("src").as("v"), lit(init).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      ranks.count()
       for (_ <- 1 to PrRounds) {
-        val next = cutLineage(
-          adj
-            .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-            .join(deg, Seq("src"))
-            .select(col("dst").as("v"), expr("r div d").as("c"))
-            .groupBy(col("v"))
-            .agg((lit(tele) + expr("(85 * sum(c)) div 100")).as("r")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        ranks.unpersist()
-        ranks = next
+        ranks = adj
+          .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
+          .join(deg, Seq("src"))
+          .select(col("dst").as("v"), expr("r div d").as("c"))
+          .groupBy(col("v"))
+          .agg((lit(tele) + expr("(85 * sum(c)) div 100")).as("r"))
       }
       ranks
         .select(col("v").as("doc_id"), col("r").as("pr_scaled"),
@@ -1433,8 +1436,8 @@ object DedupQueries {
       val stages = (1 to PrRounds).map { k =>
         s"""r$k AS MATERIALIZED (
            |  SELECT a.dst AS v,
-           |         ((($PrScale * 15) // (100 * nn.n))
-           |          + (85 * sum(p.r // deg.d)) // 100) AS r
+           |         CAST((($PrScale * 15) // (100 * nn.n))
+           |          + (85 * sum(p.r // deg.d)) // 100 AS BIGINT) AS r
            |  FROM adj a
            |  JOIN r${k - 1} p ON p.v = a.src
            |  JOIN deg ON deg.src = a.src, nn

@@ -23,6 +23,14 @@ object Verify {
       // become parquet-footer reads instead of full count jobs
       .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.ui.enabled", "false")
+      // Status-store retention caps: the SQL-execution store keeps full
+      // plan-description strings per execution (default last 1000) and
+      // never evicts within a 160-query sweep — see Bench.scala for the
+      // measured sweep-tail GC-pressure failure mode this prevents.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "100")
+      .config("spark.ui.retainedStages", "200")
+      .config("spark.ui.retainedTasks", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -35,6 +43,10 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       spark.catalog.clearCache()
+      // Broadcasts, shuffle deps, and lineage-cut RDD blocks release via
+      // ContextCleaner, which only fires on GC — without this, debris
+      // from 160 queries accumulates and taxes the tail of the dump.
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -212,10 +212,15 @@ class PlanShapeSpec extends SparkSpec {
 
   test("pagerank: rank frames stay small — adjacency joins are the only exchanges") {
     val p = plan("graph_pagerank")
-    // the final executed plan is the LAST round's join + agg over
-    // lineage-cut (in-memory) rank frames: no window, no nested loop
-    assert(!p.contains("Window ["), p)
+    // the 8 rounds chain lazily into ONE plan over the persisted
+    // adjacency/degree frames; the rank iteration itself is join + agg
+    // only. The sole Window operators in the rendered plan are the
+    // shingle df-cap inside the cached candidate-gen subtree (printed
+    // by InMemoryRelation), never a rank-frame window.
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.forall(_.contains("AS df#")), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
   }
 
   test("winnowing: fingerprint join is a hash join keyed on the fingerprint") {

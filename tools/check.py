@@ -41,10 +41,26 @@ def cell(v):
     return str(v)
 
 
+def col_cells(s: pd.Series):
+    """Render one column dtype-faithfully.
+
+    iterrows() upcasts mixed-dtype rows to float64, canonicalizing int 150
+    and float 150.0 to the same string and masking int-vs-float oracle
+    divergence (e.g. DuckDB HUGEINT -> pandas float64). Rendering per
+    column keeps each column's own dtype, mirroring the driver's hash.
+    """
+    if pd.api.types.is_float_dtype(s):
+        return ["NULL" if pd.isna(v) else repr(float(v)) for v in s]
+    if pd.api.types.is_integer_dtype(s):
+        return [str(int(v)) for v in s]
+    return [cell(v) for v in s]
+
+
 def table_hash(df: pd.DataFrame) -> str:
     h = hashlib.sha256()
-    for _, row in df.iterrows():
-        h.update(("|".join(cell(v) for v in row)).encode())
+    cols = [col_cells(df[c]) for c in df.columns]
+    for i in range(len(df)):
+        h.update(("|".join(col[i] for col in cols)).encode())
         h.update(b"\n")
     return h.hexdigest()
 
