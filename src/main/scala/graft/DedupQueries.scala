@@ -144,7 +144,7 @@ object DedupQueries {
   /** N-gram Jaccard candidate pairs (i < j, jaccard ≥ 0.6) — the shared
     * plan behind [[ngramJaccard]] and [[clusters]]. One shuffle on the
     * shingle, one on the pair — no O(n²) cross join. */
-  private def ngramPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     // The inverted index feeds three plan branches (sizes + both join
     // sides); persist it so the corpus scan + shingle explode runs once.
     val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1405,24 +1405,42 @@ object DedupQueries {
       val e = ngramPairs(s, dir).select(col("i"), col("j"))
       val adj = e.select(col("i").as("src"), col("j").as("dst"))
         .unionAll(e.select(col("j").as("src"), col("i").as("dst")))
+      // Degree is loop-invariant, so it rides ON the adjacency: one
+      // (src, dst, d) frame persists and each round is a single join +
+      // aggregate instead of adj⋈ranks⋈deg (8 joins saved over the
+      // fixed rounds). The count-distinct-src for |V| comes from the
+      // same window pass.
+      val bys = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+      val adjd = adj.withColumn("d", count(lit(1)).over(bys))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val n = deg.count()
+      val n = adjd.select(col("src")).distinct().count()
       val init = PrScale / n
       val tele = (PrScale * 15L) / (100L * n)
       // Unlike k-core (each stage reads its predecessor 3x, so a lazy
       // unroll is exponential), each PageRank round reads the previous
       // ranks frame exactly ONCE — the 8-round chain is a linear-size
-      // lazy plan, so the whole iteration is one Spark job over the two
-      // persisted frames instead of 8 materialize/count/unpersist round
-      // trips (which at sf0.1 cost ~8x per-job fixed overhead, the
-      // dominant term on a |V|-sized graph).
-      var ranks = deg.select(col("src").as("v"), lit(init).as("r"))
+      // lazy plan, so the whole iteration is one Spark job instead of 8
+      // materialize/count/unpersist round trips. The chain must hang
+      // off LINEAGE-CUT leaves, though: referencing the persisted
+      // frames directly re-embeds the whole candidate-generation
+      // subtree 8x (16x for deg) in the analyzed plan, and Catalyst
+      // re-optimizing that tree cost more than the old per-round
+      // materialization (8.4 s vs 6.5 s at sf0.1); over LogicalRDD
+      // leaves reading the warm caches it plans in milliseconds.
+      // Partition count derives from the measured graph, not the session
+      // shuffle setting: a |V|~10^3 dup-cluster graph spread over 32
+      // cached partitions pays 32-way task dispatch on every one of the
+      // 8 rounds' scans for no parallelism gain (measured: the same
+      // query 7.3 s at 32 partitions vs 5.3 s at 8 at sf0.1). ~64k
+      // nodes per partition; grows with the graph at scale.
+      val gParts = math.max(2, math.min(
+        s.sessionState.conf.numShufflePartitions, (n / 65536L).toInt + 1))
+      val adjCut = cutLineage(adjd.repartition(gParts, col("src")))
+      var ranks = adjCut.select(col("src").as("v")).distinct()
+        .select(col("v"), lit(init).as("r"))
       for (_ <- 1 to PrRounds) {
-        ranks = adj
+        ranks = adjCut
           .join(ranks.withColumnRenamed("v", "src"), Seq("src"))
-          .join(deg, Seq("src"))
           .select(col("dst").as("v"), expr("r div d").as("c"))
           .groupBy(col("v"))
           .agg((lit(tele) + expr("(85 * sum(c)) div 100")).as("r"))

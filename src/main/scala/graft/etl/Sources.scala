@@ -35,12 +35,25 @@ object Sources {
   }
 
   /** Normalize an events frame's `ts` column to the session TimestampType
-    * regardless of which raw layout it was read from (see [[events]]). */
+    * regardless of which raw layout it was read from (see [[events]]).
+    *
+    * A LongType `ts` is assumed to be NANOS since epoch (the only long
+    * layout the driver has shipped, via TIMESTAMP(NANOS) + the legacy
+    * reader conf). That assumption is guarded per row: modern-era nanos
+    * are ~1.7e18 while micros-as-long (~1.7e15) or millis-as-long
+    * (~1.7e12) are orders of magnitude below the 1e17 floor (≈ 1973 in
+    * nanos), so a future re-layout fails loudly here instead of
+    * silently misscaling every timestamp by 1000x. One long comparison
+    * per row, inside codegen — noise against the parquet decode. */
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+        df.withColumn("ts", expr(
+          """timestamp_micros(CASE
+            |  WHEN assert_true(ts IS NULL OR ts >= 100000000000000000,
+            |    'Sources.normalizeTs: long ts below the nanos-since-epoch range — new layout?') IS NULL
+            |  THEN ts DIV 1000 END)""".stripMargin))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df

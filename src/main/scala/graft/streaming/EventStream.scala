@@ -33,12 +33,24 @@ object EventStream {
     *
     * readStream needs the schema up front, and the driver has shipped
     * `ts` as both nanos-long and TIMESTAMP(MICROS) (see Sources.events);
-    * a one-file batch probe of the directory picks up whichever layout
-    * is present, then the shared normalizer gives the stream the same
-    * session-TimestampType `ts` the batch loader produces. */
+    * a batch probe of the directory picks up whichever layout is
+    * present, then the shared normalizer gives the stream the same
+    * session-TimestampType `ts` the batch loader produces. An EMPTY
+    * directory — a normal state at stream start — cannot be probed
+    * (schema inference throws), so the probe falls back to [[rawSchema]]
+    * (the nanos-long layout), keeping the stream startable before the
+    * first file lands.
+    *
+    * The layout is probed ONCE at stream creation and frozen for the
+    * stream's lifetime: one directory = one physical `ts` layout. A
+    * producer that switches layouts mid-stream must write to a new
+    * directory (and start a new stream over it) — later files with a
+    * different physical type under the frozen schema fail the read. */
   def fileStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 1): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val layout = spark.read.parquet(dir).schema
+    val layout =
+      try spark.read.parquet(dir).schema
+      catch { case _: org.apache.spark.sql.AnalysisException => rawSchema }
     graft.etl.Sources.normalizeTs(
       spark.readStream
         .schema(layout)
