@@ -190,6 +190,13 @@ object VentasTotales {
     * processing the same file against a target that already holds every
     * key inserts zero rows. */
   def rerun(spark: SparkSession, sfDir: String): DataFrame = {
+    // BOTH sides recompute the prepared subtree rather than persisting
+    // it — re-A/B'd under round-8 full-sweep conditions after the
+    // round-7 driver sweep measured this query at 63 s: with the
+    // status-store retention leak fixed (see Bench.scala), recompute
+    // runs 4.7 s in-sweep vs 11.1 s for the persisted variant (cache
+    // materialization of 1.2M wide rows + broken codegen fusion). The
+    // round-7 blowup was heap pressure from the leak, not this shape.
     val incoming = prepared(spark, sfDir)
     toTargetColumns(
       Dedup.antiJoinNewNormalized(
