@@ -652,6 +652,171 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** IVF-PQ: the production ANN composition [[pqAdc]]'s scaladoc names
+    * as the scale path, now exercised as its own gated operator — the
+    * IVF coarse quantizer prunes the ADC scan to the probed inverted
+    * lists, so per-query approximate scoring touches ~nProbe/K of the
+    * corpus (~1/8 here) instead of all of it, and each scored candidate
+    * still costs only M table lookups instead of a 64-dim dot. This is
+    * the FAISS IVFADC layout (Jégou et al., TPAMI 2011 §V): at 100 TB
+    * the index I/O per query is (n·nProbe/K)·M bytes of codes, the only
+    * full-precision reads are the [[PqShortlist]]-row re-rank.
+    *
+    * Plan shape: one broadcast-argmax assignment builds the inverted
+    * lists (shuffle carries n pre-reduced rows); probes rank centroids
+    * per query over |Q|·K rows; candidate generation joins probes to
+    * code-lists on centroid_id (the only corpus-sized shuffle key);
+    * ADC scoring is M broadcast distance-table lookups + a fixed-order
+    * scalar sum on each candidate row; the shortlist reduces via the
+    * bounded heap and broadcasts back for the exact cosine re-rank.
+    * Every numeric fragment (cosine fold, l2sq kernel, left-associated
+    * ADC sum) is shared with the already-gated [[annIvf]]/[[pqAdc]], so
+    * the composition hash-matches by construction. */
+  val annIvfPq: Q = Q(
+    "sim_ann_ivf_pq",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val stride = ivfStride(e.count())
+      val centroids = e.filter(col("vec_id") % stride === lit(3L % stride))
+        .toDF("centroid_id", "c_emb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nProbe = ivfNProbe(centroids.count())
+      // inverted lists, keyed by coarse centroid — carries only ids here
+      // (the PQ codes below are the scan payload; full vectors are never
+      // joined to candidates)
+      val lists = assignArgmax(e, centroids)
+        .select(col("vec_id").as("neighbor_id"), col("centroid_id"))
+      // PQ encode — same codebook/code discipline as pqAdc
+      val subs = e.select(col("vec_id"),
+          posexplode(array((0 until PqM).map(m =>
+            slice(col("embedding"), m * PqSubDim + 1, PqSubDim)): _*))
+            .as(Seq("m", "sub")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val codes = subs.filter(col("vec_id") % stride === lit(3L % stride))
+        .select(col("m"), col("vec_id").as("code_id"), col("sub").as("c_sub"))
+      val encoded = subs.join(broadcast(codes), Seq("m"))
+        .select(col("vec_id"), col("m"), col("code_id"),
+          l2sq(col("sub"), col("c_sub")).as("d"))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(max(struct((-col("d")).as("nd"), (-col("code_id")).as("tb"),
+          col("code_id").as("cid"))).as("best"))
+        .groupBy(col("vec_id"))
+        .pivot("m", 0 until PqM)
+        .agg(first(col("best.cid")))
+        .toDF(("neighbor_id" +: (0 until PqM).map(m => s"c$m")): _*)
+      val dtable = subs.filter(col("vec_id") % QueryMod === 0)
+        .join(broadcast(codes), Seq("m"))
+        .select(col("vec_id").as("query_id"), col("m"), col("code_id"),
+          l2sq(col("sub"), col("c_sub")).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // candidates: probed lists only — the IVF pruning this operator adds
+      val probes = probeRanks(
+        e.filter(col("vec_id") % QueryMod === 0), centroids, nProbe)
+        .select(col("query_id"), col("centroid_id"))
+      val cands = probes.join(lists, Seq("centroid_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .join(encoded, Seq("neighbor_id"))
+      // ADC over candidates: M dtable lookups + a fixed-order sum
+      val scored0 = (0 until PqM).foldLeft(cands) { (acc, m) =>
+        val dt = dtable.filter(col("m") === m)
+          .select(col("query_id").as(s"q$m"), col("code_id").as(s"k$m"),
+            col("d").as(s"d$m"))
+        acc.join(broadcast(dt),
+          col(s"c$m") === col(s"k$m") && col("query_id") === col(s"q$m"))
+      }
+      val scored = scored0.select(col("query_id"), col("neighbor_id"),
+        (0 until PqM).map(m => col(s"d$m")).reduceLeft(_ + _).as("adc_dist"))
+      val shortlist = scored
+        .groupBy(col("query_id"))
+        .agg(H.topKByScore((-col("adc_dist")).as("score"),
+          col("neighbor_id"), PqShortlist).as("top"))
+        .select(col("query_id"), explode(col("top")).as("p"))
+        .select(col("query_id"), col("p.id").as("neighbor_id"))
+      val qe = e.toDF("query_id", "q_emb")
+      val rer = e.toDF("neighbor_id", "n_emb")
+        .join(broadcast(shortlist.join(qe, "query_id")), Seq("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
+      topK(rer, 3)
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |params AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS stride FROM e),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |      FROM e, params WHERE vec_id % params.stride = 3 % params.stride),
+         |np AS (SELECT GREATEST(2, CAST(CEIL(COUNT(*) / 8.0) AS BIGINT)) AS nprobe FROM c),
+         |assigned AS (
+         |  SELECT e.vec_id, c.centroid_id,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY e.vec_id
+         |           ORDER BY ${H.cosineSql("e.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS crank
+         |  FROM e CROSS JOIN c),
+         |lists AS (
+         |  SELECT vec_id AS neighbor_id, centroid_id
+         |  FROM assigned WHERE crank = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, centroid_id
+         |  FROM assigned WHERE vec_id % $QueryMod = 0 AND crank <= (SELECT nprobe FROM np)),
+         |subs AS (
+         |  SELECT vec_id, CAST(u.m AS INTEGER) AS m,
+         |         list_slice(embedding, u.m * $PqSubDim + 1, u.m * $PqSubDim + $PqSubDim) AS sub
+         |  FROM e, unnest(generate_series(0, ${PqM - 1})) AS u(m)),
+         |codes AS (
+         |  SELECT m, vec_id AS code_id, sub AS c_sub
+         |  FROM subs, params WHERE vec_id % params.stride = 3 % params.stride),
+         |encoded AS (
+         |  SELECT vec_id AS neighbor_id, m, code_id FROM (
+         |    SELECT s.vec_id, s.m, c.code_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY s.vec_id, s.m
+         |             ORDER BY ${l2sqSql("s.sub", "c.c_sub")} ASC, c.code_id ASC) AS crank
+         |    FROM subs s JOIN codes c USING (m)) WHERE crank = 1),
+         |ewide AS (
+         |  SELECT e0.neighbor_id,
+         |         e0.code_id AS c0, e1.code_id AS c1,
+         |         e2.code_id AS c2, e3.code_id AS c3
+         |  FROM (SELECT neighbor_id, code_id FROM encoded WHERE m = 0) e0
+         |  JOIN (SELECT neighbor_id, code_id FROM encoded WHERE m = 1) e1 USING (neighbor_id)
+         |  JOIN (SELECT neighbor_id, code_id FROM encoded WHERE m = 2) e2 USING (neighbor_id)
+         |  JOIN (SELECT neighbor_id, code_id FROM encoded WHERE m = 3) e3 USING (neighbor_id)),
+         |dtable AS (
+         |  SELECT s.vec_id AS query_id, s.m, c.code_id,
+         |         ${l2sqSql("s.sub", "c.c_sub")} AS d
+         |  FROM subs s JOIN codes c USING (m)
+         |  WHERE s.vec_id % $QueryMod = 0),
+         |cands AS (
+         |  SELECT p.query_id, w.neighbor_id, w.c0, w.c1, w.c2, w.c3
+         |  FROM probes p
+         |  JOIN lists l USING (centroid_id)
+         |  JOIN ewide w ON w.neighbor_id = l.neighbor_id
+         |  WHERE l.neighbor_id <> p.query_id),
+         |scored AS (
+         |  SELECT g.query_id, g.neighbor_id, t0.d + t1.d + t2.d + t3.d AS adc_dist
+         |  FROM cands g
+         |  JOIN dtable t0 ON t0.m = 0 AND t0.code_id = g.c0 AND t0.query_id = g.query_id
+         |  JOIN dtable t1 ON t1.m = 1 AND t1.code_id = g.c1 AND t1.query_id = g.query_id
+         |  JOIN dtable t2 ON t2.m = 2 AND t2.code_id = g.c2 AND t2.query_id = g.query_id
+         |  JOIN dtable t3 ON t3.m = 3 AND t3.code_id = g.c3 AND t3.query_id = g.query_id),
+         |shortlist AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS arank
+         |    FROM scored) WHERE arank <= $PqShortlist),
+         |rer AS (
+         |  SELECT s.query_id, s.neighbor_id,
+         |         ${H.cosineSql("q.embedding", "n.embedding")} AS cosine
+         |  FROM shortlist s
+         |  JOIN e q ON q.vec_id = s.query_id
+         |  JOIN e n ON n.vec_id = s.neighbor_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cosine,
+         |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |  FROM rer)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+         |FROM ranked WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin))
+
   def all: Seq[Q] =
-    Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans, quantizeInt8, pqAdc)
+    Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans, quantizeInt8, pqAdc,
+      annIvfPq)
 }

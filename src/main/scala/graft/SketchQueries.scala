@@ -993,8 +993,104 @@ object SketchQueries {
          |ORDER BY f.part_month""".stripMargin
     })
 
+  /** Histogram bin count for [[quantileRollup]]. Constant by design:
+    * bins bound the ESTIMATE's resolution (quantile error ≤ one bin
+    * width), not the data size — the register table stays months×B
+    * regardless of corpus scale. */
+  private val QrBins = 64
+
+  /** Mergeable quantile rollup — [[hllRollup]]'s property demonstrated
+    * for ORDER STATISTICS: per-month equi-width histogram tables (the
+    * quantile sketch a lakehouse stores beside each partition) fold to
+    * the global histogram by bin-wise SUM alone, and any quantile is
+    * then read from the folded cumulative counts without rescanning the
+    * facts. Sum is associative and commutative, so day→month→year→all
+    * groupings commute exactly, and — unlike an exact rank, which has no
+    * sublinear merge — the bin resolution is the only approximation
+    * (error ≤ one bin width, fixed at [[QrBins]]).
+    *
+    * Shared bin edges are what make the fold valid, so min/max come
+    * from one cheap global agg pass first (the zonemap discipline); the
+    * register build is one map-side-combining groupBy on (month, bin).
+    * The register table is bounded by months×B (~80×64), so it
+    * materializes to the driver and the fold + cumulative read run over
+    * a local relation (the hllRollup/countMinFreq discipline — no
+    * persist to leak across bench reps). Quantile selection compares
+    * cumulative counts against ceil(q·N) computed in DOUBLE on both
+    * engines (the oracle casts its DECIMAL literals explicitly — a
+    * decimal-exact 0.9·N and a double 0.9·N can ceil to different ranks
+    * at boundary N). */
+  val quantileRollup: Q = Q(
+    "sketch_quantile_rollup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val mm = table(s, dir, "orders")
+        .agg(min(col("o_totalprice")).as("mn"), max(col("o_totalprice")).as("mx"))
+        .head()
+      val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+      val binW = (mx - mn) / QrBins.toDouble
+      val monthCol = date_format(col("o_orderdate"), "yyyy-MM")
+      val regRows = table(s, dir, "orders")
+        .select(monthCol.as("part_month"),
+          least(lit(QrBins - 1L),
+            floor((col("o_totalprice") - lit(mn)) / lit(binW))).as("bin"))
+        .groupBy(col("part_month"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+      import s.implicits._
+      val regs = regRows.toDF("part_month", "bin", "cnt")
+      val folded = regs.unionAll(
+        regs.groupBy(col("bin")).agg(sum(col("cnt")).as("cnt"))
+          .select(lit("ALL").as("part_month"), col("bin"), col("cnt")))
+      val cum = folded
+        .withColumn("cum", sum(col("cnt")).over(
+          Window.partitionBy(col("part_month")).orderBy(col("bin"))))
+        .withColumn("n_rows", sum(col("cnt")).over(
+          Window.partitionBy(col("part_month"))))
+      Seq(0.5, 0.9, 0.99)
+        .map(q => cum
+          .filter(col("cum") >= ceil(lit(q) * col("n_rows")))
+          .groupBy(col("part_month"))
+          .agg(min(col("bin")).as("bin_id"), max(col("n_rows")).as("n_rows"))
+          .withColumn("q", lit(q)))
+        .reduce(_ unionAll _)
+        .select(col("part_month"), col("q"), col("bin_id"), col("n_rows"),
+          (lit(mn) + (col("bin_id") + 1) * lit(binW)).as("est"))
+        .orderBy("part_month", "q")
+    },
+    Some(
+      s"""WITH p AS (
+         |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+         |         (max(o_totalprice) - min(o_totalprice)) / ${QrBins.toDouble} AS w
+         |  FROM orders),
+         |b AS (
+         |  SELECT strftime(o_orderdate, '%Y-%m') AS part_month,
+         |         CAST(least(${QrBins - 1}, floor((o_totalprice - p.mn) / p.w)) AS BIGINT) AS bin
+         |  FROM orders, p),
+         |regs AS (SELECT part_month, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |u AS (
+         |  SELECT part_month, bin, cnt FROM regs
+         |  UNION ALL
+         |  SELECT 'ALL', bin, CAST(sum(cnt) AS BIGINT) FROM regs GROUP BY bin),
+         |c AS (
+         |  SELECT part_month, bin, cnt,
+         |         sum(cnt) OVER (PARTITION BY part_month ORDER BY bin) AS cum,
+         |         sum(cnt) OVER (PARTITION BY part_month) AS n
+         |  FROM u),
+         |qs(q) AS (VALUES (0.5), (0.9), (0.99)),
+         |sel AS (
+         |  SELECT part_month, CAST(q AS DOUBLE) AS q, min(bin) AS bin_id,
+         |         CAST(max(n) AS BIGINT) AS n_rows
+         |  FROM c JOIN qs ON cum >= ceiling(CAST(q AS DOUBLE) * n)
+         |  GROUP BY 1, 2)
+         |SELECT part_month, q, bin_id, n_rows,
+         |       p.mn + (bin_id + 1) * p.w AS est
+         |FROM sel, p
+         |ORDER BY part_month, q""".stripMargin))
+
   def all: Seq[Q] = Seq(kmvDistinct, hllDistinct, zoneMaps, countMinFreq,
     bloomMembership,
     layoutZorder, thetaIntersect, cmJoinSize, compactionBins,
-    sampleQuantiles, hllRollup)
+    sampleQuantiles, hllRollup, quantileRollup)
 }
