@@ -12,7 +12,7 @@ class QueryPropertiesSpec extends SparkSpec {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     for (ann <- Seq("sim_ann_lsh", "sim_ann_ivf", "sim_ann_ivf_kmeans",
-        "sim_pq_adc")) {
+        "sim_pq_adc", "sim_ann_ivf_pq")) {
       val approx = Registry.queries(ann)(spark, Sf)
         .select("query_id", "neighbor_id")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -23,8 +23,13 @@ class QueryPropertiesSpec extends SparkSpec {
       // IVF ≈ 0.43, PQ shortlist+re-rank ≈ 0.40). Clustered real
       // embeddings do far better; the bound asserts the probes beat
       // random candidate picking (3 random candidates ⇒ expected
-      // recall ≈ 0.006), not production quality.
-      assert(recall >= 0.2, s"$ann recall@3 = $recall")
+      // recall ≈ 0.006), not production quality. The composed IVF-PQ's
+      // recall is the PRODUCT of its stages' (a neighbor survives iff
+      // IVF kept its list AND ADC ranked it into the shortlist —
+      // measured 0.167 ≈ 0.43 × 0.40, the independence prediction), so
+      // it gets the floor the product implies, not the single-stage one.
+      val floor = if (ann == "sim_ann_ivf_pq") 0.1 else 0.2
+      assert(recall >= floor, s"$ann recall@3 = $recall")
       assert(approx.nonEmpty)
     }
   }
@@ -434,6 +439,51 @@ class QueryPropertiesSpec extends SparkSpec {
       assert(r.getAs[Double]("est_distinct") > 0.0)
     }
     spark.catalog.clearCache()
+  }
+
+  test("sketch_quantile_rollup: folded ALL quantiles equal the single-pass histogram's and bracket the exact quantile") {
+    val rows = Registry.queries("sketch_quantile_rollup")(spark, Sf).collect()
+    spark.catalog.clearCache()
+    val all = rows.filter(_.getAs[String]("part_month") == "ALL")
+      .map(r => r.getAs[Double]("q") ->
+        (r.getAs[Long]("bin_id"), r.getAs[Long]("n_rows"), r.getAs[Double]("est")))
+      .toMap
+    // single-pass global histogram with the same edges — the fold must
+    // be BIT-identical to it (bin-wise sum is exact, unlike a sketch
+    // estimate there is no tolerance to hide behind)
+    val o = etl.Sources.table(spark, Sf, "orders")
+    val mm = o.agg(min(col("o_totalprice")), max(col("o_totalprice"))).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    val w = (mx - mn) / 64.0
+    val hist = o.select(
+        least(lit(63L), floor((col("o_totalprice") - lit(mn)) / lit(w))).as("bin"))
+      .groupBy("bin").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val n = hist.values.sum
+    val sortedBins = hist.keys.toSeq.sorted
+    val prices = o.select(col("o_totalprice")).collect()
+      .map(_.getDouble(0)).sorted
+    spark.catalog.clearCache()
+    for ((q, (binId, nRows, est)) <- all) {
+      assert(nRows == n, s"q=$q n_rows $nRows != $n")
+      val target = math.ceil(q * n).toLong
+      var cum = 0L
+      val direct = sortedBins.find { b => cum += hist(b); cum >= target }.get
+      assert(binId == direct, s"q=$q folded bin $binId != single-pass $direct")
+      assert(est == mn + (direct + 1) * w)
+      // the estimate brackets the true exact quantile within one bin
+      val vq = prices(target.toInt - 1)
+      assert(vq <= est + math.ulp(est) * 4, s"q=$q exact $vq above est $est")
+      assert(vq > est - w - math.ulp(est) * 4, s"q=$q exact $vq below bin")
+    }
+    // per-month registers partition the corpus: per-q month n_rows sum to ALL n
+    val perMonth = rows.filter(_.getAs[String]("part_month") != "ALL")
+    Seq(0.5, 0.9, 0.99).foreach { q =>
+      val s = perMonth.filter(_.getAs[Double]("q") == q)
+        .map(_.getAs[Long]("n_rows")).sum
+      assert(s == n, s"q=$q per-month n_rows sum $s != $n")
+    }
   }
 
   test("dedup_winnowing: planted exact copies surface at full containment") {
