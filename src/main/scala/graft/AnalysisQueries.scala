@@ -1195,6 +1195,122 @@ object AnalysisQueries {
         |    AND (q.p_size > p.p_size OR q.p_retailprice < p.p_retailprice))
         |ORDER BY p_size, p_partkey""".stripMargin))
 
+  /** First-order Markov transition matrix over per-user event streams —
+    * the behavioral model a synthetic-data generator or sequence-QA
+    * pipeline fits: count (prev_type → type) transitions along each
+    * user's (ts, event_id)-ordered stream, with per-source-state
+    * probabilities. One LAG window (shuffle on user_id — the same key
+    * every sessionization query shuffles on) folds to a ≤|types|²-row
+    * transition table; probabilities are exact-integer counts divided
+    * once at the end (long/long in DOUBLE — deterministic IEEE, same
+    * expression both engines). */
+  val markovTransitions: Q = Q(
+    "events_markov_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = graft.etl.Sources.events(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_trans"))
+      val tot = tr.groupBy(col("prev_type"))
+        .agg(sum(col("n_trans")).as("n_from"))
+      tr.join(broadcast(tot), Seq("prev_type"))
+        .select(col("prev_type"), col("event_type"), col("n_trans"),
+          col("n_from"),
+          (col("n_trans").cast("double") / col("n_from").cast("double"))
+            .as("p"))
+        .orderBy("prev_type", "event_type")
+    },
+    Some(
+      """WITH tr AS (
+        |  SELECT prev_type, event_type, count(*) AS n_trans FROM (
+        |    SELECT event_type,
+        |           LAG(event_type) OVER (
+        |             PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |    FROM events)
+        |  WHERE prev_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+        |        FROM tr GROUP BY 1)
+        |SELECT tr.prev_type, tr.event_type, tr.n_trans, tot.n_from,
+        |       CAST(tr.n_trans AS DOUBLE) / CAST(tot.n_from AS DOUBLE) AS p
+        |FROM tr JOIN tot USING (prev_type)
+        |ORDER BY prev_type, event_type""".stripMargin))
+
+  /** Robust hourly-volume anomaly detection via median absolute
+    * deviation — the outlier rule that survives the outliers it hunts
+    * (a mean/stddev z-score is dragged by the very spikes it should
+    * flag; IQR is [[dq_outlier_iqr]]'s rule). Hourly grain because
+    * that is where the fixture's planted traffic bursts live (the
+    * `events_range_burst` hot hours) — daily volumes are uniform and
+    * flag nothing. Medians are LOWER medians (rank-ceil(N/2) under the
+    * fully tie-broken (value, hour) order) — exact integers, no
+    * interpolation to diverge between engines. The fact table folds to
+    * ≤|hours| rows in one map-side-combining groupBy; both median
+    * reads and the deviation join run over that bounded aggregate (the
+    * documented bounded-window precedent). Emits flagged hours:
+    * |n − med| > 3·1.4826·MAD (the normal-consistency constant; pure
+    * double multiply, comparison-only). */
+  val anomalyMad: Q = Q(
+    "events_anomaly_mad",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hourly = graft.etl.Sources.events(s, dir)
+        .groupBy((floor(unix_timestamp(col("ts")) / lit(3600L)) -
+          lit(java.time.LocalDate.parse("2024-01-01")
+            .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond / 3600L))
+          .as("hour"))
+        .agg(count(lit(1)).as("n_events"))
+      val byN = Window.orderBy(col("n_events"), col("hour"))
+      val nHours = hourly.agg(count(lit(1)).as("nh"),
+        ceil(count(lit(1)) / lit(2.0)).as("mid"))
+      val med = hourly
+        .withColumn("rn", row_number().over(byN))
+        .crossJoin(broadcast(nHours))
+        .filter(col("rn") === col("mid"))
+        .select(col("n_events").as("med"))
+      val dev = hourly.crossJoin(broadcast(med))
+        .withColumn("dev", abs(col("n_events") - col("med")))
+      val byDev = Window.orderBy(col("dev"), col("hour"))
+      val mad = dev
+        .withColumn("rn", row_number().over(byDev))
+        .crossJoin(broadcast(nHours))
+        .filter(col("rn") === col("mid"))
+        .select(col("dev").as("mad"))
+      dev.crossJoin(broadcast(mad))
+        .filter(col("dev").cast("double") >
+          lit(3.0) * lit(1.4826) * col("mad").cast("double"))
+        .select(col("hour"), col("n_events"), col("med"), col("mad"),
+          col("dev"))
+        .orderBy("hour")
+    },
+    Some(
+      """WITH hourly AS (
+        |  SELECT datediff('hour', TIMESTAMP '2024-01-01 00:00:00',
+        |                  date_trunc('hour', ts)) AS hour,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |nh AS (SELECT count(*) AS nh, CAST(ceiling(count(*) / 2.0) AS BIGINT) AS mid
+        |       FROM hourly),
+        |med AS (
+        |  SELECT n_events AS med FROM (
+        |    SELECT n_events, row_number() OVER (ORDER BY n_events, hour) AS rn
+        |    FROM hourly), nh WHERE rn = mid),
+        |dev AS (
+        |  SELECT h.hour, h.n_events, m.med, abs(h.n_events - m.med) AS dev
+        |  FROM hourly h, med m),
+        |mad AS (
+        |  SELECT dev AS mad FROM (
+        |    SELECT dev, hour, row_number() OVER (ORDER BY dev, hour) AS rn
+        |    FROM dev), nh WHERE rn = mid)
+        |SELECT d.hour, d.n_events, d.med, d.mad_dev AS mad, d.dev FROM (
+        |  SELECT dev.*, mad.mad AS mad_dev FROM dev, mad) d
+        |WHERE CAST(d.dev AS DOUBLE) > 3.0 * 1.4826 * CAST(d.mad_dev AS DOUBLE)
+        |ORDER BY d.hour""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1203,5 +1319,6 @@ object AnalysisQueries {
     groupingSetsFlagStatus, q5LocalSupplierVolume, q3ShippingPriority,
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
-    q19Disjunctive, retentionCohorts, rollingActive, skylineParts)
+    q19Disjunctive, retentionCohorts, rollingActive, skylineParts,
+    markovTransitions, anomalyMad)
 }
