@@ -95,6 +95,79 @@ object TemporalJoinQueries {
          |FROM w WHERE side = 1
          |ORDER BY event_id""".stripMargin))
 
+  /** Staleness bound for [[asofTolerance]]: 6 hours in micros (chosen
+    * against the fixture's marker density so all three populations —
+    * fresh, stale, never-marked — are non-empty and gated). */
+  val TolUs: Long = 6L * 3600 * 1000000
+
+  /** As-of join with a staleness tolerance — the market-data variant
+    * (`pd.merge_asof(..., tolerance=...)` / kdb `wj` with a window):
+    * a carried marker OLDER than [[TolUs]] is rejected as stale (a
+    * quote that old is not a price), so the enrichment is NULL and the
+    * row is flagged rather than silently joined to ancient state.
+    * Same one-shuffle union-window shape and (ts, side, event_id) tie
+    * rules as [[asofLastError]]; the tolerance is a pure projection on
+    * the carried gap — no extra shuffle, no second window. */
+  val asofTolerance: Q = Q(
+    "events_asof_tolerance",
+    (s, dir) => {
+      val e = Sources.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+      val marks = e.filter(col("event_type") === MarkerType)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(0).as("side"),
+          unix_micros(col("ts")).as("m_ts_us"), col("value").as("m_value"))
+      val facts = e.filter(col("event_type") =!= MarkerType)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          lit(1).as("side"),
+          lit(null).cast("long").as("m_ts_us"),
+          lit(null).cast("double").as("m_value"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fresh = col("last_us").isNotNull &&
+        (unix_micros(col("ts")) - col("last_us")) <= TolUs
+      marks.unionAll(facts)
+        .withColumn("last_us", last(col("m_ts_us"), ignoreNulls = true).over(w))
+        .withColumn("last_v", last(col("m_value"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          when(fresh, col("last_us")).as("mark_ts_us"),
+          when(fresh, col("last_v")).as("mark_value"),
+          when(col("last_us").isNotNull && !fresh, lit(1L)).otherwise(lit(0L))
+            .as("stale"))
+        .orderBy("event_id")
+    },
+    Some(
+      s"""WITH e AS (SELECT event_id, user_id, ts, event_type, value FROM events),
+         |u AS (
+         |  SELECT event_id, user_id, ts, 0 AS side,
+         |         epoch_us(ts) AS m_ts_us, value AS m_value
+         |  FROM e WHERE event_type = '$MarkerType'
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts, 1,
+         |         CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE)
+         |  FROM e WHERE event_type <> '$MarkerType'),
+         |w AS (
+         |  SELECT event_id, user_id, ts, side,
+         |         last_value(m_ts_us IGNORE NULLS) OVER win AS last_us,
+         |         last_value(m_value IGNORE NULLS) OVER win AS last_v
+         |  FROM u
+         |  WINDOW win AS (
+         |    PARTITION BY user_id ORDER BY ts, side, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |       CASE WHEN last_us IS NOT NULL AND epoch_us(ts) - last_us <= $TolUs
+         |            THEN last_us END AS mark_ts_us,
+         |       CASE WHEN last_us IS NOT NULL AND epoch_us(ts) - last_us <= $TolUs
+         |            THEN last_v END AS mark_value,
+         |       CASE WHEN last_us IS NOT NULL AND epoch_us(ts) - last_us > $TolUs
+         |            THEN 1 ELSE 0 END AS stale
+         |FROM w WHERE side = 1
+         |ORDER BY event_id""".stripMargin))
+
   /** Range-join window: 12 hours in micros. Bucket width equals the
     * window width, so a marker's window spans at most 2 buckets — the
     * replication factor is a constant 2 at any scale. Public: the
@@ -736,5 +809,5 @@ object TemporalJoinQueries {
   def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
     asofNextError, scd2State, funnel, cdcMerge, asofNative,
     asofForwardNative, attribution, goldenRecord, mvIncremental,
-    intervalOverlap)
+    intervalOverlap, asofTolerance)
 }
