@@ -816,7 +816,86 @@ object SimilarityQueries {
          |FROM ranked WHERE rank <= 3
          |ORDER BY query_id, rank""".stripMargin))
 
+  /** k-NN label-consistency evaluation — the standard embedding-quality
+    * probe a training-data pipeline runs before trusting a vector
+    * column (FAISS-recipe "kNN classification accuracy"): each query's
+    * label is predicted by MAJORITY VOTE over its exact top-5
+    * neighbors' labels (vote ties to the smaller label id — fully
+    * deterministic), and accuracy is reported per true label plus the
+    * overall row (label −1). The scoring is the same broadcast
+    * |Q|·corpus pass as [[knnBrute]] (queries broadcast, corpus never
+    * shuffles); votes reduce map-side to ≤5 rows per query, the
+    * accuracy table is ≤|labels|+1 rows. Exact-integer counts, one
+    * double division at the end. */
+  val knnLabelEval: Q = Q(
+    "sim_knn_label_eval",
+    (s, dir) => {
+      val labels = table(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val top5 = scoredAll(s, dir)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+      val pred = top5
+        .join(broadcast(labels.toDF("neighbor_id", "nlabel")), Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("nlabel"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("votes"), (-col("nlabel")).as("tb"),
+          col("nlabel").as("l"))).as("m"))
+        .select(col("query_id"), col("m.l").as("pred_label"))
+      val graded = pred
+        .join(broadcast(labels.toDF("query_id", "true_label")), Seq("query_id"))
+        .withColumn("correct",
+          when(col("pred_label") === col("true_label"), 1L).otherwise(0L))
+      val perLabel = graded.groupBy(col("true_label").as("label"))
+        .agg(count(lit(1)).as("n_queries"), sum(col("correct")).as("n_correct"))
+      val overall = graded
+        .agg(count(lit(1)).as("n_queries"), sum(col("correct")).as("n_correct"))
+        .select(lit(-1).as("label"), col("n_queries"), col("n_correct"))
+      perLabel.unionAll(overall)
+        .select(col("label"), col("n_queries"), col("n_correct"),
+          (col("n_correct").cast("double") / col("n_queries").cast("double"))
+            .as("accuracy"))
+        .orderBy("label")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e WHERE vec_id % $QueryMod = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${H.cosineSql("q.q_emb", "e.embedding")} AS cosine
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |top5 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |    FROM scored) WHERE rank <= 5),
+         |votes AS (
+         |  SELECT t.query_id, l.label AS nlabel, count(*) AS votes
+         |  FROM top5 t JOIN embeddings l ON l.vec_id = t.neighbor_id
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT query_id, nlabel AS pred_label FROM (
+         |    SELECT query_id, nlabel,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY votes DESC, nlabel ASC) AS vr
+         |    FROM votes) WHERE vr = 1),
+         |graded AS (
+         |  SELECT p.query_id, p.pred_label, t.label AS true_label,
+         |         CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END AS correct
+         |  FROM pred p JOIN embeddings t ON t.vec_id = p.query_id),
+         |u AS (
+         |  SELECT true_label AS label, count(*) AS n_queries,
+         |         CAST(sum(correct) AS BIGINT) AS n_correct
+         |  FROM graded GROUP BY 1
+         |  UNION ALL
+         |  SELECT -1, count(*), CAST(sum(correct) AS BIGINT) FROM graded)
+         |SELECT label, n_queries, n_correct,
+         |       CAST(n_correct AS DOUBLE) / CAST(n_queries AS DOUBLE) AS accuracy
+         |FROM u
+         |ORDER BY label""".stripMargin))
+
   def all: Seq[Q] =
     Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans, quantizeInt8, pqAdc,
-      annIvfPq)
+      annIvfPq, knnLabelEval)
 }
