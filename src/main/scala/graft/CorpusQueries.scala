@@ -710,7 +710,88 @@ object CorpusQueries {
          |FROM documents d LEFT JOIN sc USING (doc_id)
          |ORDER BY doc_id""".stripMargin))
 
+  /** BPE ENCODE — the inference side of the tokenizer loop
+    * ([[bpeTrainMerges]] trains the rules, this applies them): per-doc
+    * token counts under the trained merge list, i.e. what the corpus
+    * actually costs to feed a model. Scale shape mirrors training's
+    * insight: merges are applied to the DISTINCT-WORD table
+    * (Heaps-law sublinear in corpus size), then documents join their
+    * words to the per-word token counts — the corpus-sized pass is one
+    * explode + one hash join on the word, never per-occurrence string
+    * rewriting. The oracle derives the same merge rules itself (the
+    * unrolled-CTE trainer) and carries a word-keyed twin of the rewrite
+    * chain, so rules and counts match bit-for-bit. */
+  val bpeEncode: Q = Q(
+    "bpe_encode",
+    (s, dir) => {
+      val (merges, vocabs) = trainBpe(s, dir)
+      val words = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+      val dw = words.select(col("word")).distinct()
+        .withColumn("syms", concat(lit(SymD),
+          array_join(expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"),
+            SymD + SymD),
+          lit(SymD)))
+      val encSyms = merges.foldLeft(dw) { case (df, (_, l, r, _, _)) =>
+        df.withColumn("syms",
+          replace(col("syms"), lit(SymD + l + SymD + SymD + r + SymD),
+            lit(SymD + l + r + SymD)))
+      }
+      val enc = encSyms.select(col("word"),
+        size(split(expr("substring(syms, 2, length(syms) - 2)"),
+          SymD + SymD)).cast("long").as("n_toks"))
+      val out = words.join(enc, Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
+        .orderBy("doc_id")
+      vocabs.head.unpersist()
+      out
+    },
+    Some {
+      val encRounds = (1 to MergeRounds).map { r =>
+        s"""vw$r AS (
+           |  SELECT word, replace(syms, chr(1)||m.lhs||chr(1)||chr(1)||m.rhs||chr(1),
+           |                       chr(1)||m.lhs||m.rhs||chr(1)) AS syms
+           |  FROM vw${r - 1}, m$r m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (
+         |  SELECT word, count(*) AS wcount FROM (
+         |    SELECT unnest($ddbToks) AS word FROM documents)
+         |  WHERE length(word) > 0 GROUP BY word),
+         |v0 AS (
+         |  SELECT chr(1) || array_to_string(
+         |           list_transform(generate_series(1, length(word)),
+         |             i -> substr(word, CAST(i AS INTEGER), 1)),
+         |           chr(1)||chr(1)) || chr(1) AS syms,
+         |         wcount FROM w),
+         |${(1 to MergeRounds).map(bpeRoundSql).mkString(",\n")},
+         |vw0 AS (
+         |  SELECT word, chr(1) || array_to_string(
+         |           list_transform(generate_series(1, length(word)),
+         |             i -> substr(word, CAST(i AS INTEGER), 1)),
+         |           chr(1)||chr(1)) || chr(1) AS syms
+         |  FROM w),
+         |$encRounds,
+         |enc AS (
+         |  SELECT word,
+         |         CAST(len(str_split(substr(syms, 2, length(syms) - 2),
+         |              chr(1)||chr(1))) AS BIGINT) AS n_toks
+         |  FROM vw$MergeRounds),
+         |docw AS (
+         |  SELECT doc_id, word FROM (
+         |    SELECT doc_id, unnest($ddbToks) AS word FROM documents)
+         |  WHERE length(word) > 0)
+         |SELECT d.doc_id, count(*) AS n_words,
+         |       CAST(sum(e.n_toks) AS BIGINT) AS n_tokens
+         |FROM docw d JOIN enc e USING (word)
+         |GROUP BY d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch,
     bpePairCounts, bpeTrainMerges, bpeCompressionCurve, cooccurPmi,
-    perplexityLm)
+    perplexityLm, bpeEncode)
 }
