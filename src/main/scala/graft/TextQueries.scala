@@ -75,6 +75,56 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Language × source data-mix report — the dashboard table every
+    * pretraining-mix decision reads (what share of docs/tokens each
+    * (language, source) cell contributes): predicted language via the
+    * shared lexicon scorer, exact-integer doc/token counts, shares
+    * divided once in DOUBLE at the end. One map-side-combining groupBy
+    * over the corpus (the per-row scorer is the same codegen'd lexicon
+    * expression `text_lang_id` gates); the mix table is ≤
+    * |langs|·|sources| rows and the totals attach via a broadcast
+    * 1-row aggregate. */
+  val langMix: Q = Q(
+    "text_lang_mix",
+    (s, dir) => {
+      val agg = table(s, dir, "documents")
+        .select(T.langId(col("text")).as("lang_pred"), col("source"),
+          T.tokenCount(col("text")).as("nt"))
+        .groupBy(col("lang_pred"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("nt")).cast("long").as("n_tokens"))
+      val tot = agg.agg(sum(col("n_docs")).as("td"), sum(col("n_tokens")).as("tt"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("lang_pred"), col("source"), col("n_docs"), col("n_tokens"),
+          (col("n_docs").cast("double") / col("td").cast("double"))
+            .as("doc_share"),
+          (col("n_tokens").cast("double") / col("tt").cast("double"))
+            .as("token_share"))
+        .orderBy("lang_pred", "source")
+    },
+    Some {
+      val hits = T.LangLexicons.map { case (lang, lex) => lang -> ddbLexHits(lex) }
+      val best = hits.map(_._2).mkString("greatest(", ", ", ")")
+      val cases = hits.map { case (lang, h) =>
+        s"WHEN $h = $best AND $h > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH m AS (
+         |  SELECT CASE $cases ELSE 'und' END AS lang_pred, source,
+         |         len($ddbToks) AS nt
+         |  FROM documents),
+         |a AS (
+         |  SELECT lang_pred, source, count(*) AS n_docs,
+         |         CAST(sum(nt) AS BIGINT) AS n_tokens
+         |  FROM m GROUP BY 1, 2),
+         |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS td,
+         |             CAST(sum(n_tokens) AS BIGINT) AS tt FROM a)
+         |SELECT lang_pred, source, n_docs, n_tokens,
+         |       CAST(n_docs AS DOUBLE) / CAST(td AS DOUBLE) AS doc_share,
+         |       CAST(n_tokens AS DOUBLE) / CAST(tt AS DOUBLE) AS token_share
+         |FROM a, t
+         |ORDER BY lang_pred, source""".stripMargin
+    })
+
   val fingerprint: Q = Q(
     "text_fingerprint",
     (s, dir) => table(s, dir, "documents")
@@ -497,7 +547,7 @@ object TextQueries {
          |ORDER BY decile""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    tokenCount, qualityScore, langIdQ, fingerprint, redact, repetition,
+    tokenCount, qualityScore, langIdQ, langMix, fingerprint, redact, repetition,
     qualityBySource, vocab, gopherRules, qualityRank, qualityKeepHist,
     qualityNtile)
 }
