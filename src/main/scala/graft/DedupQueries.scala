@@ -1478,6 +1478,81 @@ object DedupQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** Label-propagation rounds. Fixed, not convergence-tested: the
+    * oracle is an unrolled-CTE chain, so both engines must run exactly
+    * the same rounds (the [[pagerank]] discipline). 4 suffices on
+    * dup-cluster graphs (diameter 2-3) for labels to flood each
+    * component's dominant community. */
+  private val LpRounds = 4
+
+  /** Label-propagation community detection over the near-dup pair graph
+    * (Raghavan et al. 2007, "Near linear time algorithm to detect
+    * community structures"): every node starts as its own label; each
+    * synchronous round reassigns each node the label most frequent
+    * among its neighbors (count ties to the SMALLER label id — fully
+    * deterministic where the published algorithm breaks ties randomly).
+    * Communities differ from [[clusters]]' connected components: LPA
+    * splits a weakly-bridged component into its dense cores — the
+    * dedup reading is "which docs corroborate EACH OTHER", a finer
+    * keeper grouping than reachability.
+    *
+    * Scale shape: same skeleton as [[pagerank]] — adjacency persists
+    * once (partitions derived from measured |V|), each round is one
+    * hash join + one (node, label)-count aggregate + one per-node
+    * argmax, all shuffling on the node id; the fixed rounds chain
+    * lazily into ONE job over lineage-cut leaves (each round reads the
+    * previous labels exactly once). O(rounds·|E|) total. */
+  val labelPropagation: Q = Q(
+    "graph_label_prop",
+    (s, dir) => {
+      val e = ngramPairs(s, dir).select(col("i"), col("j"))
+      val adj = e.select(col("i").as("src"), col("j").as("dst"))
+        .unionAll(e.select(col("j").as("src"), col("i").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val n = adj.select(col("src")).distinct().count()
+      val gParts = math.max(2, math.min(
+        s.sessionState.conf.numShufflePartitions, (n / 65536L).toInt + 1))
+      val adjCut = cutLineage(adj.repartition(gParts, col("src")))
+      var labels = adjCut.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("lbl"))
+      for (_ <- 1 to LpRounds) {
+        labels = adjCut
+          .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+          .groupBy(col("src"), col("lbl"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("src"))
+          .agg(max(struct(col("c"), (-col("lbl")).as("tb"),
+            col("lbl").as("l"))).as("m"))
+          .select(col("src").as("v"), col("m.l").as("lbl"))
+      }
+      labels.select(col("v").as("doc_id"), col("lbl").as("community"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val stages = (1 to LpRounds).map { k =>
+        s"""l$k AS MATERIALIZED (
+           |  SELECT src AS v, lbl FROM (
+           |    SELECT a.src, p.lbl, count(*) AS c,
+           |           ROW_NUMBER() OVER (
+           |             PARTITION BY a.src
+           |             ORDER BY count(*) DESC, p.lbl ASC) AS rk
+           |    FROM adj a JOIN l${k - 1} p ON p.v = a.dst
+           |    GROUP BY a.src, p.lbl) WHERE rk = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ddbCorpus,
+         |$ddbNgramPairs,
+         |e0 AS MATERIALIZED (SELECT i, j FROM pairs),
+         |adj AS MATERIALIZED (
+         |  SELECT i AS src, j AS dst FROM e0
+         |  UNION ALL SELECT j AS src, i AS dst FROM e0),
+         |l0 AS MATERIALIZED (
+         |  SELECT src AS v, src AS lbl FROM (SELECT DISTINCT src FROM adj)),
+         |$stages
+         |SELECT v AS doc_id, lbl AS community
+         |FROM l$LpRounds
+         |ORDER BY doc_id""".stripMargin
+    })
+
   // --------------------------------------------------- semantic dedup
 
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
@@ -1573,5 +1648,5 @@ object DedupQueries {
     simhashSketches,
     simhashPairs, embeddingNearDup, semantic, shingleDfCapReport,
     decontaminate, contamFraction, passages, incremental, triangles, kcore,
-    pagerank, winnowing)
+    pagerank, labelPropagation, winnowing)
 }
