@@ -60,6 +60,44 @@ object DedupQueries {
          |GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
          |ORDER BY keeper_id""".stripMargin))
 
+  /** Exact-dup rate per provenance source — the report a curation team
+    * reads before deciding which feeds to throttle (a source shipping
+    * 30% copies is a crawler bug, not a corpus). Replica doc_ids map
+    * back to their original (mod the replica offset) to recover the
+    * source; one groupBy(source) with an exact COUNT(DISTINCT fp) —
+    * the fp shuffle carries 128-bit digests, never text. */
+  val dupRateBySource: Q = Q(
+    "dedup_rate_by_source",
+    (s, dir) => {
+      val c = corpus(s, dir)
+        .select((col("doc_id") % 1000000L).as("orig_id"),
+          T.fingerprintMd5(col("text")).as("fp"))
+      val src = table(s, dir, "documents")
+        .select(col("doc_id").as("orig_id"), col("source"))
+      c.join(src, Seq("orig_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("fp")).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          (lit(1.0) - col("n_unique").cast("double") /
+            col("n_docs").cast("double")).as("dup_rate"))
+        .orderBy("source")
+    },
+    Some(
+      s"""WITH $ddbCorpus,
+         |m AS (
+         |  SELECT d.source,
+         |         md5(regexp_replace(lower(trim(c.text)), '\\s+', ' ', 'g')) AS fp
+         |  FROM corpus c
+         |  JOIN documents d ON d.doc_id = c.doc_id % 1000000)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+         |       1.0 - CAST(count(DISTINCT fp) AS DOUBLE)
+         |             / CAST(count(*) AS DOUBLE) AS dup_rate
+         |FROM m
+         |GROUP BY source
+         |ORDER BY source""".stripMargin))
+
   // ---------------------------------------------------- n-gram Jaccard
 
   /** Document-frequency cap on shingles: a shingle shared by k docs
@@ -1643,7 +1681,7 @@ object DedupQueries {
          |ORDER BY a.vec_id""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    exact, ngramJaccard, prefixFilter, clusters, clustersStar, keepBest,
+    exact, dupRateBySource, ngramJaccard, prefixFilter, clusters, clustersStar, keepBest,
     minhashLsh, incrementalLsh,
     simhashSketches,
     simhashPairs, embeddingNearDup, semantic, shingleDfCapReport,

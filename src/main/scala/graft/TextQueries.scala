@@ -125,6 +125,47 @@ object TextQueries {
          |ORDER BY lang_pred, source""".stripMargin
     })
 
+  /** Language-ID confusion matrix — the evaluation table behind the
+    * classifier `text_lang_id` gates row-by-row: per (true label,
+    * predicted) doc counts plus each cell's share of its true-label
+    * row (the per-class recall diagonal and where the misses go). The
+    * corpus folds map-side to ≤|langs|² rows; row totals attach via a
+    * broadcast of the tiny per-label aggregate. */
+  val langConfusion: Q = Q(
+    "text_lang_confusion",
+    (s, dir) => {
+      val cells = table(s, dir, "documents")
+        .select(col("lang").as("lang_label"),
+          T.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+      val rowTot = cells.groupBy(col("lang_label"))
+        .agg(sum(col("n_docs")).as("n_label"))
+      cells.join(broadcast(rowTot), Seq("lang_label"))
+        .select(col("lang_label"), col("lang_pred"), col("n_docs"),
+          (col("n_docs").cast("double") / col("n_label").cast("double"))
+            .as("label_share"))
+        .orderBy("lang_label", "lang_pred")
+    },
+    Some {
+      val hits = T.LangLexicons.map { case (lang, lex) => lang -> ddbLexHits(lex) }
+      val best = hits.map(_._2).mkString("greatest(", ", ", ")")
+      val cases = hits.map { case (lang, h) =>
+        s"WHEN $h = $best AND $h > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH cells AS (
+         |  SELECT lang AS lang_label,
+         |         CASE $cases ELSE 'und' END AS lang_pred,
+         |         count(*) AS n_docs
+         |  FROM documents GROUP BY 1, 2),
+         |t AS (SELECT lang_label, CAST(sum(n_docs) AS BIGINT) AS n_label
+         |      FROM cells GROUP BY 1)
+         |SELECT c.lang_label, c.lang_pred, c.n_docs,
+         |       CAST(c.n_docs AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS label_share
+         |FROM cells c JOIN t USING (lang_label)
+         |ORDER BY lang_label, lang_pred""".stripMargin
+    })
+
   val fingerprint: Q = Q(
     "text_fingerprint",
     (s, dir) => table(s, dir, "documents")
@@ -547,7 +588,7 @@ object TextQueries {
          |ORDER BY decile""".stripMargin))
 
   def all: Seq[Q] = Seq(
-    tokenCount, qualityScore, langIdQ, langMix, fingerprint, redact, repetition,
+    tokenCount, qualityScore, langIdQ, langMix, langConfusion, fingerprint, redact, repetition,
     qualityBySource, vocab, gopherRules, qualityRank, qualityKeepHist,
     qualityNtile)
 }
