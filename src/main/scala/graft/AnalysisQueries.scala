@@ -1311,6 +1311,46 @@ object AnalysisQueries {
         |WHERE CAST(d.dev AS DOUBLE) > 3.0 * 1.4826 * CAST(d.mad_dev AS DOUBLE)
         |ORDER BY d.hour""".stripMargin))
 
+  /** Exact per-group median (LOWER median: the rank-ceil(N/2) element
+    * under the fully tie-broken (value, key) order — no interpolation,
+    * so both engines agree bit-for-bit even on even group sizes) of
+    * order totals per month. The grouped exact order statistic the
+    * approximate paths (`sketch_quantile_rollup`, the bottom-k sampler)
+    * trade away: one shuffle on the group key, one in-partition sort —
+    * at 100 TB per-group medians are a sort-within-groups problem
+    * (WindowExec's external sorter spills), not a driver problem. */
+  val groupMedian: Q = Q(
+    "olap_group_median",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val monthCol = date_format(col("o_orderdate"), "yyyy-MM")
+      val o = table(s, dir, "orders")
+        .select(monthCol.as("month"), col("o_totalprice").as("v"),
+          col("o_orderkey"))
+      val byV = Window.partitionBy(col("month"))
+        .orderBy(col("v"), col("o_orderkey"))
+      val byM = Window.partitionBy(col("month"))
+      o.withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(byM))
+        .filter(col("rn") === ceil(col("n") / lit(2.0)))
+        .select(col("month"), col("n").as("n_orders"), col("v").as("median_total"))
+        .orderBy("month")
+    },
+    Some(
+      """WITH o AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |         o_totalprice AS v, o_orderkey
+        |  FROM orders),
+        |r AS (
+        |  SELECT month, v,
+        |         row_number() OVER (PARTITION BY month ORDER BY v, o_orderkey) AS rn,
+        |         count(*) OVER (PARTITION BY month) AS n
+        |  FROM o)
+        |SELECT month, CAST(n AS BIGINT) AS n_orders, v AS median_total
+        |FROM r
+        |WHERE rn = ceiling(n / 2.0)
+        |ORDER BY month""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1320,5 +1360,5 @@ object AnalysisQueries {
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
     q19Disjunctive, retentionCohorts, rollingActive, skylineParts,
-    markovTransitions, anomalyMad)
+    markovTransitions, anomalyMad, groupMedian)
 }
