@@ -331,6 +331,70 @@ object DqQueries {
          |ORDER BY first_digit""".stripMargin
     })
 
+  /** Order-insensitive table-checksum reconciliation — the O(1)-output
+    * screen a migration runs on source and replica BEFORE paying for
+    * row-level recon ([[reconFullOuter]]): per side, the row count, a
+    * bit_xor of engine-neutral 48-bit row hashes, and a modular hash
+    * sum (xor alone is blind to rows duplicated an even number of
+    * times; the mod-p sum catches those, and 2^30-bounded summands over
+    * any realistic row count stay far from long overflow). Money enters
+    * the row hash as exact CENTS (round(×100) → BIGINT) — hashing a
+    * double's string rendering would diverge between engines. One
+    * aggregate pass per side, no shuffle of row data, output is one
+    * row regardless of table size. The replica plants one dropped-row
+    * set and one mutated-price set, so the mismatch is exercised, not
+    * asserted. */
+  val checksumRecon: Q = Q(
+    "dq_checksum_recon",
+    (s, dir) => {
+      val cents = round(col("o_totalprice") * 100).cast("long")
+      val hv = s"(${SketchQueries.hexValSql(
+        "md5(CAST(o_orderkey AS STRING) || '|' || CAST(o_custkey AS STRING) || '|' || CAST(cents AS STRING))")} % 1000000007L)"
+      def side(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("cents", cents)
+        .selectExpr(s"$hv AS hv")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(hv)").as("xor_sum"),
+          sum(col("hv")).as("mod_sum"))
+      val src = side(table(s, dir, "orders"))
+      val rep = side(table(s, dir, "orders")
+        .filter(col("o_orderkey") % 997 =!= 1)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 1009 === 2, col("o_totalprice") + 0.01)
+            .otherwise(col("o_totalprice"))))
+      src.toDF("n_src", "xor_src", "sum_src")
+        .crossJoin(rep.toDF("n_rep", "xor_rep", "sum_rep"))
+        .select(col("n_src"), col("n_rep"), col("xor_src"), col("xor_rep"),
+          col("sum_src"), col("sum_rep"),
+          when(col("n_src") === col("n_rep") &&
+            col("xor_src") === col("xor_rep") &&
+            col("sum_src") === col("sum_rep"), 1L).otherwise(0L)
+            .as("tables_match"))
+    },
+    Some {
+      val hv = s"(${SketchQueries.hexValSqlDdb(
+        "md5(CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || CAST(cents AS VARCHAR))")} % 1000000007)"
+      s"""WITH src0 AS (
+         |  SELECT o_orderkey, o_custkey,
+         |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+         |  FROM orders),
+         |rep0 AS (
+         |  SELECT o_orderkey, o_custkey,
+         |         CAST(round(CASE WHEN o_orderkey % 1009 = 2
+         |                         THEN o_totalprice + 0.01
+         |                         ELSE o_totalprice END * 100) AS BIGINT) AS cents
+         |  FROM orders WHERE o_orderkey % 997 <> 1),
+         |a AS (SELECT count(*) AS n_src, bit_xor($hv) AS xor_src,
+         |             CAST(sum($hv) AS BIGINT) AS sum_src FROM src0),
+         |b AS (SELECT count(*) AS n_rep, bit_xor($hv) AS xor_rep,
+         |             CAST(sum($hv) AS BIGINT) AS sum_rep FROM rep0)
+         |SELECT n_src, n_rep, xor_src, xor_rep, sum_src, sum_rep,
+         |       CAST(CASE WHEN n_src = n_rep AND xor_src = xor_rep
+         |                  AND sum_src = sum_rep THEN 1 ELSE 0 END AS BIGINT)
+         |         AS tables_match
+         |FROM a, b""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr,
-    driftTvd, benfordDigits)
+    driftTvd, benfordDigits, checksumRecon)
 }
