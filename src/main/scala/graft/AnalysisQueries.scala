@@ -1351,6 +1351,47 @@ object AnalysisQueries {
         |WHERE rn = ceiling(n / 2.0)
         |ORDER BY month""".stripMargin))
 
+  /** Per-group MODE (most frequent value, count ties to the
+    * lexicographically smaller value — fully deterministic where SQL's
+    * MODE() leaves ties implementation-defined): dominant ship mode per
+    * month. Two-level aggregate — (month, mode) counts fold map-side,
+    * then one partial-aggregating argmax per month — so the shuffle
+    * carries one row per distinct (group, value) pair, never the fact
+    * table, and no window sort anywhere. */
+  val groupMode: Q = Q(
+    "olap_group_mode",
+    (s, dir) => {
+      val monthCol = date_format(col("l_shipdate"), "yyyy-MM")
+      table(s, dir, "lineitem")
+        .groupBy(monthCol.as("month"), col("l_returnflag").as("mode_value"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("month"))
+        // min over (-count, value): largest count first, then the
+        // lexicographically SMALLEST value on ties (a max-struct can't
+        // order strings descending, so the count rides negated)
+        .agg(min(struct((-col("c")).as("nc"), col("mode_value").as("v")))
+          .as("m"),
+          sum(col("c")).as("n_rows"))
+        .select(col("month"),
+          col("m.v").as("mode_value"), (-col("m.nc")).as("mode_count"),
+          col("n_rows"))
+        .orderBy("month")
+    },
+    Some(
+      """WITH g AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |         l_returnflag AS mode_value, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |r AS (
+        |  SELECT month, mode_value, c,
+        |         row_number() OVER (
+        |           PARTITION BY month ORDER BY c DESC, mode_value ASC) AS rk,
+        |         sum(c) OVER (PARTITION BY month) AS n
+        |  FROM g)
+        |SELECT month, mode_value, c AS mode_count, CAST(n AS BIGINT) AS n_rows
+        |FROM r WHERE rk = 1
+        |ORDER BY month""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1360,5 +1401,5 @@ object AnalysisQueries {
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
     q19Disjunctive, retentionCohorts, rollingActive, skylineParts,
-    markovTransitions, anomalyMad, groupMedian)
+    markovTransitions, anomalyMad, groupMedian, groupMode)
 }
