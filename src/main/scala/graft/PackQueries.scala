@@ -318,7 +318,8 @@ object PackQueries {
       val d = table(s, dir, "documents")
         .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tokens"))
       val hist = d.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
-      val cumW = Window.orderBy(col("n_tokens"))
+      val cumW = Window.partitionBy(col("n_tokens") * 0)
+        .orderBy(col("n_tokens"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("c")).over(cumW))
       // rank thresholds as literals from one count job (footer-only
