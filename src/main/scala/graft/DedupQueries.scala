@@ -123,9 +123,17 @@ object DedupQueries {
     docs.select(col("doc_id"),
       explode(H.shingleHashesOfTokens(T.tokens(col("text")))).as("h"))
 
-  /** The inverted index the joins consume: [[rawShingleIndexOf]] minus
+/** The inverted index the joins consume: [[rawShingleIndexOf]] minus
     * shingles hotter than [[ShingleDfCap]]. The df window shuffles on
-    * the shingle hash — the same key the candidate join shuffles on. */
+    * the shingle hash — the same key the candidate join shuffles on.
+    *
+    * Round-9 A/B note: a broadcast-anti-join formulation of the cap
+    * (groupBy h → hot set → left_anti, no posting sort) was built,
+    * oracle-verified, and measured ~15-20% SLOWER across the 12
+    * consumer queries at sf0.1 — shingles are nearly unique, so the
+    * hot-set groupBy's partial aggregation reduces almost nothing and
+    * the extra full aggregation pass costs more than the window's
+    * in-shuffle sort. Recorded so it is not re-proposed untested. */
   def shingleIndexOf(docs: DataFrame, cap: Int = ShingleDfCap): DataFrame = {
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
     rawShingleIndexOf(docs)
@@ -184,8 +192,20 @@ object DedupQueries {
     * shingle, one on the pair — no O(n²) cross join. */
   private[graft] def ngramPairs(s: SparkSession, dir: String): DataFrame = {
     // The inverted index feeds three plan branches (sizes + both join
-    // sides); persist it so the corpus scan + shingle explode runs once.
-    val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    // sides); persist it so the corpus scan + shingle explode runs
+    // once — the build-once property is pinned in PlanShapeSpec.
+    // Round-9 A/B (PERF.md): a persist-free one-shuffle reformulation
+    // (group postings into per-shingle doc lists, emit pairs + size
+    // markers from one generator) was built, verified, and measured
+    // UNIFORMLY 10-25% slower across the 12 consumer queries — the
+    // collect_list aggregation falls back to sort-based at realistic
+    // group counts, costing more than the self-join it saves — so the
+    // persisted-index shape stays. DISK_ONLY, not MEMORY_AND_DISK:
+    // same measured cost on the warm path (OS page cache serves the
+    // re-reads), but the posting blocks pay no heap rent — the
+    // r8-driver-sweep degradation hypothesis for this exact query was
+    // cache pressure on a long-lived dirty heap.
+    val ex = shingleIndex(s, dir).persist(StorageLevel.DISK_ONLY)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.toDF("i", "h")
       .join(ex.toDF("j", "h"), Seq("h"))
@@ -269,7 +289,8 @@ object DedupQueries {
     "dedup_prefix_filter",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      // DISK_ONLY like ngramPairs: posting-scale cache, zero heap rent
+      val ex = shingleIndex(s, dir).persist(StorageLevel.DISK_ONLY)
       val tokDf = ex.groupBy(col("h")).agg(count(lit(1)).as("tok_df"))
       val byDoc = Window.partitionBy(col("doc_id"))
       val ranked = ex.join(tokDf, Seq("h"))

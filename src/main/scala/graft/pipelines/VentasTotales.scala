@@ -198,9 +198,26 @@ object VentasTotales {
     // materialization of 1.2M wide rows + broken codegen fusion). The
     // round-7 blowup was heap pressure from the leak, not this shape.
     val incoming = prepared(spark, sfDir)
+    rerunOver(incoming)
+  }
+
+  /** Dev seam for the materialization A/B (tools.ProfileVentas): the
+    * rerun anti-join over an externally materialized `prepared` frame
+    * (recompute / persist / parquet-checkpoint variants). */
+  private[graft] def rerunOver(incoming: DataFrame): DataFrame =
     toTargetColumns(
       Dedup.antiJoinNewNormalized(
         incoming, incoming.select(KeyCols.map(col): _*),
         DedupNormalization))
-  }
+
+  /** Dev seam: the incremental load over a materialized `prepared`
+    * (same population as [[load]]: the full file vs the pre-cutoff
+    * key scan, both derived from the one materialized frame). */
+  private[graft] def loadOver(incoming: DataFrame): DataFrame =
+    toTargetColumns(
+      Dedup.antiJoinNewNormalized(
+        incoming,
+        incoming.filter(col("__ship") < to_date(lit(Cutoff)))
+          .select(KeyCols.map(col): _*),
+        DedupNormalization))
 }

