@@ -33,7 +33,12 @@ object ProfileStream {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    val eventsDir = s"$sfDir/events.parquet"
+    // the testdata table is a single parquet FILE; the file-stream
+    // source wants a DIRECTORY of arriving files — stage the events
+    // into 8 files (untimed) so the stream sees real micro-batches
+    val eventsDir = java.nio.file.Files.createTempDirectory("events_in").toString
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .repartition(8).write.mode("overwrite").parquet(eventsDir)
     val nRows = spark.read.parquet(eventsDir).count()
 
     def drive(label: String)(start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
@@ -49,7 +54,7 @@ object ProfileStream {
     // 1 — watermarked ingest dedup (dropDuplicates state)
     drive("dedup-ingest") {
       EventStream.dedupedIngest(
-          EventStream.fileStream(spark, eventsDir, maxFilesPerTrigger = 1000))
+          EventStream.fileStream(spark, eventsDir, maxFilesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2").toInt))
         .writeStream.format("noop")
         .option("checkpointLocation", ckpt())
         .trigger(Trigger.AvailableNow()).start()
@@ -57,7 +62,7 @@ object ProfileStream {
 
     // 2 — CDC merge (mapGroupsWithState, one state record per user)
     drive("cdc-merge") {
-      val ops = EventStream.fileStream(spark, eventsDir, maxFilesPerTrigger = 1000)
+      val ops = EventStream.fileStream(spark, eventsDir, maxFilesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2").toInt)
         .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
           col("event_id"), (col("event_type") === "delete").as("is_delete"),
           col("value"))
