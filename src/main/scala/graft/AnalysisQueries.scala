@@ -1359,8 +1359,8 @@ object AnalysisQueries {
 
   /** Per-group MODE (most frequent value, count ties to the
     * lexicographically smaller value — fully deterministic where SQL's
-    * MODE() leaves ties implementation-defined): dominant ship mode per
-    * month. Two-level aggregate — (month, mode) counts fold map-side,
+    * MODE() leaves ties implementation-defined): dominant return flag
+    * (`l_returnflag`) per ship month. Two-level aggregate — (month, mode) counts fold map-side,
     * then one partial-aggregating argmax per month — so the shuffle
     * carries one row per distinct (group, value) pair, never the fact
     * table, and no window sort anywhere. */

@@ -450,7 +450,18 @@ object CorpusQueries {
         vocabs += vocab
       }
     }
-    (merges.result(), vocabs.result())
+    val out = merges.result()
+    // Every oracle that embeds this trainer (bpe_train_merges,
+    // bpe_compression_curve, bpe_encode) unrolls EXACTLY MergeRounds CTE
+    // rounds, each cross-joining its m{r} rule row — an empty round would
+    // silently empty the whole DuckDB result while the Spark side just
+    // applies fewer merges. Fail loudly here instead: a corpus too small
+    // to yield MergeRounds rules is a fixture problem, not a divergence
+    // to be discovered by hash mismatch.
+    require(out.size == MergeRounds,
+      s"trainBpe: corpus yielded ${out.size} merge rules, " +
+        s"oracles require exactly $MergeRounds")
+    (out, vocabs.result())
   }
 
   val bpeTrainMerges: Q = Q(

@@ -677,6 +677,10 @@ object SimilarityQueries {
     (s, dir) => {
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val stride = ivfStride(e.count())
+      // Three persists below (centroids, subs, dtable) live for the
+      // returned frame's lifetime — cache ownership per Registry's note:
+      // harnesses clearCache between queries; a long-lived caller should
+      // unpersist (or clearCache) after materializing the result.
       val centroids = e.filter(col("vec_id") % stride === lit(3L % stride))
         .toDF("centroid_id", "c_emb")
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -895,7 +899,153 @@ object SimilarityQueries {
          |FROM u
          |ORDER BY label""".stripMargin))
 
+  // ------------------------------------- truncated-dimension recall
+
+  /** Prefix width for the truncated-dimension evaluation: half the
+    * embedding. */
+  private val MrlPrefixDims = Dims / 2
+  private val MrlK = 5
+
+  /** Matryoshka-style truncation evaluation (Kusupati et al., NeurIPS
+    * 2022): score every (query, neighbor) pair with BOTH the full-dim
+    * cosine and the cosine over the first [[MrlPrefixDims]] dims, take
+    * top-[[MrlK]] under each, and report per-query recall of the
+    * truncated ranking against the full one. This is the measurement a
+    * 100 TB retrieval stack runs before committing to a cheap
+    * prefix-dim prefilter (half the bytes scanned per candidate): if
+    * recall@k is high, the full-dim read can be deferred to a short
+    * re-rank list.
+    *
+    * Plan shape: ONE |Q|·n scoring pass (queries broadcast, corpus
+    * never shuffles) computes both cosines per pair — the truncated
+    * variant reuses the same row, so evaluating the second metric adds
+    * zero scan or shuffle. Both rankings reduce through the bounded-heap
+    * [[graft.plans.TopKByScore]] in the SAME groupBy (≤ 2·k pairs per
+    * query cross the shuffle), and the overlap is a per-row
+    * array_intersect of two k-element id lists. Ties to the lower
+    * neighbor id on both sides, matching the oracle's rank windows. */
+  val mrlRecall: Q = Q(
+    "sim_mrl_recall",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val queries = e.filter(col("vec_id") % QueryMod === 0)
+        .toDF("query_id", "q_emb")
+      val scored = e.toDF("neighbor_id", "n_emb")
+        .crossJoin(broadcast(queries))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          H.cosine(col("q_emb"), col("n_emb")).as("cos_full"),
+          H.cosine(slice(col("q_emb"), 1, MrlPrefixDims),
+            slice(col("n_emb"), 1, MrlPrefixDims)).as("cos_prefix"))
+      scored.groupBy(col("query_id"))
+        .agg(
+          H.topKByScore(col("cos_full"), col("neighbor_id"), MrlK).as("tf"),
+          H.topKByScore(col("cos_prefix"), col("neighbor_id"), MrlK).as("tp"))
+        .select(col("query_id"),
+          size(array_intersect(
+            transform(col("tf"), x => x.getField("id")),
+            transform(col("tp"), x => x.getField("id"))))
+            .cast("long").as("hits"))
+        .select(col("query_id"), col("hits"),
+          (col("hits").cast("double") / lit(MrlK.toDouble)).as("recall_at_k"))
+        .orderBy("query_id")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb
+         |      FROM e WHERE vec_id % $QueryMod = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${H.cosineSql("q.q_emb", "e.embedding")} AS cos_full,
+         |         ${H.cosineSql(s"q.q_emb[1:$MrlPrefixDims]", s"e.embedding[1:$MrlPrefixDims]")} AS cos_prefix
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |rf AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id ASC) AS rk
+         |  FROM scored),
+         |rp AS (
+         |  SELECT query_id, neighbor_id,
+         |         row_number() OVER (
+         |           PARTITION BY query_id ORDER BY cos_prefix DESC, neighbor_id ASC) AS rk
+         |  FROM scored),
+         |ov AS (
+         |  SELECT rf.query_id, count(*) AS hits
+         |  FROM rf JOIN rp
+         |    ON rf.query_id = rp.query_id AND rf.neighbor_id = rp.neighbor_id
+         |  WHERE rf.rk <= $MrlK AND rp.rk <= $MrlK
+         |  GROUP BY rf.query_id)
+         |SELECT q.query_id, CAST(COALESCE(ov.hits, 0) AS BIGINT) AS hits,
+         |       CAST(COALESCE(ov.hits, 0) AS DOUBLE) / $MrlK.0 AS recall_at_k
+         |FROM q LEFT JOIN ov USING (query_id)
+         |ORDER BY query_id""".stripMargin))
+
+  // ------------------------------------- nearest-centroid classifier
+
+  /** Nearest-centroid classification (Rocchio): per-label centroid =
+    * per-dim mean of that label's vectors, every vector assigned to the
+    * most-cosine-similar centroid, output = the confusion matrix
+    * (true label × predicted label × count). The cheap O(n·L) sibling
+    * of [[knnLabelEval]]'s O(|Q|·n) kNN vote — the shape used to sanity-
+    * check embedding quality over a full 100 TB corpus, where kNN is
+    * reserved for sampled query sets.
+    *
+    * Plan shape: the centroid build is one posexplode + (L·dims)-group
+    * aggregate; means use the order-pinned sorted fold (the same
+    * bit-reproducibility discipline — and the same stated trade-off —
+    * as [[annIvfKmeans]]'s Lloyd update: a production run that accepts
+    * non-bitwise means uses an O(1)-state sum/count partial aggregate).
+    * Assignment broadcasts the L-row centroid table and reduces via the
+    * partial-aggregating argmax ([[assignArgmax]]), so the shuffle
+    * carries n pre-reduced rows; the confusion matrix folds map-side to
+    * ≤ L² rows. */
+  val centroidClassify: Q = Q(
+    "sim_centroid_classify",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val dimMeans = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(collect_list(col("v").cast("double")).as("vs"),
+          count(lit(1)).as("cnt"))
+        .select(col("label"), col("pos"),
+          (aggregate(array_sort(col("vs")), lit(0.0), (a, x) => a + x) / col("cnt"))
+            .cast("float").as("mean"))
+      val centroids = dimMeans.groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+        .select(col("label").cast("long").as("centroid_id"),
+          transform(col("pm"), x => x.getField("mean")).as("c_emb"))
+      val assigned = assignArgmax(e.select(col("vec_id"), col("embedding")), centroids)
+        .select(col("vec_id"), col("centroid_id").as("pred_label"))
+      e.select(col("vec_id"), col("label").cast("long").as("true_label"))
+        .join(assigned, "vec_id")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |m AS (
+         |  SELECT CAST(e.label AS BIGINT) AS centroid_id, p.pos,
+         |         CAST(${H.foldSumSql("list_sort(list(CAST(e.embedding[p.pos] AS DOUBLE)))")} / COUNT(*) AS REAL) AS mean
+         |  FROM e, (SELECT unnest(generate_series(1, $Dims)) AS pos) p
+         |  GROUP BY 1, 2),
+         |c AS (SELECT centroid_id, list(mean ORDER BY pos) AS c_emb
+         |      FROM m GROUP BY centroid_id),
+         |a AS (
+         |  SELECT e.vec_id, c.centroid_id AS pred_label,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY e.vec_id
+         |           ORDER BY ${H.cosineSql("e.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS crank
+         |  FROM e CROSS JOIN c)
+         |SELECT CAST(e.label AS BIGINT) AS true_label, a.pred_label,
+         |       count(*) AS n
+         |FROM e JOIN a ON a.vec_id = e.vec_id AND a.crank = 1
+         |GROUP BY 1, 2
+         |ORDER BY true_label, pred_label""".stripMargin))
+
   def all: Seq[Q] =
     Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans, quantizeInt8, pqAdc,
-      annIvfPq, knnLabelEval)
+      annIvfPq, knnLabelEval, mrlRecall, centroidClassify)
 }

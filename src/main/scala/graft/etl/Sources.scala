@@ -44,7 +44,13 @@ object Sources {
     * (~1.7e12) are orders of magnitude below the 1e17 floor (≈ 1973 in
     * nanos), so a future re-layout fails loudly here instead of
     * silently misscaling every timestamp by 1000x. One long comparison
-    * per row, inside codegen — noise against the parquet decode. */
+    * per row, inside codegen — noise against the parquet decode.
+    *
+    * Contract (by design, not accident): a long-layout events table may
+    * not carry instants before ~1973-03 (1e17 ns) — such a value is
+    * indistinguishable from a mis-scaled micros/millis layout, so the
+    * scan rejects it rather than guess. Pre-1973 data must ship as a
+    * typed TIMESTAMP column, which bypasses this guard entirely. */
   def normalizeTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     df.schema("ts").dataType match {

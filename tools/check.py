@@ -52,7 +52,9 @@ def col_cells(s: pd.Series):
     if pd.api.types.is_float_dtype(s):
         return ["NULL" if pd.isna(v) else repr(float(v)) for v in s]
     if pd.api.types.is_integer_dtype(s):
-        return [str(int(v)) for v in s]
+        # nullable Int64 (pyarrow-backed reads) can carry pd.NA, which
+        # int() raises on; render it NULL like the float branch does
+        return ["NULL" if pd.isna(v) else str(int(v)) for v in s]
     return [cell(v) for v in s]
 
 
