@@ -6,6 +6,7 @@ import org.apache.spark.storage.StorageLevel
 import graft.Registry.Q
 import graft.etl.Sources.table
 import graft.functions.{TextFunctions => T}
+import graft.functions.{HashFunctions => H}
 
 /** Corpus-statistics operators for training-data curation, each with a
   * DuckDB oracle twin: global line-level boilerplate removal (the
@@ -802,7 +803,111 @@ object CorpusQueries {
          |ORDER BY d.doc_id""".stripMargin
     })
 
+  // ------------------------------------------------- BM25 retrieval
+
+  /** The BM25 query: a fixed conjunctive-ish bag of terms present at
+    * every scale factor (query parameters, never data). */
+  private val Bm25Terms = Seq("data", "merge", "scan")
+  private val Bm25K1 = 1.2
+  private val Bm25K1p1 = 2.2
+  private val Bm25B = 0.75
+  private val Bm25OneMinusB = 0.25
+  private val Bm25TopK = 10
+
+  /** BM25 ranked retrieval (Robertson & Walker, Okapi): top-k documents
+    * for a fixed bag-of-words query, scored with the standard
+    * tf-saturation × length-normalization formula. The idf factor is
+    * the RATIONAL (N − df + 0.5)/(df + 0.5) rather than its log (the
+    * object scaladoc's float discipline: no libm transcendentals in
+    * hash-gated output; the per-term monotone order is identical, and
+    * BM25's defining behaviors — tf saturation at k1, dl/avgdl length
+    * normalization — are untouched).
+    *
+    * Scale shape — ZERO corpus shuffle: because the query is a tiny
+    * fixed term set, per-document term frequencies are per-row
+    * `size(filter(tokens …))` projections (no explode, no (doc, term)
+    * aggregation); the corpus statistics (N, Σdl, per-term df) fold
+    * into ONE 1-row aggregate that broadcasts back; scoring is per-row
+    * codegen'd arithmetic; and the ranked cut reduces through the
+    * bounded-heap [[graft.functions.HashFunctions.topKByScore]] (≤ k
+    * rows per partition cross the shuffle — no global rank window over
+    * the matched set). This is the inverted-index-free retrieval shape
+    * for ad-hoc scoring sweeps over 100 TB: one scan, two broadcast
+    * exchanges, k output rows. df/dl sums stay exact-integer-valued in
+    * DOUBLE (< 2^53), so accumulation order cannot perturb them. */
+  val searchBm25: Q = Q(
+    "search_bm25",
+    (s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), T.tokens(col("text")).as("ts"))
+        .select(
+          col("doc_id") +: size(col("ts")).cast("double").as("dl") +:
+            Bm25Terms.zipWithIndex.map { case (t, i) =>
+              size(filter(col("ts"), x => x === lit(t)))
+                .cast("double").as(s"tf$i")
+            }: _*)
+      val gCols =
+        count(lit(1)).cast("double").as("n_docs") +:
+          (sum(col("dl")) / count(lit(1))).as("avgdl") +:
+          Bm25Terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L))
+              .cast("double").as(s"df$i"))
+      val g = d.agg(gCols.head, gCols.tail: _*)
+      val termScores = Bm25Terms.indices.map { i =>
+        when(col(s"tf$i") > 0,
+          ((col("n_docs") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5))) *
+            (col(s"tf$i") * lit(Bm25K1p1)) /
+            (col(s"tf$i") + lit(Bm25K1) *
+              (lit(Bm25OneMinusB) + lit(Bm25B) * col("dl") / col("avgdl"))))
+          .otherwise(lit(0.0))
+      }
+      d.crossJoin(broadcast(g))
+        .filter(Bm25Terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _))
+        .select(col("doc_id"),
+          termScores.reduceLeft(_ + _).as("bm25"))
+        .groupBy()
+        .agg(H.topKByScore(col("bm25"), col("doc_id"), Bm25TopK).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("p.id").as("doc_id"), col("p.score").as("bm25"),
+          (col("pos") + 1).cast("long").as("rank"))
+        .orderBy("rank")
+    },
+    Some {
+      val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n|             ")
+      val dfs = Bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n|             ")
+      val scores = Bm25Terms.indices.map(i =>
+        s"""CASE WHEN tf$i > 0
+           |  THEN ((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * $Bm25K1p1) /
+           |       (tf$i + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))
+           |  ELSE 0.0 END""".stripMargin)
+        .mkString("(", "\n + ", ")")
+      val anyTf = Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""WITH t0 AS (SELECT doc_id, $ddbToks AS ts FROM documents),
+         |d AS (
+         |  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+         |             $tfs
+         |  FROM t0),
+         |g AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |             sum(dl) / count(*) AS avgdl,
+         |             $dfs
+         |  FROM d),
+         |scored AS (
+         |  SELECT doc_id, $scores AS bm25
+         |  FROM d, g WHERE $anyTf),
+         |r AS (
+         |  SELECT doc_id, bm25,
+         |         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, bm25, rank FROM r WHERE rank <= $Bm25TopK
+         |ORDER BY rank""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch,
     bpePairCounts, bpeTrainMerges, bpeCompressionCurve, cooccurPmi,
-    perplexityLm, bpeEncode)
+    perplexityLm, bpeEncode, searchBm25)
 }

@@ -1701,11 +1701,85 @@ object DedupQueries {
          |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
          |ORDER BY a.vec_id""".stripMargin))
 
+  /** Common-neighbors link prediction over the dup-pair graph: for every
+    * NON-adjacent pair (x, y) sharing at least one neighbor, the
+    * common-neighbor count and its Jaccard coefficient
+    * cn / (d(x) + d(y) − cn) (Liben-Nowell & Kleinberg, CIKM'03). On a
+    * dedup graph this surfaces "missing edges" — pairs the pairwise
+    * Jaccard threshold narrowly missed but whose shared dup
+    * neighborhood says they are the same cluster (the review queue a
+    * curation pipeline actually triages).
+    *
+    * Fixture note: the synthetic dup graph is transitively CLOSED by
+    * construction (exact + near copies of one original form cliques),
+    * so every 2-hop pair is already adjacent and the honest answer is
+    * empty. Link prediction exists for incomplete graphs, so the
+    * fixture plants incompleteness the same way the corpus plants dups:
+    * a deterministic third of the edges ((i + j) % 3 = 0) is held out
+    * before the wedge join, and the query's output is exactly the
+    * held-out-edge recovery a link-prediction evaluation measures —
+    * both engines mirror the holdout.
+    *
+    * Plan shape: symmetrize edges, self-join on the middle vertex to
+    * enumerate wedges (x–v–y, x < y), one map-side-combining count per
+    * (x, y), one left_anti against the edge set to keep non-adjacent
+    * pairs only, degrees via two broadcast-size joins. Wedge volume is
+    * Σ d(v)² — bounded here because the underlying index is df-capped
+    * (no vertex's degree exceeds the cap by construction); a general
+    * 100 TB social graph would additionally cap or sample hub
+    * neighborhoods before the wedge join, exactly as [[triangles]]
+    * orients by degree. The oracle crosses formulations (plain SQL
+    * joins over the same pair CTE). */
+  val commonNeighbors: Q = Q(
+    "graph_common_neighbors",
+    (s, dir) => {
+      val e = ngramPairs(s, dir).select(col("i"), col("j"))
+        .filter((col("i") + col("j")) % 3 =!= 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val adj = e.unionAll(e.select(col("j").as("i"), col("i").as("j")))
+        .toDF("a", "b")
+      val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+      val wedges = adj.toDF("v", "x")
+        .join(adj.toDF("v", "y"), Seq("v"))
+        .filter(col("x") < col("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("cn"))
+      wedges
+        .join(e.toDF("x", "y"), Seq("x", "y"), "left_anti")
+        .join(deg.toDF("x", "dx"), Seq("x"))
+        .join(deg.toDF("y", "dy"), Seq("y"))
+        .select(col("x"), col("y"), col("cn"),
+          (col("cn").cast("double") / (col("dx") + col("dy") - col("cn")))
+            .as("cn_jaccard"))
+        .orderBy("x", "y")
+    },
+    Some(
+      s"""WITH $ddbCorpus,
+         |$ddbNgramPairs,
+         |kept AS (SELECT i, j FROM pairs WHERE (i + j) % 3 <> 0),
+         |adj AS (
+         |  SELECT i AS a, j AS b FROM kept
+         |  UNION ALL SELECT j AS a, i AS b FROM kept),
+         |deg AS (SELECT a AS v, count(*) AS d FROM adj GROUP BY a),
+         |w AS (
+         |  SELECT l.b AS x, r.b AS y, count(*) AS cn
+         |  FROM adj l JOIN adj r ON l.a = r.a AND l.b < r.b
+         |  GROUP BY 1, 2),
+         |nonadj AS (
+         |  SELECT w.x, w.y, w.cn FROM w
+         |  LEFT JOIN kept p ON p.i = w.x AND p.j = w.y
+         |  WHERE p.i IS NULL)
+         |SELECT n.x, n.y, n.cn,
+         |       CAST(n.cn AS DOUBLE) / (dx.d + dy.d - n.cn) AS cn_jaccard
+         |FROM nonadj n
+         |JOIN deg dx ON dx.v = n.x
+         |JOIN deg dy ON dy.v = n.y
+         |ORDER BY x, y""".stripMargin))
+
   def all: Seq[Q] = Seq(
     exact, dupRateBySource, ngramJaccard, prefixFilter, clusters, clustersStar, keepBest,
     minhashLsh, incrementalLsh,
     simhashSketches,
     simhashPairs, embeddingNearDup, semantic, shingleDfCapReport,
     decontaminate, contamFraction, passages, incremental, triangles, kcore,
-    pagerank, labelPropagation, winnowing)
+    pagerank, labelPropagation, winnowing, commonNeighbors)
 }

@@ -403,7 +403,94 @@ object PackQueries {
          |ORDER BY doc_id, copy_idx""".stripMargin
     })
 
+  // ------------------------------------------------ curriculum order
+
+  /** Intra-phase shuffle buckets: global positions are computed per
+    * (phase, bucket) so no window ever sees more than ~n/(phases·32)
+    * rows. */
+  private val CurriculumBuckets = 32L
+
+  /** LCG constants for the deterministic shuffle key (Knuth/glibc
+    * family); doc_id · a stays far under 2^63 for any realistic id. */
+  private val CurA = 1103515245L
+  private val CurC = 12345L
+
+  /** Curriculum ordering: emit the corpus as ONE totally-ordered
+    * training sequence — easy (high pinned-quality-score) phases first,
+    * deterministically shuffled WITHIN each phase (a sorted-by-quality
+    * stream would correlate adjacent batches; training wants phase-level
+    * ordering with batch-level randomness). The position is the exact
+    * global dataloader index.
+    *
+    * The scale problem this solves: a naive `row_number() OVER (ORDER
+    * BY phase, shuffle_key)` serializes the whole corpus through one
+    * partition. Instead positions are TWO-LEVEL: each doc ranks inside
+    * its (phase, shuffle-bucket) — [[CurriculumBuckets]] buckets per
+    * phase, each window ~n/(4·32) rows, fully parallel — and a
+    * ≤ 4·32-row per-group count table (computed map-side) supplies
+    * each group's exclusive global offset via a prefix sum over that
+    * tiny frame (constant partition key — bounded by construction).
+    * position = group offset + in-group rank: an exact global index
+    * with no global sort and no single-partition window over data.
+    * The shuffle key is a deterministic LCG of doc_id mod the shared
+    * [[graft.functions.TextFunctions.HashMod]] — engine-exact integer
+    * arithmetic, same value in the oracle. */
+  val curriculum: Q = Q(
+    "pack_curriculum",
+    (s, dir) => {
+      val q = T.qualityScore(col("text"))
+      val ph = table(s, dir, "documents")
+        .select(col("doc_id"),
+          q.as("quality_score"),
+          when(q >= 0.75, 0L).when(q >= 0.5, 1L).when(q >= 0.25, 2L)
+            .otherwise(3L).as("phase"),
+          ((col("doc_id") * CurA + CurC) % T.HashMod).as("sk"))
+        .withColumn("bucket", col("sk") % CurriculumBuckets)
+      val w = Window.partitionBy(col("phase"), col("bucket"))
+        .orderBy(col("sk"), col("doc_id"))
+      val ranked = ph.withColumn("rk", row_number().over(w))
+      val counts = ph.groupBy(col("phase"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      // prefix sum over the ≤ phases·buckets-row group table (constant
+      // partition key per the bounded-frame window idiom)
+      val wOff = Window.partitionBy(col("phase") * 0)
+        .orderBy(col("phase"), col("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = counts
+        .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+        .select(col("phase"), col("bucket"), col("off"))
+      ranked.join(broadcast(offsets), Seq("phase", "bucket"))
+        .select((col("off") + col("rk")).as("position"),
+          col("doc_id"), col("phase"), col("quality_score"))
+        .orderBy("position")
+    },
+    Some(
+      s"""WITH scored AS (
+         |  SELECT doc_id, ${TextOracleSql.quality} AS q FROM documents),
+         |ph AS (
+         |  SELECT doc_id, q,
+         |         CASE WHEN q >= 0.75 THEN 0 WHEN q >= 0.5 THEN 1
+         |              WHEN q >= 0.25 THEN 2 ELSE 3 END AS phase,
+         |         (doc_id * $CurA + $CurC) % ${T.HashMod} AS sk
+         |  FROM scored),
+         |b AS (SELECT *, sk % $CurriculumBuckets AS bucket FROM ph),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY phase, bucket ORDER BY sk, doc_id) AS rk
+         |  FROM b),
+         |g AS (SELECT phase, bucket, count(*) AS cnt FROM b GROUP BY 1, 2),
+         |o AS (
+         |  SELECT phase, bucket,
+         |         COALESCE(SUM(cnt) OVER (
+         |           ORDER BY phase, bucket
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM g)
+         |SELECT CAST(o.off + r.rk AS BIGINT) AS position, r.doc_id,
+         |       r.phase, r.q AS quality_score
+         |FROM r JOIN o USING (phase, bucket)
+         |ORDER BY position""".stripMargin))
+
   def all: Seq[Q] =
     Seq(pack, chunk, sampleMix, sampleTemperature, sampleWeighted,
-      splitStratified, lengthBuckets, sampleEpochs)
+      splitStratified, lengthBuckets, sampleEpochs, curriculum)
 }

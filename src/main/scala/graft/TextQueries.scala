@@ -587,10 +587,60 @@ object TextQueries {
          |GROUP BY decile
          |ORDER BY decile""".stripMargin))
 
+  /** Per-document n-gram novelty against everything ingested BEFORE it
+    * (doc_id as ingest order): the fraction of a document's distinct
+    * 3-gram shingles whose first appearance in the corpus is the
+    * document itself. The data-curation ordering signal behind
+    * "deduplicate forward" policies: a near-zero novelty doc adds
+    * nothing the corpus hasn't seen; a high-novelty doc is fresh
+    * content even if it shares boilerplate.
+    *
+    * Scale shape: shingles travel as 64-bit hashes (the dedup family's
+    * shared kernel); the first-seer table is one map-side-combining
+    * min() per shingle, and the postings⋈first-seer join shuffles on
+    * the SAME shingle-hash key the aggregation just produced, so the
+    * exchange is reused rather than re-partitioned. The per-doc rollup
+    * then folds to one row per document. No pairwise joins anywhere —
+    * cost is O(postings), not O(pairs), which is what lets this run
+    * over a full 100 TB corpus where the Jaccard pair queries run on
+    * candidate subsets. Docs under 3 tokens have no shingles and no
+    * row (mirrored by the oracle building from the same index). */
+  val noveltyNgram: Q = Q(
+    "text_novelty_ngram",
+    (s, dir) => {
+      val ix = table(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(H.shingleHashesOfTokens(T.tokens(col("text")))).as("h"))
+      val firstSeen = ix.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      ix.join(firstSeen, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_shingles").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some(
+      s"""WITH ix AS (
+         |  SELECT doc_id, unnest(s) AS h FROM (
+         |    SELECT doc_id, ${H.shingleHashesSql("hs")} AS s FROM (
+         |      SELECT doc_id, list_transform($ddbToks, tok -> ${T.polyHashSql("tok")}) AS hs
+         |      FROM documents))),
+         |f AS (SELECT h, min(doc_id) AS first_doc FROM ix GROUP BY h)
+         |SELECT ix.doc_id, count(*) AS n_shingles,
+         |       CAST(sum(CASE WHEN ix.doc_id = f.first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+         |       CAST(sum(CASE WHEN ix.doc_id = f.first_doc THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty
+         |FROM ix JOIN f USING (h)
+         |GROUP BY ix.doc_id
+         |ORDER BY doc_id""".stripMargin))
+
   def all: Seq[Q] = Seq(
     tokenCount, qualityScore, langIdQ, langMix, langConfusion, fingerprint, redact, repetition,
     qualityBySource, vocab, gopherRules, qualityRank, qualityKeepHist,
-    qualityNtile)
+    qualityNtile, noveltyNgram)
 }
 
 /** Shared DuckDB fragments for the text formulas — the single source of

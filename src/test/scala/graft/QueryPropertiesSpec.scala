@@ -575,4 +575,94 @@ class QueryPropertiesSpec extends SparkSpec {
       assert(r.getAs[Boolean]("changed") == inBatch, s"$key changed flag wrong")
     }
   }
+
+  test("sim_mrl_recall: recall bounded, consistent with hits, nonzero overall") {
+    val rows = Registry.queries("sim_mrl_recall")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("hits")
+      val rec = r.getAs[Double]("recall_at_k")
+      assert(hits >= 0 && hits <= 5, s"hits out of range: $hits")
+      assert(rec == hits / 5.0, s"recall inconsistent with hits")
+    }
+    // uniform random unit vectors are the worst case for prefix-dim
+    // ranking (same caveat as the ANN recall floor above): assert the
+    // half-dim ranking recovers SOMETHING, not production quality
+    assert(rows.map(_.getAs[Long]("hits")).sum > 0)
+  }
+
+  test("sim_centroid_classify: matrix partitions the corpus, beats chance") {
+    val rows = Registry.queries("sim_centroid_classify")(spark, Sf).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val nVecs = graft.etl.Sources.table(spark, Sf, "embeddings").count()
+    assert(total == nVecs, s"matrix covers $total of $nVecs vectors")
+    val labels = rows.map(_.getAs[Long]("true_label")).distinct
+    val diag = rows.filter(r =>
+      r.getAs[Long]("true_label") == r.getAs[Long]("pred_label"))
+      .map(_.getAs[Long]("n")).sum
+    // random assignment over L labels would land diag ≈ total/L
+    assert(diag.toDouble / total > 1.5 / labels.length,
+      s"accuracy ${diag.toDouble / total} not above chance")
+  }
+
+  test("search_bm25: scores non-increasing, every hit contains a query term") {
+    val rows = Registry.queries("search_bm25")(spark, Sf).collect()
+    assert(rows.length == 10)
+    val scores = rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("bm25"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val hitIds = rows.map(_.getAs[Long]("doc_id")).toSet
+    val docsWithTerm = graft.etl.Sources.table(spark, Sf, "documents")
+      .filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .filter(
+        Seq("data", "merge", "scan")
+          .map(t => array_contains(split(lower(trim(col("text"))), "\\s+"), t))
+          .reduce(_ || _))
+      .count()
+    assert(docsWithTerm == hitIds.size, "a ranked doc contains no query term")
+  }
+
+  test("text_novelty_ngram: bounded, and the earliest document is fully novel") {
+    val rows = Registry.queries("text_novelty_ngram")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ns = r.getAs[Long]("n_shingles")
+      val nn = r.getAs[Long]("n_novel")
+      assert(ns > 0 && nn >= 0 && nn <= ns)
+      assert(r.getAs[Double]("novelty") == nn.toDouble / ns)
+    }
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Double]("novelty") == 1.0,
+      "the first-ingested document must be entirely novel")
+  }
+
+  test("graph_common_neighbors: pairs are non-adjacent and recover planted holdouts") {
+    val out = Registry.queries("graph_common_neighbors")(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    assert(out.nonEmpty)
+    val allEdges = DedupQueries.ngramPairs(spark, Sf)
+      .select(col("i"), col("j")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val kept = allEdges.filter { case (i, j) => (i + j) % 3 != 0 }.toSet
+    out.foreach(p => assert(!kept(p), s"predicted pair $p is already an edge"))
+    val recovered = out.filter { case (x, y) => (x + y) % 3 == 0 }
+      .count(allEdges.toSet)
+    assert(recovered > 0, "no planted held-out edge was recovered")
+    spark.catalog.clearCache()
+  }
+
+  test("pack_curriculum: positions are a 1..N permutation, phases ordered") {
+    val rows = Registry.queries("pack_curriculum")(spark, Sf)
+      .collect().sortBy(_.getAs[Long]("position"))
+    val n = graft.etl.Sources.table(spark, Sf, "documents").count()
+    assert(rows.length == n)
+    assert(rows.map(_.getAs[Long]("position")).toSeq == (1L to n).toSeq,
+      "positions must be the exact 1..N dataloader index")
+    val phases = rows.map(_.getAs[Long]("phase")).toSeq
+    assert(phases.zip(phases.tail).forall { case (a, b) => a <= b },
+      "curriculum phases must be non-decreasing along positions")
+    // within-phase order is shuffled, not id-sorted
+    val ids = rows.filter(_.getAs[Long]("phase") == phases.head)
+      .map(_.getAs[Long]("doc_id")).toSeq
+    assert(ids != ids.sorted, "intra-phase order should be deterministically shuffled")
+  }
 }
