@@ -339,4 +339,48 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("bm25: zero corpus shuffle — broadcast stats, bounded top-k, no window") {
+    val p = plan("search_bm25")
+    // per-row tf + one broadcast 1-row stats aggregate + graft_topk:
+    // the corpus is never hash-partitioned (the only exchanges are the
+    // single-partition stats/topk reductions and the output range sort)
+    assert(count(p, "Exchange hashpartitioning") == 0, p)
+    assert(p.contains("graft_topk"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("mrl recall: one scoring pass, both rankings reduce via bounded top-k") {
+    val p = plan("sim_mrl_recall")
+    // two graft_topk aggregates in the SAME groupBy — the scored pair
+    // set is built once and shuffles once (query_id), never per metric
+    assert(count(p, "graft_topk") >= 2, p)
+    assert(count(p, "Exchange hashpartitioning") == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("curriculum: no single-partition window over data, offsets broadcast back") {
+    val p = plan("pack_curriculum")
+    // the data-sized window is per (phase, bucket); the only other
+    // window runs over the ≤ phases·buckets-row count table. The
+    // offsets attach via broadcast — the corpus never joins by SMJ.
+    def windows(s: String): Int =
+      s.linesIterator.count(l => l.contains("Window [") && !l.contains("WindowGroupLimit"))
+    assert(windows(p) == 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+  }
+
+  test("novelty: postings-keyed joins only — no pair join, no cartesian") {
+    val p = plan("text_novelty_ngram")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), p)
+    // shingle-hash aggregation + per-doc rollup: the only exchanges are
+    // h, doc_id, and the output range sort
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+  }
 }
