@@ -999,23 +999,42 @@ object SimilarityQueries {
     * partial-aggregating argmax ([[assignArgmax]]), so the shuffle
     * carries n pre-reduced rows; the confusion matrix folds map-side to
     * ≤ L² rows. */
+  /** Per-label centroids via the order-pinned sorted-fold per-dim mean
+    * — shared by [[centroidClassify]] and [[silhouette]]; same
+    * bit-reproducibility discipline (and the same stated trade-off) as
+    * [[annIvfKmeans]]'s Lloyd update. */
+  private def labelCentroids(e: DataFrame): DataFrame = {
+    val dimMeans = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(collect_list(col("v").cast("double")).as("vs"),
+        count(lit(1)).as("cnt"))
+      .select(col("label"), col("pos"),
+        (aggregate(array_sort(col("vs")), lit(0.0), (a, x) => a + x) / col("cnt"))
+          .cast("float").as("mean"))
+    dimMeans.groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
+      .select(col("label").cast("long").as("centroid_id"),
+        transform(col("pm"), x => x.getField("mean")).as("c_emb"))
+  }
+
+  /** Oracle CTEs `m`/`c` producing the same per-label centroid table
+    * from an `e(vec_id, embedding, label)` CTE. */
+  private val ddbLabelCentroids =
+    s"""m AS (
+       |  SELECT CAST(e.label AS BIGINT) AS centroid_id, p.pos,
+       |         CAST(${H.foldSumSql("list_sort(list(CAST(e.embedding[p.pos] AS DOUBLE)))")} / COUNT(*) AS REAL) AS mean
+       |  FROM e, (SELECT unnest(generate_series(1, $Dims)) AS pos) p
+       |  GROUP BY 1, 2),
+       |c AS (SELECT centroid_id, list(mean ORDER BY pos) AS c_emb
+       |      FROM m GROUP BY centroid_id)""".stripMargin
+
   val centroidClassify: Q = Q(
     "sim_centroid_classify",
     (s, dir) => {
       val e = table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"), col("label"))
-      val dimMeans = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("label"), col("pos"))
-        .agg(collect_list(col("v").cast("double")).as("vs"),
-          count(lit(1)).as("cnt"))
-        .select(col("label"), col("pos"),
-          (aggregate(array_sort(col("vs")), lit(0.0), (a, x) => a + x) / col("cnt"))
-            .cast("float").as("mean"))
-      val centroids = dimMeans.groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mean")))).as("pm"))
-        .select(col("label").cast("long").as("centroid_id"),
-          transform(col("pm"), x => x.getField("mean")).as("c_emb"))
+      val centroids = labelCentroids(e)
       val assigned = assignArgmax(e.select(col("vec_id"), col("embedding")), centroids)
         .select(col("vec_id"), col("centroid_id").as("pred_label"))
       e.select(col("vec_id"), col("label").cast("long").as("true_label"))
@@ -1026,13 +1045,7 @@ object SimilarityQueries {
     },
     Some(
       s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
-         |m AS (
-         |  SELECT CAST(e.label AS BIGINT) AS centroid_id, p.pos,
-         |         CAST(${H.foldSumSql("list_sort(list(CAST(e.embedding[p.pos] AS DOUBLE)))")} / COUNT(*) AS REAL) AS mean
-         |  FROM e, (SELECT unnest(generate_series(1, $Dims)) AS pos) p
-         |  GROUP BY 1, 2),
-         |c AS (SELECT centroid_id, list(mean ORDER BY pos) AS c_emb
-         |      FROM m GROUP BY centroid_id),
+         |$ddbLabelCentroids,
          |a AS (
          |  SELECT e.vec_id, c.centroid_id AS pred_label,
          |         ROW_NUMBER() OVER (
@@ -1045,7 +1058,57 @@ object SimilarityQueries {
          |GROUP BY 1, 2
          |ORDER BY true_label, pred_label""".stripMargin))
 
+  // --------------------------------------------- cluster silhouette
+
+  /** Simplified silhouette over the label clustering (Hruschka et al.'s
+    * centroid-based variant of Rousseeuw 1987): per vector, a = L2
+    * distance to its OWN label's centroid, b = the nearest OTHER
+    * centroid's distance, silhouette = (b − a) / max(a, b) ∈ [−1, 1].
+    * The classical silhouette's mean-pairwise-distance terms are O(n²)
+    * — the centroid variant is the form that survives a full-corpus
+    * embedding-quality audit at 100 TB: one broadcast of the L-row
+    * centroid table, n·L per-row distance evaluations, and a
+    * partial-aggregating (vec, label) fold that reduces each vector's
+    * L candidate rows to one map-side. Output is per-vector (pure
+    * row-wise arithmetic after the fold — no double-mean accumulation
+    * anywhere, so the hash gate holds bit-exactly). */
+  val silhouette: Q = Q(
+    "sim_silhouette",
+    (s, dir) => {
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val d = e.select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding"))
+        .crossJoin(broadcast(labelCentroids(e)))
+        .select(col("vec_id"), col("label"), col("centroid_id"),
+          sqrt(l2sq(col("embedding"), col("c_emb"))).as("dist"))
+      d.groupBy(col("vec_id"), col("label"))
+        .agg(
+          max(when(col("centroid_id") === col("label"), col("dist"))).as("a_dist"),
+          min(when(col("centroid_id") =!= col("label"), col("dist"))).as("b_dist"))
+        .select(col("vec_id"), col("label"), col("a_dist"), col("b_dist"),
+          ((col("b_dist") - col("a_dist")) / greatest(col("a_dist"), col("b_dist")))
+            .as("silhouette"))
+        .orderBy("vec_id")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |$ddbLabelCentroids,
+         |d AS (
+         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, c.centroid_id,
+         |         sqrt(${l2sqSql("e.embedding", "c.c_emb")}) AS dist
+         |  FROM e CROSS JOIN c),
+         |s AS (
+         |  SELECT vec_id, label,
+         |         max(CASE WHEN centroid_id = label THEN dist END) AS a_dist,
+         |         min(CASE WHEN centroid_id <> label THEN dist END) AS b_dist
+         |  FROM d GROUP BY 1, 2)
+         |SELECT vec_id, label, a_dist, b_dist,
+         |       (b_dist - a_dist) / greatest(a_dist, b_dist) AS silhouette
+         |FROM s
+         |ORDER BY vec_id""".stripMargin))
+
   def all: Seq[Q] =
     Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans, quantizeInt8, pqAdc,
-      annIvfPq, knnLabelEval, mrlRecall, centroidClassify)
+      annIvfPq, knnLabelEval, mrlRecall, centroidClassify, silhouette)
 }

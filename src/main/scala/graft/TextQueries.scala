@@ -637,10 +637,79 @@ object TextQueries {
          |GROUP BY ix.doc_id
          |ORDER BY doc_id""".stripMargin))
 
+  /** Coverage-curve cut points (vocabulary sizes to evaluate). */
+  private val CoverageKs = Seq(10L, 100L, 1000L)
+
+  /** Vocabulary coverage curve — the tokenizer-design table: what
+    * fraction of all token OCCURRENCES the top-k most frequent terms
+    * cover, at k = 10/100/1000. A corpus whose top-1000 covers 99%
+    * tokenizes compactly; a long tail argues for subword units.
+    *
+    * Scale shape: term counts fold map-side (one groupBy over the
+    * token explode); the ranked cut reduces through the bounded-heap
+    * top-k aggregate (≤ max-k (score, id) pairs per partition cross
+    * the shuffle — no rank window over the vocabulary, whose size
+    * grows with the corpus); coverage sums then run over the ≤ max-k
+    * exploded heap rows and the total attaches as a broadcast 1-row
+    * aggregate. Count ties at a cut boundary contribute identical
+    * counts to the sum, so the heap's id tie-break (term hash) cannot
+    * perturb the output even when the boundary is tied — which is what
+    * lets the oracle rank by (count, term) instead of (count, hash)
+    * and still hash-match. */
+  val ngramCoverage: Q = Q(
+    "text_ngram_coverage",
+    (s, dir) => {
+      val maxK = CoverageKs.max.toInt
+      val tc = table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val tot = tc.agg(sum(col("c")).as("total"))
+      val exploded = tc.groupBy()
+        .agg(H.topKByScore(col("c").cast("double"), T.polyHash(col("term")), maxK)
+          .as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "p")))
+      val covCols = CoverageKs.map(k =>
+        sum(when(col("pos") < k, col("p.score")).otherwise(lit(0.0)))
+          .cast("long").as(s"cov$k"))
+      exploded.agg(covCols.head, covCols.tail: _*)
+        .crossJoin(broadcast(tot))
+        .select(
+          explode(array(CoverageKs.map(k =>
+            struct(lit(k).as("k"), col(s"cov$k").as("covered_tokens"))): _*))
+            .as("kv"),
+          col("total"))
+        .select(col("kv.k").as("k"),
+          col("kv.covered_tokens").as("covered_tokens"),
+          col("total").as("total_tokens"),
+          (col("kv.covered_tokens").cast("double") / col("total").cast("double"))
+            .as("coverage"))
+        .orderBy("k")
+    },
+    Some {
+      val ks = CoverageKs.mkString("[", ", ", "]")
+      s"""WITH tok AS (SELECT unnest($ddbToks) AS term FROM documents),
+         |tc AS (
+         |  SELECT term, count(*) AS c FROM tok
+         |  WHERE length(term) > 0 GROUP BY term),
+         |tot AS (SELECT sum(c) AS total FROM tc),
+         |r AS (
+         |  SELECT c, row_number() OVER (ORDER BY c DESC, term ASC) AS rk
+         |  FROM tc)
+         |SELECT CAST(ks.k AS BIGINT) AS k,
+         |       CAST(sum(CASE WHEN r.rk <= ks.k THEN r.c ELSE 0 END) AS BIGINT) AS covered_tokens,
+         |       CAST((SELECT total FROM tot) AS BIGINT) AS total_tokens,
+         |       CAST(sum(CASE WHEN r.rk <= ks.k THEN r.c ELSE 0 END) AS DOUBLE)
+         |         / CAST((SELECT total FROM tot) AS DOUBLE) AS coverage
+         |FROM r CROSS JOIN (SELECT unnest($ks) AS k) ks
+         |GROUP BY ks.k
+         |ORDER BY k""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(
     tokenCount, qualityScore, langIdQ, langMix, langConfusion, fingerprint, redact, repetition,
     qualityBySource, vocab, gopherRules, qualityRank, qualityKeepHist,
-    qualityNtile, noveltyNgram)
+    qualityNtile, noveltyNgram, ngramCoverage)
 }
 
 /** Shared DuckDB fragments for the text formulas — the single source of

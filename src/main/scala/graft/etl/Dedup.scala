@@ -48,6 +48,39 @@ object Dedup {
       .drop(normKeys: _*)
   }
 
+  /** J4 for the SELF-DERIVED-target case: the existing side is, by
+    * construction, `incoming.filter(existingPred)` projected to keys —
+    * the harness shape, where "already loaded" rows are a predicate
+    * over the same derived file. [[antiJoinNewNormalized]] would
+    * execute the incoming subtree TWICE (once per join side; the
+    * round-8/9 materialization A/Bs showed recompute beats caching the
+    * wide frame, but both passes remain). This form computes the same
+    * multiset in ONE pass: a per-key window flags whether ANY row of
+    * the key's group satisfies the predicate, and flagged groups drop.
+    * Same shuffle key as the anti-join, one derivation instead of two,
+    * no runtime-bloom machinery.
+    *
+    * Null caveat (why this is not the general operator): an equi
+    * anti-join treats a NULL key as matching nothing (the row always
+    * survives), while a window partition groups NULL keys together.
+    * Callers must guarantee non-null normalized keys — true for the
+    * ventas keys by construction (id_cliente inner-joined, strict date
+    * on a generated format, keys from non-null TPC-H columns). When the
+    * target is a genuinely separate table (the production S6 scan),
+    * use [[antiJoinNewNormalized]] — there is no single-pass form. */
+  def antiJoinSelfNormalized(
+      incoming: DataFrame, existingPred: Column,
+      normalized: Seq[(String, Column => Column)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(
+      normalized.map { case (k, f) => f(col(k)) }: _*)
+    incoming
+      .withColumn("__in_existing",
+        max(when(existingPred, 1).otherwise(0)).over(w))
+      .filter(col("__in_existing") === 0)
+      .drop("__in_existing")
+  }
+
   /** Exact duplicate removal within a dataset (training-data pipeline
     * operator): hash-groupBy on the content columns, keep the row with
     * the smallest id. Distributed: one shuffle on the content hash. */

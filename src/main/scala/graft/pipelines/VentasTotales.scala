@@ -182,6 +182,15 @@ object VentasTotales {
     * persisting 1.2M wide cached rows, so this stays cache-free. */
   def load(spark: SparkSession, sfDir: String): DataFrame =
     toTargetColumns(
+      Dedup.antiJoinSelfNormalized(
+        prepared(spark, sfDir),
+        col("__ship") < to_date(lit(Cutoff)),
+        DedupNormalization))
+
+  /** The two-pass anti-join formulation of [[load]] (kept for the A/B
+    * and as the shape a separate-table target would use). */
+  private[graft] def loadAntiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    toTargetColumns(
       Dedup.antiJoinNewNormalized(
         prepared(spark, sfDir), existingTarget(spark, sfDir),
         DedupNormalization))
@@ -197,9 +206,14 @@ object VentasTotales {
     // runs 4.7 s in-sweep vs 11.1 s for the persisted variant (cache
     // materialization of 1.2M wide rows + broken codegen fusion). The
     // round-7 blowup was heap pressure from the leak, not this shape.
-    val incoming = prepared(spark, sfDir)
-    rerunOver(incoming)
+    toTargetColumns(
+      Dedup.antiJoinSelfNormalized(
+        prepared(spark, sfDir), lit(true), DedupNormalization))
   }
+
+  /** The two-pass anti-join formulation of [[rerun]] (A/B twin). */
+  private[graft] def rerunAntiJoin(spark: SparkSession, sfDir: String): DataFrame =
+    rerunOver(prepared(spark, sfDir))
 
   /** Dev seam for the materialization A/B (tools.ProfileVentas): the
     * rerun anti-join over an externally materialized `prepared` frame

@@ -665,4 +665,43 @@ class QueryPropertiesSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSeq
     assert(ids != ids.sorted, "intra-phase order should be deterministically shuffled")
   }
+
+  test("sim_silhouette: bounded in [-1,1], covers every vector, positive separation exists") {
+    val rows = Registry.queries("sim_silhouette")(spark, Sf).collect()
+    val n = graft.etl.Sources.table(spark, Sf, "embeddings").count()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val (a, b, s) = (r.getAs[Double]("a_dist"), r.getAs[Double]("b_dist"),
+        r.getAs[Double]("silhouette"))
+      assert(a >= 0 && b >= 0)
+      assert(s >= -1.0 && s <= 1.0, s"silhouette out of range: $s")
+      assert(s == (b - a) / math.max(a, b))
+    }
+    // random unit vectors cluster weakly, but SOME vectors must sit
+    // closer to their own centroid than to any other
+    assert(rows.count(_.getAs[Double]("silhouette") > 0) > 0)
+  }
+
+  test("text_ngram_coverage: monotone in k, bounded, consistent with exact term counts") {
+    val rows = Registry.queries("text_ngram_coverage")(spark, Sf)
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq == Seq(10L, 100L, 1000L))
+    val covs = rows.map(_.getAs[Long]("covered_tokens"))
+    assert(covs.zip(covs.tail).forall { case (a, b) => a <= b },
+      "coverage must be monotone in k")
+    val total = rows.head.getAs[Long]("total_tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered_tokens") <= total)
+      assert(r.getAs[Double]("coverage") ==
+        r.getAs[Long]("covered_tokens").toDouble / total)
+    }
+    // cross-check k=10 against an exact driver-side recount
+    val counts = graft.etl.Sources.table(spark, Sf, "documents")
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+      .groupBy("t").agg(count(lit(1)).as("c"))
+      .collect().map(_.getAs[Long]("c")).sortBy(-_)
+    assert(covs.head == counts.take(10).sum)
+    assert(total == counts.sum)
+  }
 }
