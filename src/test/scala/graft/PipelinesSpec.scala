@@ -87,4 +87,17 @@ class PipelinesSpec extends SparkSpec {
     assert(out.filter(col("id_producto").isNull).count() == 0)
     assert(out.filter(!col("id_producto").between(1, 11)).count() == 0)
   }
+
+  test("ventas: one-pass window form equals the two-pass normalized anti-join") {
+    // load/rerun ship the window form (Dedup.antiJoinSelfNormalized);
+    // the general J4 operator (antiJoinNewNormalized) must stay verified
+    // — cross-check the two formulations produce the SAME multiset,
+    // within-batch duplicates included
+    def multiset(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    assert(multiset(VentasTotales.load(spark, Sf)) ==
+      multiset(VentasTotales.loadAntiJoin(spark, Sf)))
+    assert(VentasTotales.rerun(spark, Sf).isEmpty)
+    assert(VentasTotales.rerunAntiJoin(spark, Sf).isEmpty)
+  }
 }
