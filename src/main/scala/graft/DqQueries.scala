@@ -395,6 +395,123 @@ object DqQueries {
          |FROM a, b""".stripMargin
     })
 
+  // ------------------------------------------- referential integrity
+
+  /** Deterministic parent-loss plant: parent keys ≡ 0 mod this drop out
+    * of the kept set, so their children read as orphans — the partial-
+    * parent-table-loss scenario an FK screen exists to catch (same
+    * plant-the-defect discipline as [[checksumRecon]]). */
+  private val FkLossMod = 1009L
+
+  private case class Fk(name: String, childTable: String, childKey: String,
+      parentTable: String, parentKey: String)
+
+  private val Fks = Seq(
+    Fk("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    Fk("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    Fk("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    Fk("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    Fk("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"))
+
+  /** Referential-integrity screen: per foreign key, child row count and
+    * orphan count against a parent set that suffered a deterministic
+    * partial loss ([[FkLossMod]]) — the pre-migration audit that says
+    * which fact rows would dangle. Each FK is an independent branch:
+    * a key-only child scan (one parquet column) left-anti-joined to the
+    * distinct kept parent keys (dimension-sized — broadcast; for a
+    * fact-sized parent AQE falls back to SMJ on the key), counts fold
+    * map-side, and the ≤|FKs|-row report unions at the end. No branch
+    * ever carries more than (child_key) per row. */
+  val fkOrphans: Q = Q(
+    "dq_fk_orphans",
+    (s, dir) => {
+      val reports = Fks.map { fk =>
+        val child = table(s, dir, fk.childTable)
+          .select(col(fk.childKey).cast("long").as("k"))
+        val kept = table(s, dir, fk.parentTable)
+          .select(col(fk.parentKey).cast("long").as("k"))
+          .filter(col("k") % FkLossMod =!= 0).distinct()
+        val orphans = child.join(kept, Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("orphan_rows"))
+        child.agg(count(lit(1)).as("child_rows"))
+          .crossJoin(orphans)
+          .select(lit(fk.name).as("fk"), col("child_rows"), col("orphan_rows"),
+            (col("orphan_rows").cast("double") / col("child_rows").cast("double"))
+              .as("orphan_frac"))
+      }
+      reports.reduce(_ unionAll _).orderBy("fk")
+    },
+    Some {
+      val branches = Fks.map { fk =>
+        s"""SELECT '${fk.name}' AS fk,
+           |  (SELECT count(*) FROM ${fk.childTable}) AS child_rows,
+           |  (SELECT count(*) FROM ${fk.childTable} c
+           |   WHERE NOT EXISTS (
+           |     SELECT 1 FROM ${fk.parentTable} p
+           |     WHERE CAST(p.${fk.parentKey} AS BIGINT) = CAST(c.${fk.childKey} AS BIGINT)
+           |       AND CAST(p.${fk.parentKey} AS BIGINT) % $FkLossMod <> 0)) AS orphan_rows""".stripMargin
+      }
+      branches.map(b => s"($b)").mkString("WITH u AS (\n", "\nUNION ALL\n", ")\n") +
+        s"""SELECT fk, CAST(child_rows AS BIGINT) AS child_rows,
+           |       CAST(orphan_rows AS BIGINT) AS orphan_rows,
+           |       CAST(orphan_rows AS DOUBLE) / CAST(child_rows AS DOUBLE) AS orphan_frac
+           |FROM u ORDER BY fk""".stripMargin
+    })
+
+  // ----------------------------------------------- key uniqueness
+
+  private case class KeyAudit(name: String, tbl: String, keys: Seq[String])
+
+  /** Candidate keys to audit. `orders.o_custkey` is the planted NON-key
+    * canary (a uniqueness audit that only ever prints zeros is
+    * untested) — and the audit immediately earned its keep: the
+    * fixture's `lineitem (l_orderkey, l_linenumber)` composite, a true
+    * key in real TPC-H, is NOT unique in this synthetic data
+    * (max multiplicity 6 at sf0.01) — exactly the discovery this
+    * report exists to surface before a load declares a primary key. */
+  private val AuditedKeys = Seq(
+    KeyAudit("customer.c_custkey", "customer", Seq("c_custkey")),
+    KeyAudit("lineitem.(l_orderkey,l_linenumber)", "lineitem",
+      Seq("l_orderkey", "l_linenumber")),
+    KeyAudit("orders.o_custkey[non-key canary]", "orders", Seq("o_custkey")),
+    KeyAudit("orders.o_orderkey", "orders", Seq("o_orderkey")),
+    KeyAudit("part.p_partkey", "part", Seq("p_partkey")))
+
+  /** Key-uniqueness audit: per candidate key, total rows, distinct key
+    * values, duplicated surplus and the worst multiplicity — the load-
+    * time primary-key check. Each branch is a two-level aggregate
+    * (groupBy key with map-side combine → 1-row fold), so the shuffle
+    * carries distinct keys, never rows; the report is ≤|keys| rows. */
+  val keyUniqueness: Q = Q(
+    "dq_key_uniqueness",
+    (s, dir) => {
+      val reports = AuditedKeys.map { ka =>
+        table(s, dir, ka.tbl)
+          .groupBy(ka.keys.map(col): _*)
+          .agg(count(lit(1)).as("m"))
+          .agg(
+            sum(col("m")).as("n_rows"),
+            count(lit(1)).as("n_distinct"),
+            (sum(col("m")) - count(lit(1))).as("dup_surplus"),
+            max(col("m")).as("max_mult"))
+          .select(lit(ka.name).as("key_name"), col("n_rows"),
+            col("n_distinct"), col("dup_surplus"), col("max_mult"))
+      }
+      reports.reduce(_ unionAll _).orderBy("key_name")
+    },
+    Some {
+      val branches = AuditedKeys.map { ka =>
+        val keyList = ka.keys.mkString(", ")
+        s"""SELECT '${ka.name}' AS key_name,
+           |       CAST(sum(m) AS BIGINT) AS n_rows,
+           |       count(*) AS n_distinct,
+           |       CAST(sum(m) - count(*) AS BIGINT) AS dup_surplus,
+           |       CAST(max(m) AS BIGINT) AS max_mult
+           |FROM (SELECT count(*) AS m FROM ${ka.tbl} GROUP BY $keyList)""".stripMargin
+      }
+      branches.map(b => s"($b)").mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
+    })
+
   def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr,
-    driftTvd, benfordDigits, checksumRecon)
+    driftTvd, benfordDigits, checksumRecon, fkOrphans, keyUniqueness)
 }
