@@ -1398,6 +1398,70 @@ object AnalysisQueries {
         |FROM r WHERE rk = 1
         |ORDER BY month""".stripMargin))
 
+  /** Feature-snapshot instants (query parameters, inside the events
+    * fixture's 2024-01 span at every scale factor). */
+  private val FeatureSnapshotTs = "2024-01-28 00:00:00"
+  private val FeatureWindow7dTs = "2024-01-21 00:00:00"
+
+  /** Per-user ML feature snapshot AS OF a fixed instant — the
+    * feature-store materialization shape (recency / frequency /
+    * monetary + last-event state): total and trailing-7-day event
+    * counts, distinct event types, 7-day value sum, hours since last
+    * event, and the last event's type. Everything folds in ONE
+    * map-side-combining groupBy(user): counts and the decimal-exact
+    * value sum are plain conditional aggregates, the last-event state
+    * is a partial-aggregating max(struct(ts, event_id, type)) — no
+    * window, no self-join, one shuffle carrying one row per user. The
+    * as-of filter pushes to the parquet scan. Recency is computed in
+    * exact micros (unix_micros DIV), never float seconds, so the hash
+    * gate holds. At 100 TB this is the nightly feature-table build;
+    * the training-time point-in-time join against it is
+    * `events_asof_*`. */
+  val userFeatures: Q = Q(
+    "events_user_features",
+    (s, dir) => {
+      val snapTs = to_timestamp(lit(FeatureSnapshotTs))
+      val w7 = to_timestamp(lit(FeatureWindow7dTs))
+      graft.etl.Sources.events(s, dir)
+        .filter(col("ts") <= snapTs)
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(when(col("ts") >= w7, 1L).otherwise(0L)).as("n_events_7d"),
+          size(collect_set(col("event_type"))).cast("long").as("n_types"),
+          sum(when(col("ts") >= w7, col("value").cast("decimal(18,2)")))
+            .cast("double").as("value_7d_raw"),
+          max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+        .select(col("user_id"), col("n_events"), col("n_events_7d"),
+          col("n_types"),
+          coalesce(col("value_7d_raw"), lit(0.0)).as("value_7d"),
+          ((unix_micros(snapTs) - unix_micros(col("last.ts"))) / lit(3600000000L))
+            .cast("long").as("hours_since_last"),
+          col("last.event_type").as("last_event_type"))
+        .orderBy("user_id")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT * FROM events WHERE ts <= TIMESTAMP '$FeatureSnapshotTs'),
+         |lastpick AS (
+         |  SELECT user_id, event_type AS last_event_type, ts AS last_ts
+         |  FROM (SELECT user_id, event_type, ts,
+         |          row_number() OVER (PARTITION BY user_id
+         |            ORDER BY ts DESC, event_id DESC) AS rk
+         |        FROM e) WHERE rk = 1),
+         |agg AS (
+         |  SELECT user_id,
+         |         count(*) AS n_events,
+         |         CAST(sum(CASE WHEN ts >= TIMESTAMP '$FeatureWindow7dTs' THEN 1 ELSE 0 END) AS BIGINT) AS n_events_7d,
+         |         count(DISTINCT event_type) AS n_types,
+         |         COALESCE(CAST(sum(CASE WHEN ts >= TIMESTAMP '$FeatureWindow7dTs' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS value_7d
+         |  FROM e GROUP BY user_id)
+         |SELECT a.user_id, a.n_events, a.n_events_7d, a.n_types, a.value_7d,
+         |       (epoch_us(TIMESTAMP '$FeatureSnapshotTs') - epoch_us(l.last_ts)) // 3600000000 AS hours_since_last,
+         |       l.last_event_type
+         |FROM agg a JOIN lastpick l USING (user_id)
+         |ORDER BY user_id""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1407,5 +1471,5 @@ object AnalysisQueries {
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
     q19Disjunctive, retentionCohorts, rollingActive, skylineParts,
-    markovTransitions, anomalyMad, groupMedian, groupMode)
+    markovTransitions, anomalyMad, groupMedian, groupMode, userFeatures)
 }
