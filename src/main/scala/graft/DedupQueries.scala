@@ -200,12 +200,18 @@ object DedupQueries {
     // UNIFORMLY 10-25% slower across the 12 consumer queries — the
     // collect_list aggregation falls back to sort-based at realistic
     // group counts, costing more than the self-join it saves — so the
-    // persisted-index shape stays. DISK_ONLY, not MEMORY_AND_DISK:
-    // same measured cost on the warm path (OS page cache serves the
-    // re-reads), but the posting blocks pay no heap rent — the
-    // r8-driver-sweep degradation hypothesis for this exact query was
-    // cache pressure on a long-lived dirty heap.
-    val ex = shingleIndex(s, dir).persist(StorageLevel.DISK_ONLY)
+    // persisted-index shape stays. Persist level (twice-reversed, both
+    // times on measurement): DISK_ONLY was tried for zero heap rent
+    // (the r8-driver-sweep degradation hypothesis) and measured equal
+    // on a healthy box — but later same-session runs showed a 1.5-3x
+    // HEAVY TAIL on DISK_ONLY iterative consumers (label_prop medians
+    // 8.6/13.3/22.0 s vs MEMORY_AND_DISK's stable 7.1-7.8; PERF.md)
+    // — every index read pays block-fetch + deserialization, and that
+    // path is far more sensitive to box state than a heap-resident
+    // cache. The r8 heap pressure was root-caused to the status-store
+    // retention leak (fixed in Bench.scala), so the heap-rent argument
+    // no longer binds; stability wins.
+    val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.toDF("i", "h")
       .join(ex.toDF("j", "h"), Seq("h"))
@@ -289,8 +295,9 @@ object DedupQueries {
     "dedup_prefix_filter",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // DISK_ONLY like ngramPairs: posting-scale cache, zero heap rent
-      val ex = shingleIndex(s, dir).persist(StorageLevel.DISK_ONLY)
+      // MEMORY_AND_DISK like ngramPairs (see the persist-level note
+      // there: DISK_ONLY's read path showed a heavy tail)
+      val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
       val tokDf = ex.groupBy(col("h")).agg(count(lit(1)).as("tok_df"))
       val byDoc = Window.partitionBy(col("doc_id"))
       val ranked = ex.join(tokDf, Seq("h"))
