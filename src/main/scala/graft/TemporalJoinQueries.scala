@@ -807,8 +807,73 @@ object TemporalJoinQueries {
         |FROM sess JOIN inc ON s_start <= i_end AND i_start <= s_end
         |ORDER BY user_id, s_start, i_start""".stripMargin))
 
+  /** Incremental maintenance of a JOIN view — the companion to
+    * [[mvIncremental]]'s aggregate case, for the harder shape: a
+    * materialized `orders ⋈ lineitem` fact join kept current as new
+    * rows arrive on BOTH sides. With O = pre-cutoff orders, ΔO = the
+    * batch's orders (and L / ΔL likewise by ship date), the view delta
+    * decomposes as ΔV = (ΔO ⋈ L_all) ∪ (O ⋈ ΔL) — the classical
+    * delta-rule (the ΔO⋈ΔL cross term belongs to the first branch, so
+    * the union is disjoint and needs no dedup). The query emits the
+    * delta rows themselves, tagged by branch — the refresh a warehouse
+    * MERGEs into the stored view.
+    *
+    * Why it scales: maintenance cost is delta-proportional on one side
+    * of each join — both date predicates push into the parquet scans
+    * (order-date on ΔO, ship-date on ΔL), so neither branch rescans
+    * history on its delta side, and the full-side join keys are
+    * FK-clustered (an order's lines share its key) so AQE broadcasts
+    * the batch side when it is small. Recomputing V from scratch
+    * touches |O|+|L|; the delta touches |ΔO|+|ΔL|+ the matched slices.
+    * `DeltaViewSpec`-style equivalence (old view ∪ delta = full
+    * recompute) is pinned in QueryPropertiesSpec. */
+  val mvJoinDelta: Q = Q(
+    "mv_join_delta",
+    (s, dir) => {
+      val cutoff = "2000-01-01"
+      val ord = Sources.table(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = Sources.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_extendedprice"))
+      val oOld = ord.filter(col("o_orderdate").cast("date") < lit(cutoff))
+      val oNew = ord.filter(col("o_orderdate").cast("date") >= lit(cutoff))
+      val lOld = li.filter(col("l_shipdate").cast("date") < lit(cutoff))
+      val lNew = li.filter(col("l_shipdate").cast("date") >= lit(cutoff))
+      def proj(o: DataFrame, l: DataFrame, branch: String) =
+        o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_orderkey").as("orderkey"), col("l_linenumber"),
+            col("o_custkey").as("custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM").as("order_month"),
+            col("l_extendedprice").as("price"), lit(branch).as("branch"))
+      proj(oNew, li, "new_order")
+        .unionAll(proj(oOld, lNew, "late_line"))
+        .orderBy("orderkey", "l_linenumber", "branch", "price")
+    },
+    Some(
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate FROM orders),
+        |l AS (SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice FROM lineitem),
+        |d1 AS (
+        |  SELECT o.o_orderkey AS orderkey, l.l_linenumber,
+        |         o.o_custkey AS custkey,
+        |         strftime(o.o_orderdate, '%Y-%m') AS order_month,
+        |         l.l_extendedprice AS price, 'new_order' AS branch
+        |  FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+        |  WHERE CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'),
+        |d2 AS (
+        |  SELECT o.o_orderkey AS orderkey, l.l_linenumber,
+        |         o.o_custkey AS custkey,
+        |         strftime(o.o_orderdate, '%Y-%m') AS order_month,
+        |         l.l_extendedprice AS price, 'late_line' AS branch
+        |  FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+        |  WHERE CAST(o.o_orderdate AS DATE) < DATE '2000-01-01'
+        |    AND CAST(l.l_shipdate AS DATE) >= DATE '2000-01-01')
+        |SELECT * FROM d1
+        |UNION ALL SELECT * FROM d2
+        |ORDER BY orderkey, l_linenumber, branch, price""".stripMargin))
+
   def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
     asofNextError, scd2State, funnel, cdcMerge, asofNative,
     asofForwardNative, attribution, goldenRecord, mvIncremental,
-    intervalOverlap, asofTolerance)
+    intervalOverlap, asofTolerance, mvJoinDelta)
 }

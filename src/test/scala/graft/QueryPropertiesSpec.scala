@@ -704,4 +704,30 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(covs.head == counts.take(10).sum)
     assert(total == counts.sum)
   }
+
+  test("mv_join_delta: old view plus the delta equals the full recompute") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
+    val ord = graft.etl.Sources.table(spark, Sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val li = graft.etl.Sources.table(spark, Sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("l_extendedprice"))
+    def view(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("l_linenumber"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM"), col("l_extendedprice"))
+    val cut = "2000-01-01"
+    val oldView = rows(view(
+      ord.filter(col("o_orderdate").cast("date") < lit(cut)),
+      li.filter(col("l_shipdate").cast("date") < lit(cut))))
+    val delta = rows(Registry.queries("mv_join_delta")(spark, Sf)
+      .drop("branch").toDF("o_orderkey", "l_linenumber", "o_custkey", "m", "p"))
+    val full = rows(view(ord, li))
+    val merged = (oldView.keySet ++ delta.keySet).map(k =>
+      k -> (oldView.getOrElse(k, 0) + delta.getOrElse(k, 0))).toMap
+    assert(merged == full,
+      "delta rule violated: old ∪ ΔV must reproduce the full join view")
+    assert(delta.nonEmpty && oldView.nonEmpty)
+  }
 }
