@@ -289,6 +289,57 @@ object EventStream {
       }
   }
 
+  final case class FeatureState(
+      user_id: Long, n_events: Long, n_events_7d: Long, value_7d_cents: Long,
+      last_ts_us: Long, last_event_id: Long, last_event_type: String,
+      types: List[String])
+
+  /** Streaming per-user feature maintenance — the stream twin of
+    * `events_user_features` (AnalysisQueries): GroupState carries the
+    * SAME features the batch snapshot computes (total / trailing-window
+    * counts against fixed cutoffs, exact-cents window value, distinct
+    * type set, argmax-(ts, id) last event), updated incrementally as
+    * events arrive in any micro-batch order. Every accumulator is
+    * order-insensitive (counts, a bounded distinct set, an exact
+    * integer cents sum, a total-order argmax), so cross-batch and
+    * out-of-order delivery converge to the batch result — the online
+    * feature-store path beside the nightly batch build. State is O(1)
+    * per user (the type set is bounded by |event types|). Monetary
+    * values ride as exact cents (HALF_UP at 2 decimals, the same
+    * rounding the batch DECIMAL(18,2) cast applies), never as a double
+    * running sum. */
+  def featuresStreaming(events: Dataset[FieldEvent], snapUs: Long,
+      w7Us: Long): Dataset[FeatureState] = {
+    import events.sparkSession.implicits._
+    def cents(v: Double): Long =
+      (BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP) * 100).toLongExact
+    events
+      .filter(_.ts_us <= snapUs)
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FeatureState, FeatureState](GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[FieldEvent], state: GroupState[FeatureState]) =>
+          var cur = state.getOption.getOrElse(
+            FeatureState(uid, 0L, 0L, 0L, Long.MinValue, Long.MinValue, "", Nil))
+          batch.foreach { e =>
+            val in7 = e.ts_us >= w7Us
+            val lastWins = e.ts_us > cur.last_ts_us ||
+              (e.ts_us == cur.last_ts_us && e.event_id > cur.last_event_id)
+            cur = cur.copy(
+              n_events = cur.n_events + 1,
+              n_events_7d = cur.n_events_7d + (if (in7) 1L else 0L),
+              value_7d_cents = cur.value_7d_cents + (if (in7) cents(e.value) else 0L),
+              last_ts_us = if (lastWins) e.ts_us else cur.last_ts_us,
+              last_event_id = if (lastWins) e.event_id else cur.last_event_id,
+              last_event_type = if (lastWins) e.event_type else cur.last_event_type,
+              types =
+                if (cur.types.contains(e.event_type)) cur.types
+                else (e.event_type :: cur.types).sorted)
+          }
+          state.update(cur)
+          cur
+      }
+  }
+
   /** Streaming sessionization with explicit state:
     * flatMapGroupsWithState keeps the open session per user and emits a
     * session whenever a new event lands beyond the gap. (Demo semantics:

@@ -401,4 +401,48 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q2.stop()
   }
+
+  test("featuresStreaming: out-of-order micro-batches converge to the batch feature snapshot") {
+    import graft.streaming.EventStream.{FieldEvent, FeatureState}
+    implicit val sc = spark.sqlContext
+
+    // the exact cutoffs the batch query parses (session tz is UTC here
+    // as in the harness sessions)
+    val Seq(snapUs, w7Us) = spark.range(1).select(
+      unix_micros(to_timestamp(lit("2024-01-28 00:00:00"))),
+      unix_micros(to_timestamp(lit("2024-01-21 00:00:00"))))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+
+    val all = graft.etl.Sources.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"), col("value"))
+      .as[FieldEvent].collect()
+
+    val input = MemoryStream[FieldEvent]
+    val q = EventStream.featuresStreaming(input.toDS(), snapUs, w7Us)
+      .writeStream.format("memory").queryName("features_out")
+      .outputMode("update").start()
+    try {
+      // two deliberately out-of-order micro-batches (odd ids first)
+      val (b1, b2) = all.partition(_.event_id % 2 == 1)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val fin = spark.table("features_out").as[FeatureState].collect()
+        .groupBy(_.user_id)
+        .map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+      val batch = Registry.queries("events_user_features")(spark, Sf).collect()
+      assert(batch.nonEmpty && fin.size == batch.length)
+      batch.foreach { r =>
+        val s = fin(r.getAs[Long]("user_id"))
+        assert(s.n_events == r.getAs[Long]("n_events"))
+        assert(s.n_events_7d == r.getAs[Long]("n_events_7d"))
+        assert(s.types.length.toLong == r.getAs[Long]("n_types"))
+        assert(s.value_7d_cents / 100.0 == r.getAs[Double]("value_7d"),
+          s"user ${s.user_id}: exact-cents sum must match the DECIMAL cast")
+        assert((snapUs - s.last_ts_us) / 3600000000L ==
+          r.getAs[Long]("hours_since_last"))
+        assert(s.last_event_type == r.getAs[String]("last_event_type"))
+      }
+    } finally q.stop()
+  }
 }
