@@ -1089,8 +1089,95 @@ object SketchQueries {
          |FROM sel, p
          |ORDER BY part_month, q""".stripMargin))
 
+  /** AMS estimator layout: [[AmsGroups]] groups × [[AmsPerGroup]]
+    * independent sign-sum estimators, combined median-of-means. */
+  private val AmsGroups = 4
+  private val AmsPerGroup = 4
+  private val AmsR = AmsGroups * AmsPerGroup
+
+  /** Per-estimator sign: bit r of the key's 48-bit md5 value → ±1.
+    * ONE md5 + hex expansion per row feeds all [[AmsR]] estimators —
+    * 16 per-row salted md5s measured 22 s at sf0.1 (the hex-arithmetic
+    * expression replicated 16× breaks whole-stage codegen); distinct
+    * output bits of one md5 are as independent as distinct salted
+    * hashes for this purpose. (A pre-md5 cut used LCG-parity signs;
+    * their structured correlations on near-sequential keys suppressed
+    * the sign sums ~30× below √F2 — the AMS variance bound really does
+    * need a mixing hash, so the sketch pays the md5 like its KMV/HLL/
+    * CM siblings.) */
+  private def amsSignSql(hv: String, r: Int): String =
+    s"(CASE WHEN ($hv div ${1L << r}) % 2 = 1 THEN 1 ELSE -1 END)"
+
+  /** DuckDB `//` is its integer division; Spark spells it `div`. */
+  private def amsSignSqlDdb(hv: String, r: Int): String =
+    s"(CASE WHEN ($hv // ${1L << r}) % 2 = 1 THEN 1 ELSE -1 END)"
+
+  /** AMS second-moment (F2) sketch (Alon–Matias–Szegedy, STOC'96): the
+    * SELF-join size Σf² of the lineitem order-key frequency vector —
+    * the skew statistic a cost-based planner reads before picking a
+    * join strategy (F2 ≫ n means a hot key; [[cmJoinSize]] is the
+    * cross-join companion). Each estimator keeps ONE running integer
+    * Σ sign_r(x) over the stream — O(R) state total, map-side
+    * combining, shuffle carries R longs per partition — and E[S²] = F2
+    * exactly; [[AmsGroups]] group means reduced by a median tame the
+    * variance. All arithmetic is BIGINT until the final fixed-shape
+    * mean/median division, so the estimate itself hash-matches the
+    * oracle. The exact Σf² (two-level aggregate) rides alongside: at
+    * 100 TB you'd keep only the sketch; here the pair IS the accuracy
+    * report. */
+  val amsF2: Q = Q(
+    "sketch_ams_f2",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem").select(col("l_orderkey").as("k"))
+      val hashed = li.select(
+        expr(hexValSql("md5(CAST(k AS STRING))")).as("hv"))
+      val aggCols = count(lit(1)).as("n_rows") +:
+        (0 until AmsR).map(r =>
+          sum(expr(amsSignSql("hv", r))).as(s"s$r"))
+      val sums = hashed.agg(aggCols.head, aggCols.tail: _*)
+      val means = (0 until AmsGroups).map { g =>
+        (0 until AmsPerGroup)
+          .map(i => col(s"s${g * AmsPerGroup + i}") * col(s"s${g * AmsPerGroup + i}"))
+          .reduceLeft(_ + _).cast("double") / lit(AmsPerGroup.toDouble)
+      }
+      val sorted = array_sort(array(means: _*))
+      val est = (element_at(sorted, AmsGroups / 2) +
+        element_at(sorted, AmsGroups / 2 + 1)) / lit(2.0)
+      val exact = li.groupBy(col("k")).agg(count(lit(1)).as("f"))
+        .agg(sum(col("f") * col("f")).as("exact_f2"))
+      sums.crossJoin(exact)
+        .select(col("n_rows"), est.as("est_f2"),
+          col("exact_f2"),
+          (est / col("exact_f2").cast("double")).as("est_over_exact"))
+    },
+    Some {
+      val sumCols = (0 until AmsR)
+        .map(r => s"CAST(sum(${amsSignSqlDdb("hv", r)}) AS BIGINT) AS s$r")
+        .mkString(",\n|         ")
+      val means = (0 until AmsGroups).map { g =>
+        (0 until AmsPerGroup).map(i => s"s${g * AmsPerGroup + i} * s${g * AmsPerGroup + i}")
+          .mkString("(CAST(", " + ", s" AS DOUBLE) / $AmsPerGroup.0)")
+      }.mkString("[", ", ", "]")
+      s"""WITH h AS (
+         |  SELECT ${hexValSqlDdb("md5(CAST(l_orderkey AS STRING))")} AS hv
+         |  FROM lineitem),
+         |sums AS (
+         |  SELECT count(*) AS n_rows,
+         |         $sumCols
+         |  FROM h),
+         |m AS (SELECT n_rows, list_sort($means) AS ms FROM sums),
+         |e AS (
+         |  SELECT CAST(sum(f * f) AS BIGINT) AS exact_f2
+         |  FROM (SELECT count(*) AS f FROM lineitem GROUP BY l_orderkey))
+         |SELECT m.n_rows,
+         |       (ms[${AmsGroups / 2}] + ms[${AmsGroups / 2 + 1}]) / 2.0 AS est_f2,
+         |       e.exact_f2,
+         |       ((ms[${AmsGroups / 2}] + ms[${AmsGroups / 2 + 1}]) / 2.0) / CAST(e.exact_f2 AS DOUBLE) AS est_over_exact
+         |FROM m, e""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(kmvDistinct, hllDistinct, zoneMaps, countMinFreq,
     bloomMembership,
     layoutZorder, thetaIntersect, cmJoinSize, compactionBins,
-    sampleQuantiles, hllRollup, quantileRollup)
+    sampleQuantiles, hllRollup, quantileRollup, amsF2)
 }

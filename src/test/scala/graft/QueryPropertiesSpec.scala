@@ -705,6 +705,20 @@ class QueryPropertiesSpec extends SparkSpec {
     assert(total == counts.sum)
   }
 
+  test("sketch_ams_f2: estimate within AMS variance of exact; identities hold") {
+    val r = Registry.queries("sketch_ams_f2")(spark, Sf).collect()(0)
+    val (n, est, exact) = (r.getAs[Long]("n_rows"), r.getAs[Double]("est_f2"),
+      r.getAs[Long]("exact_f2"))
+    // F2 is bounded below by n (all distinct) and above by n² (one key)
+    assert(exact >= n && exact <= n.toLong * n)
+    assert(r.getAs[Double]("est_over_exact") == est / exact)
+    // 16 estimators give a loose multiplicative guarantee; the
+    // median-of-means of a χ²-skewed estimator also sits below its
+    // mean, so the band is deliberately generous and asymmetric
+    val ratio = est / exact
+    assert(ratio > 0.2 && ratio < 3.0, s"AMS estimate off by ${ratio}x")
+  }
+
   test("mv_join_delta: old view plus the delta equals the full recompute") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
