@@ -1462,6 +1462,256 @@ object AnalysisQueries {
          |FROM agg a JOIN lastpick l USING (user_id)
          |ORDER BY user_id""".stripMargin))
 
+  /** Inactivity gap that closes a session. The events fixture's median
+    * per-user inter-event gap is ~7.3 h (measured at sf0.01), so 8 h
+    * splits streams into multi-event sessions rather than singletons;
+    * real clickstreams would use 30 min — the shape is identical, only
+    * the literal changes. */
+  private val SessionGapUs = 8L * 3600 * 1000000
+
+  /** Batch gap-based sessionization — the canonical clickstream
+    * operator (the batch twin of `stream_sessionization`): a session is
+    * a maximal run of per-user events with no [[SessionGapUs]] silence
+    * between neighbors. One shuffle on user_id serves the LAG + running
+    * SUM window pair; the per-session rollup then map-side-combines on
+    * (user_id, session_idx), so the whole query is the sessionization
+    * minimum of one wide shuffle — at 100 TB this is the same
+    * hash-on-user layout every other per-user query here reuses.
+    * Timestamps stay integer micros end-to-end (no double time math);
+    * tie order within a user is pinned by (ts, event_id). */
+  val sessionize: Q = Q(
+    "events_sessionize",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      graft.etl.Sources.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_id"), col("event_type"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("event_type")).as("n_types"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .withColumn("dur_us", col("end_us") - col("start_us"))
+        .orderBy("user_id", "session_idx")
+    },
+    Some(
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+         |g AS (
+         |  SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |                   OR ts_us - lag(ts_us) OVER w > $SessionGapUs
+         |            THEN 1 ELSE 0 END AS new_sess
+         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         |sess AS (
+         |  SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+         |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+         |  FROM g)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |       count(DISTINCT event_type) AS n_types,
+         |       min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |       max(ts_us) - min(ts_us) AS dur_us
+         |FROM sess GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin))
+
+  /** Per-group Pearson correlation + OLS slope (quantity vs unit
+    * revenue per part brand) — the grouped bivariate-statistics
+    * operator a feature-engineering pass runs per category. Float
+    * discipline: the five moment sums (Σx Σy Σxy Σx² Σy²) accumulate
+    * EXACTLY in DECIMAL — order-independent, so partition order can't
+    * flip bits — and the corr/slope formulas are evaluated once per
+    * group over the exact sums cast to DOUBLE, an identical IEEE
+    * expression tree in both engines (·, −, /, sqrt are all correctly
+    * rounded). One broadcast dim join + one map-side-combining groupBy
+    * to 25 rows: the 100 TB cost is a single scan. Degenerate groups
+    * (zero variance in either coordinate) are filtered on the same
+    * exact-sum predicate both sides rather than emitting NaN/Inf.
+    *
+    * Unit choice: both coordinates are INTEGER CENTS, sums in
+    * DECIMAL(38,0) — scale-0 on purpose. A scale-k decimal above 2⁵³
+    * casts to double in two roundings on DuckDB (int128→double, then
+    * ÷10ᵏ) vs Java's one correct rounding — a measured 1-ulp corr
+    * divergence at sf0.01. Integer-valued decimals convert in a single
+    * correctly-rounded step on both engines, and corr/slope are
+    * invariant under the common ×100. */
+  val groupCorr: Q = Q(
+    "olap_group_corr",
+    (s, dir) => {
+      val li = table(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("x"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("y"))
+      val p = table(s, dir, "part").select(col("p_partkey"), col("p_brand"))
+      val sums = li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      val n = col("n_items").cast("double")
+      val sx = col("sx").cast("double"); val sy = col("sy").cast("double")
+      val sxy = col("sxy").cast("double"); val sxx = col("sxx").cast("double")
+      val syy = col("syy").cast("double")
+      val covN = n * sxy - sx * sy
+      val varX = n * sxx - sx * sx
+      val varY = n * syy - sy * sy
+      sums
+        .filter(varX > 0.0 && varY > 0.0)
+        .select(col("p_brand"), col("n_items"),
+          (covN / sqrt(varX * varY)).as("corr_qty_price"),
+          (covN / varX).as("slope_price_per_qty"))
+        .orderBy("p_brand")
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT l_partkey,
+        |         CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |sums AS (
+        |  SELECT p_brand, count(*) AS n_items,
+        |         CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+        |         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+        |         CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+        |         CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+        |         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        |  FROM c JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |d AS (
+        |  SELECT p_brand, n_items,
+        |         CAST(n_items AS DOUBLE) AS n,
+        |         CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+        |         CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+        |         CAST(syy AS DOUBLE) AS syy
+        |  FROM sums)
+        |SELECT p_brand, n_items,
+        |       (n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr_qty_price,
+        |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_price_per_qty
+        |FROM d
+        |WHERE n * sxx - sx * sx > 0.0 AND n * syy - sy * sy > 0.0
+        |ORDER BY p_brand""".stripMargin))
+
+  /** Analytic-window coverage suite — RANK / PERCENT_RANK / CUME_DIST /
+    * NTILE / running FIRST_VALUE in one pass over one month of orders,
+    * partitioned by priority. The ordering is made TOTAL by the
+    * (price DESC, key) tie-break, so rank == row_number and every
+    * rational window statistic is an exact small-integer division —
+    * deterministic across engines. Money stays DECIMAL until the final
+    * display cast; gap_to_best subtracts in DECIMAL (exact) before
+    * casting. One month ≅ fixed-size partitions: at 100 TB the filter
+    * prunes on the order-date partition column before the single
+    * priority-keyed shuffle. */
+  val rankSuite: Q = Q(
+    "olap_rank_suite",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+      table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-03-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("price"))
+        .withColumn("rnk", rank().over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("gap_to_best",
+          (first(col("price")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) -
+            col("price")).cast("double"))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          col("price").cast("double").as("o_totalprice"),
+          col("rnk"), col("pct_rank"), col("cume"), col("quartile"),
+          col("gap_to_best"))
+        .orderBy("o_orderpriority", "rnk")
+    },
+    Some(
+      """WITH m AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+        |    AND o_orderdate < TIMESTAMP '1995-04-01')
+        |SELECT o_orderkey, o_orderpriority,
+        |       CAST(price AS DOUBLE) AS o_totalprice,
+        |       rank() OVER w AS rnk,
+        |       percent_rank() OVER w AS pct_rank,
+        |       cume_dist() OVER w AS cume,
+        |       ntile(4) OVER w AS quartile,
+        |       CAST(first_value(price) OVER (PARTITION BY o_orderpriority
+        |         ORDER BY price DESC, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - price AS DOUBLE) AS gap_to_best
+        |FROM m
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY price DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rnk""".stripMargin))
+
+  /** Per-day EWMA of daily revenue with α = 1/2 — the decayed trailing
+    * metric (monitoring, trend smoothing) WITHOUT sequential recursion:
+    * ewma(t) ∝ Σ_k 2^(19−k)·cents(t−k) over the trailing 20 days, i.e.
+    * the recursive definition unrolled to integer weights (truncation
+    * error 2⁻²⁰ of the oldest term — below cent resolution). The fact
+    * table folds to ≤|days| rows FIRST (map-side combine, exact cent
+    * integers), so the ×20 day-offset expansion and the weighted
+    * re-aggregation run on the tiny aggregate — at 100 TB the cost is
+    * the one scan + one groupBy; the EWMA itself is O(days·20).
+    * Calendar gaps renormalize: the weight denominator sums only the
+    * weights of days actually present, same inner-join both engines.
+    * All arithmetic is integer until one final double division. */
+  val ewmaRevenue: Q = Q(
+    "trend_ewma",
+    (s, dir) => {
+      val daily = table(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("cents"))
+        .select(datediff(col("d"), lit("1995-01-01").cast("date")).as("di"),
+          col("cents"))
+      val wcol = pow(lit(2.0), lit(19) - col("k")).cast("long")
+      val expd = daily
+        .select(col("di"), col("cents"),
+          explode(sequence(lit(0), lit(19))).as("k"))
+        .select((col("di") + col("k")).as("td"),
+          (col("cents") * wcol).as("wc"), wcol.as("w"))
+      val agg = expd.groupBy(col("td"))
+        .agg(sum(col("wc").cast("decimal(38,0)")).as("swc"),
+          sum(col("w").cast("decimal(38,0)")).as("sw"))
+      daily.join(agg, col("di") === col("td"))
+        .select(col("di").as("day"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("swc").cast("double") / (col("sw").cast("double") * 100.0))
+            .as("ewma20"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS di,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |expd AS (
+        |  SELECT di + k AS td,
+        |         cents * CAST(pow(2, 19 - k) AS BIGINT) AS wc,
+        |         CAST(pow(2, 19 - k) AS BIGINT) AS w
+        |  FROM daily, (SELECT unnest(generate_series(0, 19)) AS k)),
+        |agg AS (
+        |  SELECT td, CAST(SUM(wc) AS DECIMAL(38,0)) AS swc,
+        |         CAST(SUM(w) AS DECIMAL(38,0)) AS sw
+        |  FROM expd GROUP BY td)
+        |SELECT di AS day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(swc AS DOUBLE) / (CAST(sw AS DOUBLE) * 100.0) AS ewma20
+        |FROM daily JOIN agg ON di = td
+        |ORDER BY day""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1471,5 +1721,6 @@ object AnalysisQueries {
     q10ReturnedItems, q8MarketShare, q17SmallQuantity, q4OrderPriority,
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
     q19Disjunctive, retentionCohorts, rollingActive, skylineParts,
-    markovTransitions, anomalyMad, groupMedian, groupMode, userFeatures)
+    markovTransitions, anomalyMad, groupMedian, groupMode, userFeatures,
+    sessionize, groupCorr, rankSuite, ewmaRevenue)
 }
