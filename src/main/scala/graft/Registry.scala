@@ -36,7 +36,7 @@ object Registry {
     SimilarityQueries.all ++ MultimodalQueries.all ++ StreamingQueries.all ++
     CurateQueries.all ++ PackQueries.all ++ TemporalJoinQueries.all ++
     CorpusQueries.all ++ JoinPatternQueries.all ++ SketchQueries.all ++
-    TpchQueries.all
+    TpchQueries.all ++ FeatureQueries.all
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

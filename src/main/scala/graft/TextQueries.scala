@@ -706,10 +706,63 @@ object TextQueries {
          |ORDER BY k""".stripMargin
     })
 
+  /** Zipf curve cap: ranks examined are 1..2^12. */
+  private val ZipfTopN = 4096
+
+  /** Power-law (Zipf) curve of the term-frequency distribution — the
+    * corpus-health check that catches template spam (too-steep head) or
+    * tokenizer breakage (too-flat head). Deliberately NOT a fitted
+    * log-log slope: ln() is libm, whose last-ulp behavior is engine-
+    * specific (same reasoning as the HLL linear-counting branch in
+    * SketchQueries), so the operator emits the curve at power-of-two
+    * ranks — freq(r) and the dyadic decay ratio freq(r)/freq(2r), an
+    * exact integer division in double — and leaves the log to the
+    * consumer. A Zipf-α corpus has ratio ≈ 2^α at every r: the whole
+    * fit is readable off the 12 rows.
+    *
+    * Scale shape: the vocabulary fold is one map-side-combining
+    * groupBy; only the top [[ZipfTopN]] terms (ORDER BY + LIMIT — a
+    * distributed top-K, never a global sort of the vocabulary) meet the
+    * row_number window, which therefore runs on a bounded 4096-row
+    * frame. The dyadic pairing is a self-join of 12 rows. */
+  val zipfCurve: Q = Q(
+    "text_zipf_curve",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(lit(0)).orderBy(col("tf").desc, col("tok").asc)
+      val top = table(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("tok").asc).limit(ZipfTopN)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank").bitwiseAND(col("rank") - 1) === 0)
+        .select(col("rank"), col("tok"), col("tf"))
+      top.alias("a")
+        .join(top.alias("b"), col("a.rank") * 2 === col("b.rank"))
+        .select(col("a.rank").as("rank"), col("a.tok").as("tok"),
+          col("a.tf").as("tf"), col("b.tf").as("tf_2r"),
+          (col("a.tf").cast("double") / col("b.tf").cast("double"))
+            .as("decay_ratio"))
+        .orderBy("rank")
+    },
+    Some(
+      s"""WITH v AS (
+         |  SELECT tok, count(*) AS tf
+         |  FROM (SELECT unnest($ddbToks) AS tok FROM documents)
+         |  GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT $ZipfTopN),
+         |r AS (
+         |  SELECT tok, tf, row_number() OVER (ORDER BY tf DESC, tok ASC) AS rank
+         |  FROM v),
+         |p AS (SELECT * FROM r WHERE (rank & (rank - 1)) = 0)
+         |SELECT a.rank AS rank, a.tok AS tok, a.tf AS tf, b.tf AS tf_2r,
+         |       CAST(a.tf AS DOUBLE) / CAST(b.tf AS DOUBLE) AS decay_ratio
+         |FROM p a JOIN p b ON a.rank * 2 = b.rank
+         |ORDER BY rank""".stripMargin))
+
   def all: Seq[Q] = Seq(
     tokenCount, qualityScore, langIdQ, langMix, langConfusion, fingerprint, redact, repetition,
     qualityBySource, vocab, gopherRules, qualityRank, qualityKeepHist,
-    qualityNtile, noveltyNgram, ngramCoverage)
+    qualityNtile, noveltyNgram, ngramCoverage, zipfCurve)
 }
 
 /** Shared DuckDB fragments for the text formulas — the single source of
