@@ -177,5 +177,49 @@ object CurateQueries {
          |FROM g GROUP BY nation
          |ORDER BY nation""".stripMargin))
 
-  def all: Seq[Q] = Seq(curate, sourceCap, kAnonymity)
+  /** Noise half-width for the private release: uniform on [-3, 3]. */
+  private val NoiseHalfWidth = 3
+
+  /** Noisy-histogram release — the differential-privacy release
+    * PATTERN for publishing corpus composition stats (per lang ×
+    * source document counts) without exposing exact cell values:
+    * pre-aggregate, perturb each cell with noise drawn from the cell
+    * key, clamp at zero, publish alongside nothing row-level. The
+    * draw here is uniform-integer from the engine-neutral polyHash of
+    * the cell key — a DETERMINISTIC stand-in so the oracle replays the
+    * release bit-for-bit; a production ε-DP release swaps in a
+    * calibrated two-sided geometric draw at the same single site (the
+    * mechanism shape — integer noise on integer counts — is exactly
+    * the discrete mechanism's). ln()-based Laplace is deliberately
+    * avoided in-engine: libm last-ulp behavior is engine-specific
+    * (same reasoning as the HLL linear-counting branch).
+    *
+    * Scale: one map-side-combining groupBy to |langs|·|sources| rows;
+    * the perturbation is a per-row column expression on the tiny
+    * aggregate. */
+  val noisyCounts: Q = Q(
+    "curate_noisy_counts",
+    (s, dir) => table(s, dir, "documents")
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_true"))
+      .withColumn("noise",
+        T.polyHash(concat_ws("|", col("lang"), col("source"))) %
+          (2 * NoiseHalfWidth + 1) - NoiseHalfWidth)
+      .select(col("lang"), col("source"),
+        greatest(col("n_true") + col("noise"), lit(0L)).as("n_released"))
+      .orderBy("lang", "source"),
+    Some(
+      s"""WITH agg AS (
+         |  SELECT lang, source, count(*) AS n_true FROM documents
+         |  GROUP BY lang, source),
+         |p AS (
+         |  SELECT lang, source, n_true,
+         |         ${T.polyHashSql("lang || '|' || source")} %
+         |           ${2 * NoiseHalfWidth + 1} - $NoiseHalfWidth AS noise
+         |  FROM agg)
+         |SELECT lang, source, GREATEST(n_true + noise, 0) AS n_released
+         |FROM p
+         |ORDER BY lang, source""".stripMargin))
+
+  def all: Seq[Q] = Seq(curate, sourceCap, kAnonymity, noisyCounts)
 }

@@ -1782,11 +1782,75 @@ object DedupQueries {
          |JOIN deg dy ON dy.v = n.y
          |ORDER BY x, y""".stripMargin))
 
+  /** BFS rounds (fixed — oracle-pinned like [[PrRounds]]) and seed
+    * thinning modulus. */
+  private val BfsRounds = 4
+  private val BfsSeedMod = 50
+
+  /** Multi-source BFS over the near-dup graph — "contamination blast
+    * radius": given a seed set of flagged documents (every
+    * [[BfsSeedMod]]-th id — a stand-in for a takedown / eval-leak
+    * list), every document within [[BfsRounds]] near-dup hops and its
+    * minimal hop count. The curation consumer quarantines hop ≤ k —
+    * transitive contamination that pairwise decontamination misses.
+    *
+    * Scale shape: the classic Pregel frontier relaxation without a
+    * graph library — dist_r = min(dist_{r-1}, hop+1 over edges from
+    * dist_{r-1}), each round ONE hash join against the persisted
+    * adjacency plus one map-side-combining MIN — O(rounds·|E|), the
+    * same skeleton as [[pagerank]]. The round count is FIXED, so the
+    * whole chain stays lazy (one job, no per-round materialization);
+    * distances are small integers — nothing floats. Isolated seeds
+    * surface at hop 0 (the takedown list itself is part of the
+    * report). */
+  val bfsReach: Q = Q(
+    "graph_bfs_reach",
+    (s, dir) => {
+      val e = ngramPairs(s, dir).select(col("i"), col("j"))
+      val adj = e.select(col("i").as("src"), col("j").as("dst"))
+        .unionAll(e.select(col("j").as("src"), col("i").as("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val seeds = corpus(s, dir)
+        .filter(col("doc_id") % BfsSeedMod === 0)
+        .select(col("doc_id").as("v"), lit(0L).as("hop"))
+      val dist = (1 to BfsRounds).foldLeft(seeds) { (d, _) =>
+        d.unionAll(
+          d.join(adj, col("v") === col("src"))
+            .select(col("dst").as("v"), (col("hop") + 1).as("hop")))
+          .groupBy(col("v")).agg(min(col("hop")).as("hop"))
+      }
+      dist.select(col("v").as("doc_id"), col("hop")).orderBy("doc_id")
+    },
+    Some {
+      // MATERIALIZED per round for the same reason as kcore's oracle:
+      // each stage reads its predecessor twice (carry + expand).
+      val stages = (1 to BfsRounds).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT v, MIN(hop) AS hop FROM (
+           |    SELECT v, hop FROM d${r - 1}
+           |    UNION ALL
+           |    SELECT a.dst AS v, d.hop + 1 AS hop
+           |    FROM d${r - 1} d JOIN adj a ON a.src = d.v)
+           |  GROUP BY v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ddbCorpus,
+         |$ddbNgramPairs,
+         |adj AS MATERIALIZED (
+         |  SELECT i AS src, j AS dst FROM pairs
+         |  UNION ALL SELECT j, i FROM pairs),
+         |d0 AS MATERIALIZED (
+         |  SELECT doc_id AS v, CAST(0 AS BIGINT) AS hop FROM corpus
+         |  WHERE doc_id % $BfsSeedMod = 0),
+         |$stages
+         |SELECT v AS doc_id, hop FROM d$BfsRounds
+         |ORDER BY doc_id""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(
     exact, dupRateBySource, ngramJaccard, prefixFilter, clusters, clustersStar, keepBest,
     minhashLsh, incrementalLsh,
     simhashSketches,
     simhashPairs, embeddingNearDup, semantic, shingleDfCapReport,
     decontaminate, contamFraction, passages, incremental, triangles, kcore,
-    pagerank, labelPropagation, winnowing, commonNeighbors)
+    pagerank, labelPropagation, winnowing, commonNeighbors, bfsReach)
 }

@@ -269,7 +269,60 @@ object EtlQueries {
          |SELECT CAST(SUM(CASE WHEN TRY_CAST(regexp_replace(amount_raw, '[\\$$,\\s]', '', 'g') AS DOUBLE) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS non_numeric_amounts
          |FROM file""".stripMargin))
 
+  /** JSONL ingest with schema-on-read and corrupt-record capture — the
+    * third source format (S2 covers CSV, S3/S4 Excel): events re-serialized
+    * as JSON lines (every 97th line corrupted with a malformed prefix —
+    * the crawler-output reality), read back through the REAL Spark JSON
+    * source (explicit schema, PERMISSIVE mode, `_corrupt_record`
+    * capture — never schema inference, which would cost a second pass
+    * and drift on dirty data), then folded to per-type counts and exact
+    * cent totals with the corrupt population surfaced as its own
+    * `_corrupt_` row — load + DQ tally in one pass, the same
+    * reject-capture contract as the S8 sink.
+    *
+    * The oracle never sees JSON: it computes the same aggregate
+    * straight from the parquet rows plus the corruption predicate —
+    * passing proves the serialize→parse→load path is lossless on the
+    * surviving rows (to_json emits shortest-round-trip doubles, so the
+    * decimal cast lands on identical values). Scale: JSONL is
+    * line-splittable; the aggregate is one map-side-combining
+    * groupBy. */
+  val jsonlLoad: Q = Q(
+    "etl_jsonl_load",
+    (s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val payload = to_json(struct(
+        col("event_id"), col("user_id"), col("event_type"), col("value")))
+      val lines = graft.etl.Sources.events(s, dir)
+        .select(
+          when(col("event_id") % 97 === 0, concat(lit("{oops "), payload))
+            .otherwise(payload).as("line"))
+        .as[String]
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("event_type", StringType), StructField("value", DoubleType),
+        StructField("_bad", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .json(lines)
+        .groupBy(coalesce(col("event_type"), lit("_corrupt_")).as("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("event_type")
+    },
+    Some(
+      """SELECT CASE WHEN event_id % 97 = 0 THEN '_corrupt_' ELSE event_type END AS event_type,
+        |       count(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN event_id % 97 <> 0
+        |                     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY event_type""".stripMargin))
+
   def all: Seq[Q] = Seq(
     carteraLoad, carteraRejects, pendingOrdersLoad, pendingRejects,
-    ventasIncremental, ventasRerunZero, ventasDq, ventasDqPrefilter)
+    ventasIncremental, ventasRerunZero, ventasDq, ventasDqPrefilter,
+    jsonlLoad)
 }
