@@ -1798,21 +1798,41 @@ object DedupQueries {
     * graph library — dist_r = min(dist_{r-1}, hop+1 over edges from
     * dist_{r-1}), each round ONE hash join against the persisted
     * adjacency plus one map-side-combining MIN — O(rounds·|E|), the
-    * same skeleton as [[pagerank]]. The round count is FIXED, so the
-    * whole chain stays lazy (one job, no per-round materialization);
-    * distances are small integers — nothing floats. Isolated seeds
-    * surface at hop 0 (the takedown list itself is part of the
-    * report). */
+    * same LINEAGE-CUT skeleton as [[pagerank]]: the adjacency and
+    * seed frames enter the loop as LogicalRDD leaves over their warm
+    * caches. A BFS round reads its predecessor TWICE (carry ∪
+    * expand), so the depth-4 lazy chain holds ≤2⁴ copies of those
+    * leaves — cheap, like [[starLabels]]' min-label loop — but over
+    * UNCUT inputs the same chain re-embeds the whole
+    * candidate-generation subtree per reference and Catalyst
+    * re-analyzes it every round: measured 15.9 s uncut and 14.2 s
+    * with per-round persists (no help — the ANALYZED tree still
+    * grows; the cut is what matters) vs 7.8 s cut, at sf0.1, reps=3
+    * medians — pure analyzer/cache-canonicalization cost on a graph
+    * whose data fits in kilobytes. Partition count derives from the
+    * measured graph like pagerank's, not the session shuffle
+    * setting. Distances are
+    * small integers — nothing floats. Isolated seeds surface at hop
+    * 0 (the takedown list itself is part of the report). */
   val bfsReach: Q = Q(
     "graph_bfs_reach",
     (s, dir) => {
       val e = ngramPairs(s, dir).select(col("i"), col("j"))
-      val adj = e.select(col("i").as("src"), col("j").as("dst"))
-        .unionAll(e.select(col("j").as("src"), col("i").as("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val seeds = corpus(s, dir)
-        .filter(col("doc_id") % BfsSeedMod === 0)
-        .select(col("doc_id").as("v"), lit(0L).as("hop"))
+      val nE = e.count()
+      val gParts = math.max(2, math.min(
+        s.sessionState.conf.numShufflePartitions, (nE / 65536L).toInt + 1))
+      val adj = cutLineage(
+        e.select(col("i").as("src"), col("j").as("dst"))
+          .unionAll(e.select(col("j").as("src"), col("i").as("dst")))
+          .repartition(gParts, col("src"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+      val seeds = cutLineage(
+        corpus(s, dir)
+          .filter(col("doc_id") % BfsSeedMod === 0)
+          .select(col("doc_id").as("v"), lit(0L).as("hop"))
+          .repartition(gParts, col("v"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
       val dist = (1 to BfsRounds).foldLeft(seeds) { (d, _) =>
         d.unionAll(
           d.join(adj, col("v") === col("src"))
