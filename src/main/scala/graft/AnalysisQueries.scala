@@ -1479,29 +1479,36 @@ object AnalysisQueries {
     * hash-on-user layout every other per-user query here reuses.
     * Timestamps stay integer micros end-to-end (no double time math);
     * tie order within a user is pinned by (ts, event_id). */
+  /** The gap-sessionization kernel, parameterized for the
+    * cross-formulation spec (Round9OpsSpec pins this LAG+running-SUM
+    * formulation ≡ Spark's native session_window gap-merge at the
+    * streaming family's 6 h gap — three formulations, one contract,
+    * same discipline as the streaming trio's shared oracle). */
+  private[graft] def sessionSummary(events: DataFrame, gapUs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("event_type"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("ts_us") - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_idx", sum(col("new_sess")).over(run))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        min(col("ts_us")).as("start_us"),
+        max(col("ts_us")).as("end_us"))
+      .withColumn("dur_us", col("end_us") - col("start_us"))
+  }
+
   val sessionize: Q = Q(
     "events_sessionize",
-    (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      graft.etl.Sources.events(s, dir)
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_id"), col("event_type"))
-        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
-        .withColumn("new_sess",
-          when(col("prev_us").isNull ||
-            col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
-        .withColumn("session_idx", sum(col("new_sess")).over(run))
-        .groupBy(col("user_id"), col("session_idx"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          countDistinct(col("event_type")).as("n_types"),
-          min(col("ts_us")).as("start_us"),
-          max(col("ts_us")).as("end_us"))
-        .withColumn("dur_us", col("end_us") - col("start_us"))
-        .orderBy("user_id", "session_idx")
-    },
+    (s, dir) => sessionSummary(graft.etl.Sources.events(s, dir), SessionGapUs)
+      .orderBy("user_id", "session_idx"),
     Some(
       s"""WITH e AS (
          |  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),

@@ -512,6 +512,83 @@ object DqQueries {
       branches.map(b => s"($b)").mkString("", "\nUNION ALL\n", "\nORDER BY key_name")
     })
 
+  /** Batch-over-batch column-profile drift — the schema-level companion
+    * to [[driftTvd]] (which tracks one column's distribution): the SAME
+    * per-column profile metrics a landing-zone monitor snapshots per
+    * batch (row count, key cardinalities, null rate, magnitude), for
+    * the two time-split halves side by side with signed deltas. A
+    * profile-drift alarm is what catches upstream schema rot (a feed
+    * silently nulling a column, an id range reset, a unit change)
+    * before it poisons downstream loads.
+    *
+    * One scan: both batches' metrics are conditional aggregates of a
+    * single pass (no per-batch re-scan), folded to one row, then
+    * unpivoted driver-free via stack() into the (metric, a, b, delta)
+    * report — at 100 TB the cost is the scan, the report is 5 rows.
+    * Ratios and means are exact-integer divisions in double (counts
+    * and cents), identical trees both engines. */
+  val profileDrift: Q = Q(
+    "dq_profile_drift",
+    (s, dir) => {
+      val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+      val inA = col("ts") < cut
+      val inB = !inA
+      val agg = graft.etl.Sources.events(s, dir)
+        .agg(
+          sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+          sum(when(inB, 1L).otherwise(0L)).as("n_b"),
+          countDistinct(when(inA, col("user_id"))).as("u_a"),
+          countDistinct(when(inB, col("user_id"))).as("u_b"),
+          countDistinct(when(inA, col("event_type"))).as("t_a"),
+          countDistinct(when(inB, col("event_type"))).as("t_b"),
+          sum(when(inA && col("value").isNull, 1L).otherwise(0L)).as("nv_a"),
+          sum(when(inB && col("value").isNull, 1L).otherwise(0L)).as("nv_b"),
+          sum(when(inA, (col("value").cast("decimal(18,2)") * 100).cast("long"))).as("c_a"),
+          sum(when(inB, (col("value").cast("decimal(18,2)") * 100).cast("long"))).as("c_b"))
+      agg.selectExpr(
+        """stack(5,
+          |  'n_rows',          CAST(n_a AS DOUBLE), CAST(n_b AS DOUBLE),
+          |  'n_distinct_users',CAST(u_a AS DOUBLE), CAST(u_b AS DOUBLE),
+          |  'n_distinct_types',CAST(t_a AS DOUBLE), CAST(t_b AS DOUBLE),
+          |  'null_rate_value', CAST(nv_a AS DOUBLE) / CAST(n_a AS DOUBLE),
+          |                     CAST(nv_b AS DOUBLE) / CAST(n_b AS DOUBLE),
+          |  'mean_value',      CAST(c_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0),
+          |                     CAST(c_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0)
+          |) AS (metric, batch_a, batch_b)""".stripMargin)
+        .withColumn("delta", col("batch_b") - col("batch_a"))
+        .orderBy("metric")
+    },
+    Some(
+      """WITH agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    count(DISTINCT CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00' THEN user_id END) AS u_a,
+        |    count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN user_id END) AS u_b,
+        |    count(DISTINCT CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00' THEN event_type END) AS t_a,
+        |    count(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN event_type END) AS t_b,
+        |    CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00' AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv_a,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' AND value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nv_b,
+        |    CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END) AS BIGINT) AS c_b
+        |  FROM events),
+        |rep AS (
+        |  SELECT 'n_rows' AS metric, CAST(n_a AS DOUBLE) AS batch_a, CAST(n_b AS DOUBLE) AS batch_b FROM agg
+        |  UNION ALL
+        |  SELECT 'n_distinct_users', CAST(u_a AS DOUBLE), CAST(u_b AS DOUBLE) FROM agg
+        |  UNION ALL
+        |  SELECT 'n_distinct_types', CAST(t_a AS DOUBLE), CAST(t_b AS DOUBLE) FROM agg
+        |  UNION ALL
+        |  SELECT 'null_rate_value', CAST(nv_a AS DOUBLE) / CAST(n_a AS DOUBLE),
+        |                            CAST(nv_b AS DOUBLE) / CAST(n_b AS DOUBLE) FROM agg
+        |  UNION ALL
+        |  SELECT 'mean_value', CAST(c_a AS DOUBLE) / (CAST(n_a AS DOUBLE) * 100.0),
+        |                       CAST(c_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 100.0) FROM agg)
+        |SELECT metric, batch_a, batch_b, batch_b - batch_a AS delta
+        |FROM rep
+        |ORDER BY metric""".stripMargin))
+
   def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr,
-    driftTvd, benfordDigits, checksumRecon, fkOrphans, keyUniqueness)
+    driftTvd, benfordDigits, checksumRecon, fkOrphans, keyUniqueness,
+    profileDrift)
 }

@@ -1108,7 +1108,145 @@ object SimilarityQueries {
          |FROM s
          |ORDER BY vec_id""".stripMargin))
 
+  /** MMR knobs: candidate shortlist size, picks, relevance weight. */
+  private val MmrCands = 8
+  private val MmrPicks = 3
+  private val MmrLambda = "0.7"
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — the diversification pass a retrieval/RAG pipeline runs AFTER
+    * ANN: from each query's top-[[MmrCands]] shortlist, greedily pick
+    * [[MmrPicks]] results maximizing λ·rel(c) − (1−λ)·max_{s∈S}
+    * sim(c,s), so near-duplicate hits don't crowd the context window.
+    *
+    * The greedy loop is inherently sequential in k but k is tiny and
+    * FIXED: each round is an anti-join (drop picked), a max-sim fold
+    * over the shortlist's pairwise-cosine table, and one argmax window
+    * — all on frames of ≤|Q|·[[MmrCands]] rows. The expensive part
+    * (scoring + pairwise cosines) happens ONCE before the loop, is
+    * persisted, AND enters the loop as lineage-cut LogicalRDD leaves —
+    * the graph-loop discipline (graph_bfs_reach, pagerank): each round
+    * references the shortlist 2× and the running selection 3×, and
+    * over uncut inputs Catalyst re-analyzes the embedded |Q|·n scoring
+    * tree per reference (measured 10.0 s uncut vs 2.4 s cut at sf0.1
+    * — vs sim_knn_brute's 0.38 s for the scoring itself). At 100 TB
+    * the shortlist comes from the ANN family instead of the exact
+    * scorer — the loop's cost is unchanged (per-query constant).
+    *
+    * Float discipline: scores are λ·rel − (1−λ)·maxsim over
+    * hash-exact cosines (the family's ArrayCosine twin), MAX is
+    * order-free, literals are CAST(.. AS DOUBLE) on both sides, ties
+    * break by candidate id — every round's argmax is bit-determined. */
+  val rerankMmr: Q = Q(
+    "sim_rerank_mmr",
+    (s, dir) => {
+      def cut(df: DataFrame): DataFrame =
+        s.createDataFrame(df.rdd, df.schema)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col("neighbor_id").asc)
+      val cands = cut(scoredAll(s, dir)
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") <= MmrCands)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("cosine").as("rel"))
+        .persist())
+      val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val ce = cands
+        .join(emb, col("cand_id") === col("vec_id"))
+        .select(col("query_id"), col("cand_id"), col("embedding").as("cemb"))
+      val sim = cut(ce.toDF("query_id", "ci", "ei")
+        .join(ce.toDF("query_id", "cj", "ej"), Seq("query_id"))
+        .filter(col("ci") =!= col("cj"))
+        .select(col("query_id"), col("ci"), col("cj"),
+          H.cosine(col("ei"), col("ej")).as("s"))
+        .persist())
+      val lam = lit(MmrLambda.toDouble)
+      val pickW = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("cand_id").asc)
+      def argmax(scored: DataFrame, k: Int): DataFrame = scored
+        .withColumn("rn", row_number().over(pickW))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("cand_id"), lit(k).as("pick_idx"),
+          col("rel"), col("score"))
+      var sel = argmax(
+        cands.withColumn("score", lam * col("rel") - (lit(1.0) - lam) * lit(0.0)), 1)
+      for (k <- 2 to MmrPicks) {
+        val rem = cands.join(sel.select(col("query_id"), col("cand_id")),
+          Seq("query_id", "cand_id"), "left_anti")
+        val ms = sim
+          .join(sel.select(col("query_id"), col("cand_id").as("cj")),
+            Seq("query_id", "cj"))
+          .groupBy(col("query_id"), col("ci")).agg(max(col("s")).as("ms"))
+        val scored = rem.alias("r")
+          .join(ms.alias("m"),
+            col("r.query_id") === col("m.query_id") &&
+              col("r.cand_id") === col("m.ci"),
+            "left_outer")
+          .select(col("r.query_id").as("query_id"), col("r.cand_id").as("cand_id"),
+            col("r.rel").as("rel"),
+            (lam * col("r.rel") - (lit(1.0) - lam) * coalesce(col("m.ms"), lit(0.0)))
+              .as("score"))
+        sel = sel.unionAll(argmax(scored, k))
+      }
+      sel.orderBy("query_id", "pick_idx")
+    },
+    Some {
+      val lam = s"CAST($MmrLambda AS DOUBLE)"
+      def pick(src: String, k: Int) =
+        s"""p$k AS (
+           |  SELECT query_id, cand_id, $k AS pick_idx, rel, score FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY score DESC, cand_id ASC) AS rn FROM $src)
+           |  WHERE rn = 1)""".stripMargin
+      def round(k: Int): String = {
+        val selSoFar = (1 until k).map(i => s"SELECT query_id, cand_id FROM p$i")
+          .mkString(" UNION ALL ")
+        s"""rem$k AS (
+           |  SELECT c.* FROM cand c
+           |  WHERE NOT EXISTS (SELECT 1 FROM ($selSoFar) s
+           |                    WHERE s.query_id = c.query_id AND s.cand_id = c.cand_id)),
+           |ms$k AS (
+           |  SELECT sim.query_id, ci, MAX(s) AS ms
+           |  FROM sim JOIN ($selSoFar) sel
+           |    ON sel.query_id = sim.query_id AND sel.cand_id = sim.cj
+           |  GROUP BY sim.query_id, ci),
+           |sc$k AS (
+           |  SELECT r.query_id, r.cand_id, r.rel,
+           |         $lam * r.rel - (1.0 - $lam) * COALESCE(ms, 0.0) AS score
+           |  FROM rem$k r LEFT JOIN ms$k m
+           |    ON m.query_id = r.query_id AND m.ci = r.cand_id),
+           |${pick(s"sc$k", k)}""".stripMargin
+      }
+      val rounds = (2 to MmrPicks).map(round).mkString(",\n")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e WHERE vec_id % $QueryMod = 0),
+         |scored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${H.cosineSql("q.q_emb", "e.embedding")} AS cosine
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id AS cand_id, cosine AS rel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cosine DESC, neighbor_id ASC) AS r FROM scored)
+         |  WHERE r <= $MmrCands),
+         |ce AS (
+         |  SELECT query_id, cand_id, embedding AS cemb
+         |  FROM cand JOIN e ON cand_id = vec_id),
+         |sim AS MATERIALIZED (
+         |  SELECT a.query_id, a.cand_id AS ci, b.cand_id AS cj,
+         |         ${H.cosineSql("a.cemb", "b.cemb")} AS s
+         |  FROM ce a JOIN ce b ON a.query_id = b.query_id AND a.cand_id <> b.cand_id),
+         |s1 AS (
+         |  SELECT query_id, cand_id, rel,
+         |         $lam * rel - (1.0 - $lam) * 0.0 AS score FROM cand),
+         |${pick("s1", 1)},
+         |$rounds
+         |SELECT * FROM (${(1 to MmrPicks).map(i => s"SELECT * FROM p$i").mkString(" UNION ALL ")})
+         |ORDER BY query_id, pick_idx""".stripMargin
+    })
+
   def all: Seq[Q] =
     Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans, quantizeInt8, pqAdc,
-      annIvfPq, knnLabelEval, mrlRecall, centroidClassify, silhouette)
+      annIvfPq, knnLabelEval, mrlRecall, centroidClassify, silhouette,
+      rerankMmr)
 }

@@ -173,6 +173,55 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("sessionization formulations agree: LAG+running-SUM == native session_window") {
+    val events = graft.etl.Sources.events(spark, Sf)
+    val viaWindow = AnalysisQueries
+      .sessionSummary(events, graft.streaming.EventStream.SessionGapUs)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaNative = StreamingQueries.sessionWindowSessions(events)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(viaWindow == viaNative)
+  }
+
+  test("sim_rerank_mmr: picks come from the shortlist, are distinct, and diversify") {
+    val picks = Registry.queries("sim_rerank_mmr")(spark, Sf).collect()
+    val top = Registry.queries("sim_knn_brute")(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rank"))).toSeq
+    picks.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("pick_idx")).sorted.toSeq == (1 to rows.length))
+      // distinct candidates
+      val ids = rows.map(_.getAs[Long]("cand_id"))
+      assert(ids.distinct.length == ids.length)
+      // pick 1 is the relevance argmax = exact top-1
+      val first = rows.find(_.getAs[Int]("pick_idx") == 1).get.getAs[Long]("cand_id")
+      val exactTop1 = top.filter(t => t._1 == q && t._3 == 1).map(_._2)
+      assert(exactTop1.contains(first))
+      // maxsim is a cosine in [-1, 1] (anti-similar candidates can
+      // score ABOVE lambda*rel), so the exact invariant is the band
+      // lambda*rel ± (1-lambda); pick 1 has maxsim == 0 exactly
+      rows.foreach { r =>
+        val rel = r.getAs[Double]("rel"); val sc = r.getAs[Double]("score")
+        if (r.getAs[Int]("pick_idx") == 1) assert(sc == 0.7 * rel - 0.3 * 0.0)
+        else assert(sc >= 0.7 * rel - 0.3 - 1e-12 && sc <= 0.7 * rel + 0.3 + 1e-12)
+      }
+    }
+  }
+
+  test("dq_profile_drift: one row per metric, deltas consistent, counts conserve") {
+    val rows = Registry.queries("dq_profile_drift")(spark, Sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("delta") ==
+        r.getAs[Double]("batch_b") - r.getAs[Double]("batch_a"))
+    }
+    val nRow = rows.find(_.getAs[String]("metric") == "n_rows").get
+    val total = graft.etl.Sources.events(spark, Sf).count()
+    assert(nRow.getAs[Double]("batch_a") + nRow.getAs[Double]("batch_b") == total.toDouble)
+  }
+
   test("etl_jsonl_load: corrupt capture matches the plant rate, valid mass conserved") {
     val rows = Registry.queries("etl_jsonl_load")(spark, Sf).collect()
     val events = graft.etl.Sources.events(spark, Sf)
