@@ -1675,15 +1675,22 @@ object AnalysisQueries {
     * Calendar gaps renormalize: the weight denominator sums only the
     * weights of days actually present, same inner-join both engines.
     * All arithmetic is integer until one final double division. */
+  /** Daily revenue in exact integer cents, keyed by day index from the
+    * fixture epoch — the shared pre-aggregate [[ewmaRevenue]] and
+    * [[seasonalAnomaly]] both fold the fact table onto (map-side
+    * combine; ≤|days| rows out of the scan). */
+  private def dailyCents(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    table(s, dir, "orders")
+      .groupBy(col("o_orderdate").cast("date").as("d"))
+      .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")).as("cents"))
+      .select(datediff(col("d"), lit("1995-01-01").cast("date")).as("di"),
+        col("cents"))
+
   val ewmaRevenue: Q = Q(
     "trend_ewma",
     (s, dir) => {
-      val daily = table(s, dir, "orders")
-        .groupBy(col("o_orderdate").cast("date").as("d"))
-        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
-          .cast("long")).as("cents"))
-        .select(datediff(col("d"), lit("1995-01-01").cast("date")).as("di"),
-          col("cents"))
+      val daily = dailyCents(s, dir)
       val wcol = pow(lit(2.0), lit(19) - col("k")).cast("long")
       val expd = daily
         .select(col("di"), col("cents"),
@@ -1719,6 +1726,78 @@ object AnalysisQueries {
         |FROM daily JOIN agg ON di = td
         |ORDER BY day""".stripMargin))
 
+  /** Seasonally-adjusted robust anomaly screen over daily revenue —
+    * [[anomalyMad]]'s calendar-aware sibling: a Saturday is judged
+    * against the SATURDAY median, not the global one, so weekly
+    * seasonality stops masking (or faking) anomalies. Two exact-median
+    * passes (the [[groupMedian]] row_number-at-ceil(n/2) machinery)
+    * per weekday bucket — value median, then MAD of the absolute
+    * deviations — and the flag `dev > 3·MAD` compares INTEGER cents
+    * end-to-end: no doubles anywhere but the display columns. Both
+    * median windows partition by weekday over the ≤|days| daily
+    * pre-aggregate ([[dailyCents]]), so at 100 TB the fact scan is the
+    * cost and the screen itself is O(days·log days) on 7 bounded
+    * partitions. */
+  val seasonalAnomaly: Q = Q(
+    "trend_seasonal_anomaly",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = dailyCents(s, dir).withColumn("wd", col("di") % 7)
+      val byV = Window.partitionBy(col("wd")).orderBy(col("cents"), col("di"))
+      val byW = Window.partitionBy(col("wd"))
+      val med = daily
+        .withColumn("rn", row_number().over(byV))
+        .withColumn("n", count(lit(1)).over(byW))
+        .filter(col("rn") === ceil(col("n") / lit(2.0)))
+        .select(col("wd"), col("cents").as("med_cents"))
+      val dev = daily.join(broadcast(med), Seq("wd"))
+        .withColumn("dev", abs(col("cents") - col("med_cents")))
+      val byDev = Window.partitionBy(col("wd")).orderBy(col("dev"), col("di"))
+      val mad = dev
+        .withColumn("rn", row_number().over(byDev))
+        .withColumn("n", count(lit(1)).over(byW))
+        .filter(col("rn") === ceil(col("n") / lit(2.0)))
+        .select(col("wd"), col("dev").as("mad_cents"))
+      dev.join(broadcast(mad), Seq("wd"))
+        .filter(col("dev") > lit(3L) * col("mad_cents"))
+        .select(col("di").as("day"), col("wd"),
+          (col("cents").cast("double") / 100.0).as("revenue"),
+          (col("med_cents").cast("double") / 100.0).as("weekday_median"),
+          (col("mad_cents").cast("double") / 100.0).as("weekday_mad"),
+          (col("dev").cast("double") / 100.0).as("abs_dev"))
+        .orderBy("day")
+    },
+    Some(
+      """WITH daily AS (
+        |  SELECT datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS di,
+        |         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |d AS (SELECT di, cents, di % 7 AS wd FROM daily),
+        |med AS (
+        |  SELECT wd, cents AS med_cents FROM (
+        |    SELECT wd, cents,
+        |           row_number() OVER (PARTITION BY wd ORDER BY cents, di) AS rn,
+        |           count(*) OVER (PARTITION BY wd) AS n
+        |    FROM d) WHERE rn = ceiling(n / 2.0)),
+        |dev AS (
+        |  SELECT di, d.wd AS wd, cents, med_cents,
+        |         abs(cents - med_cents) AS dev
+        |  FROM d JOIN med ON d.wd = med.wd),
+        |mad AS (
+        |  SELECT wd, dev AS mad_cents FROM (
+        |    SELECT wd, dev, di,
+        |           row_number() OVER (PARTITION BY wd ORDER BY dev, di) AS rn,
+        |           count(*) OVER (PARTITION BY wd) AS n
+        |    FROM dev) WHERE rn = ceiling(n / 2.0))
+        |SELECT di AS day, dev.wd AS wd,
+        |       CAST(cents AS DOUBLE) / 100.0 AS revenue,
+        |       CAST(med_cents AS DOUBLE) / 100.0 AS weekday_median,
+        |       CAST(mad_cents AS DOUBLE) / 100.0 AS weekday_mad,
+        |       CAST(dev AS DOUBLE) / 100.0 AS abs_dev
+        |FROM dev JOIN mad ON dev.wd = mad.wd
+        |WHERE dev > 3 * mad_cents
+        |ORDER BY day""".stripMargin))
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1729,5 +1808,5 @@ object AnalysisQueries {
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
     q19Disjunctive, retentionCohorts, rollingActive, skylineParts,
     markovTransitions, anomalyMad, groupMedian, groupMode, userFeatures,
-    sessionize, groupCorr, rankSuite, ewmaRevenue)
+    sessionize, groupCorr, rankSuite, ewmaRevenue, seasonalAnomaly)
 }

@@ -169,5 +169,138 @@ object FeatureQueries {
          |  ON d.doc_id = CASE WHEN neg_raw = a.doc_id THEN (neg_raw + 1) % n ELSE neg_raw END
          |ORDER BY anchor_id, j""".stripMargin))
 
-  def all: Seq[Q] = Seq(targetEncode, hashingTrick, negatives)
+  /** Per-group z-score standardization (the fit+transform a tabular
+    * feature pipeline runs per category): each customer's account
+    * balance standardized against its market segment's mean/std.
+    * Algebra keeps everything integer until ONE double expression:
+    * z = (n·x − Σx) / √(n·Σx² − (Σx)²) — the (x−μ)/σ form cleared of
+    * divisions, so the inputs are exact scale-0 sums (the [[Q]]
+    * `olap_group_corr` cast discipline; the oracle carries them as
+    * HUGEINT — Σx² and (Σx)² outgrow BIGINT at sf0.1) and the
+    * division+sqrt are one identically-shaped IEEE tree. Degenerate
+    * segments (zero variance) filter on the exact-integer predicate.
+    * One scan + one tiny-stats broadcast join back; at 100 TB the fit
+    * is the scan and the transform is map-side. */
+  val standardize: Q = Q(
+    "feat_standardize",
+    (s, dir) => {
+      val c = table(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("xc"))
+      val stats = c.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("xc").cast("decimal(38,0)")).as("sx"),
+          sum((col("xc") * col("xc")).cast("decimal(38,0)")).as("sxx"))
+        .filter(col("n") >= 2 &&
+          col("n").cast("decimal(38,0)") * col("sxx") - col("sx") * col("sx") > 0)
+      c.join(broadcast(stats), Seq("c_mktsegment"))
+        .select(col("c_custkey"), col("c_mktsegment"),
+          (col("xc").cast("double") / 100.0).as("c_acctbal"),
+          ((col("n").cast("decimal(38,0)") * col("xc") - col("sx")).cast("double") /
+            sqrt((col("n").cast("decimal(38,0)") * col("sxx") -
+              col("sx") * col("sx")).cast("double"))).as("z"))
+        .orderBy("c_custkey")
+    },
+    Some(
+      """WITH c AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc
+        |  FROM customer),
+        |stats AS (
+        |  SELECT c_mktsegment, count(*) AS n,
+        |         CAST(SUM(xc) AS HUGEINT) AS sx,
+        |         CAST(SUM(xc * xc) AS HUGEINT) AS sxx
+        |  FROM c GROUP BY c_mktsegment
+        |  HAVING count(*) >= 2 AND count(*) * CAST(SUM(xc * xc) AS HUGEINT)
+        |           - CAST(SUM(xc) AS HUGEINT) * CAST(SUM(xc) AS HUGEINT) > 0)
+        |SELECT c_custkey, c.c_mktsegment AS c_mktsegment,
+        |       CAST(xc AS DOUBLE) / 100.0 AS c_acctbal,
+        |       CAST(n * xc - sx AS DOUBLE) /
+        |         sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) AS z
+        |FROM c JOIN stats ON c.c_mktsegment = stats.c_mktsegment
+        |ORDER BY c_custkey""".stripMargin))
+
+  /** Bootstrap replicates and the Poisson(1) inverse-CDF thresholds on
+    * a 10^6 grid, computed once here and embedded as the SAME integer
+    * literals in both engines (the HllEstConst fold-the-constant
+    * discipline — no libm exp() in-engine). */
+  private val BootReplicates = 3
+  private val PoissonThresh: Seq[Long] = {
+    val pmf = Iterator.iterate((math.exp(-1.0), 0)) { case (p, k) =>
+      (p / (k + 1), k + 1)
+    }.map(_._1).take(5).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail.map(c => (c * 1000000).toLong)
+  }
+
+  /** Distributed bootstrap (the resampling-with-replacement variance
+    * estimator at corpus scale): each replicate draws every document
+    * Poisson(1) times — the standard Poissonized bootstrap, which
+    * needs NO global n and no coordination: the draw count is a pure
+    * column expression (hash → uniform grid → inverse-CDF threshold
+    * ladder), so 100 TB costs [[BootReplicates]] conditional
+    * aggregates of one scan. Reports each replicate's drawn mass and
+    * its weighted mean doc length — the spread ACROSS replicates is
+    * the bootstrap standard error a curation dashboard quotes. Draws
+    * replay exactly in the oracle (affine hash + integer thresholds);
+    * the mean is exact integer sums + one double division.
+    *
+    * The grid value is the per-replicate affine mix of the CONTENT
+    * hash ([[T.fingerprintRolling]] — the sample_mix gate's source of
+    * randomness), not of doc_id: an affine map of a small dense id
+    * range folds to a tiny arithmetic progression under the final
+    * mod-10⁶ (measured: all 500 docs of a replicate landed in ONE
+    * CDF bucket — replicate draws of 3n, 0, n), while the polyHash
+    * value already occupies the full modulus. */
+  val bootstrap: Q = Q(
+    "sample_bootstrap",
+    (s, dir) => {
+      val u = (lit(H.MixMulA) * (lit(2) * (col("b") + 10) + 1) % T.HashMod *
+        col("h") +
+        lit(H.MixMulB) * (col("b") + 11) % T.HashMod) % T.HashMod % 1000000L
+      val cnt = PoissonThresh.zipWithIndex.foldRight(lit(5L): org.apache.spark.sql.Column) {
+        case ((t, k), e) => when(col("u") < t, k.toLong).otherwise(e)
+      }
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"),
+          T.fingerprintRolling(col("text")).as("h"),
+          explode(sequence(lit(1), lit(BootReplicates))).as("b"))
+        .withColumn("u", u)
+        .withColumn("cnt", cnt)
+        .groupBy(col("b"))
+        .agg(sum(col("cnt")).as("n_drawn"),
+          sum(when(col("cnt") > 0, 1L).otherwise(0L)).as("n_unique"),
+          sum(col("cnt") * col("n_chars")).as("mass"))
+        // an all-zero replicate is a ~0.37^n event, but ANSI mode turns
+        // its 0/0 into a hard error (measured, not hypothetical: the
+        // pre-fix degenerate draw produced one) — filter on the exact
+        // integer in BOTH engines rather than try_divide-NULLing
+        .filter(col("n_drawn") > 0)
+        .select(col("b").as("replicate"), col("n_drawn"), col("n_unique"),
+          (col("mass").cast("double") / col("n_drawn").cast("double"))
+            .as("mean_chars"))
+        .orderBy("replicate")
+    },
+    Some {
+      val ladder = PoissonThresh.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }
+        .mkString(" ")
+      val fp = T.polyHashSql("regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')")
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars, b,
+         |         (${H.MixMulA} * (2 * (b + 10) + 1) % ${T.HashMod} * ($fp) +
+         |          ${H.MixMulB} * (b + 11) % ${T.HashMod}) % ${T.HashMod} % 1000000 AS u
+         |  FROM documents, (SELECT unnest(generate_series(1, $BootReplicates)) AS b)),
+         |c AS (SELECT b, CASE $ladder ELSE 5 END AS cnt, n_chars FROM d)
+         |SELECT b AS replicate,
+         |       CAST(SUM(cnt) AS BIGINT) AS n_drawn,
+         |       CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |       CAST(CAST(SUM(cnt * n_chars) AS BIGINT) AS DOUBLE) /
+         |         CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE) AS mean_chars
+         |FROM c GROUP BY b
+         |HAVING SUM(cnt) > 0
+         |ORDER BY replicate""".stripMargin
+    })
+
+  def all: Seq[Q] = Seq(targetEncode, hashingTrick, negatives, standardize,
+    bootstrap)
 }

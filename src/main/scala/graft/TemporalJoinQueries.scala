@@ -872,8 +872,137 @@ object TemporalJoinQueries {
         |UNION ALL SELECT * FROM d2
         |ORDER BY orderkey, l_linenumber, branch, price""".stripMargin))
 
+  /** Nearest-marker as-of join (`pd.merge_asof(..,
+    * direction='nearest')`): every non-error event annotated with
+    * whichever error marker is CLOSER in time — backward or forward —
+    * with ties preferring backward (the at-or-before marker is the one
+    * already known at event time). Both carries ride ONE shuffle: the
+    * union frame sorts once per (user, ts, side, event_id) and the two
+    * window passes (trailing last / leading first, both ignoreNulls)
+    * share that distribution — no second exchange, the same one-shuffle
+    * economics as [[asofLastError]]/[[asofNextError]] but resolving
+    * both directions. Same-timestamp markers count as backward (side
+    * orders them before the fact), mirrored exactly in the oracle's
+    * frame bounds. The pick is pure integer projection on the two
+    * carried gaps. */
+  val asofNearest: Q = Q(
+    "events_asof_nearest",
+    (s, dir) => {
+      val e = Sources.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+          col("value"))
+      val marks = e.filter(col("event_type") === MarkerType)
+        .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("side"),
+          unix_micros(col("ts")).as("m_ts_us"))
+      val facts = e.filter(col("event_type") =!= MarkerType)
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"),
+          lit(null).cast("long").as("m_ts_us"))
+      val order = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+      val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val ts = unix_micros(col("ts"))
+      val bGap = ts - col("last_us")
+      val fGap = col("next_us") - ts
+      val takeBack = col("next_us").isNull ||
+        (col("last_us").isNotNull && bGap <= fGap)
+      marks.unionAll(facts)
+        .withColumn("last_us", last(col("m_ts_us"), ignoreNulls = true).over(back))
+        .withColumn("next_us", first(col("m_ts_us"), ignoreNulls = true).over(fwd))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"), ts.as("ts_us"),
+          when(takeBack, col("last_us")).otherwise(col("next_us")).as("near_err_us"),
+          when(col("last_us").isNull && col("next_us").isNull, lit(null).cast("string"))
+            .otherwise(when(takeBack, lit("B")).otherwise(lit("F"))).as("direction"),
+          when(takeBack, bGap).otherwise(fGap).as("gap_us"))
+        .orderBy("event_id")
+    },
+    Some(
+      s"""WITH e AS (SELECT event_id, user_id, ts, event_type FROM events),
+         |u AS (
+         |  SELECT event_id, user_id, ts, 0 AS side, epoch_us(ts) AS m_ts_us
+         |  FROM e WHERE event_type = '$MarkerType'
+         |  UNION ALL
+         |  SELECT event_id, user_id, ts, 1, CAST(NULL AS BIGINT)
+         |  FROM e WHERE event_type <> '$MarkerType'),
+         |w AS (
+         |  SELECT event_id, user_id, ts, side,
+         |         last_value(m_ts_us IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY ts, side, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_us,
+         |         first_value(m_ts_us IGNORE NULLS) OVER (
+         |           PARTITION BY user_id ORDER BY ts, side, event_id
+         |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us
+         |  FROM u)
+         |SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         |       CASE WHEN next_us IS NULL OR (last_us IS NOT NULL
+         |                  AND epoch_us(ts) - last_us <= next_us - epoch_us(ts))
+         |            THEN last_us ELSE next_us END AS near_err_us,
+         |       CASE WHEN last_us IS NULL AND next_us IS NULL THEN NULL
+         |            WHEN next_us IS NULL OR (last_us IS NOT NULL
+         |                  AND epoch_us(ts) - last_us <= next_us - epoch_us(ts))
+         |            THEN 'B' ELSE 'F' END AS direction,
+         |       CASE WHEN next_us IS NULL OR (last_us IS NOT NULL
+         |                  AND epoch_us(ts) - last_us <= next_us - epoch_us(ts))
+         |            THEN epoch_us(ts) - last_us ELSE next_us - epoch_us(ts) END AS gap_us
+         |FROM w WHERE side = 1
+         |ORDER BY event_id""".stripMargin))
+
+  /** Allowed lateness and the planted event-time pull-back. */
+  private val LateAllowedUs = 1L * 3600 * 1000000
+  private val LatePullUs = 12L * 3600 * 1000000
+
+  /** Late-arrival report — the batch audit of the streaming
+    * watermark contract: replay the arrival stream (per-user arrival
+    * order = (ts, event_id)) with every 13th event's EVENT TIME pulled
+    * [[LatePullUs]] earlier (the planted-fixture pattern — out-of-order
+    * delivery the fixture's in-order stream otherwise lacks), track the
+    * running per-key watermark (max event time over PRIOR arrivals),
+    * and flag arrivals whose event time lags it by more than
+    * [[LateAllowedUs]] — exactly the rows `withWatermark` would drop.
+    * Running this screen against yesterday's batch tells you what
+    * loss rate the chosen delay would have caused; per-key watermarks
+    * keep the window partitioned (one user_id shuffle — a GLOBAL
+    * watermark would be a global window, the scale-killer this
+    * formulation avoids). */
+  val lateArrivals: Q = Q(
+    "events_late_arrivals",
+    (s, dir) => {
+      val arrival = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Sources.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) -
+            when(col("event_id") % 13 === 0, LatePullUs).otherwise(0L))
+            .as("event_time_us"),
+          col("ts"))
+        .withColumn("wm_us", max(col("event_time_us")).over(arrival))
+        .filter(col("event_time_us") < col("wm_us") - LateAllowedUs)
+        .select(col("user_id"), col("event_id"), col("event_time_us"),
+          col("wm_us"), (col("wm_us") - col("event_time_us")).as("late_by_us"))
+        .orderBy("user_id", "event_id")
+    },
+    Some(
+      s"""WITH a AS (
+         |  SELECT user_id, event_id, ts,
+         |         epoch_us(ts) - CASE WHEN event_id % 13 = 0
+         |                             THEN $LatePullUs ELSE 0 END AS event_time_us
+         |  FROM events),
+         |w AS (
+         |  SELECT user_id, event_id, event_time_us,
+         |         MAX(event_time_us) OVER (
+         |           PARTITION BY user_id ORDER BY ts, event_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm_us
+         |  FROM a)
+         |SELECT user_id, event_id, event_time_us, wm_us,
+         |       wm_us - event_time_us AS late_by_us
+         |FROM w
+         |WHERE event_time_us < wm_us - $LateAllowedUs
+         |ORDER BY user_id, event_id""".stripMargin))
+
   def all: Seq[Q] = Seq(asofLastError, rangeBurst, latestState,
     asofNextError, scd2State, funnel, cdcMerge, asofNative,
     asofForwardNative, attribution, goldenRecord, mvIncremental,
-    intervalOverlap, asofTolerance, mvJoinDelta)
+    intervalOverlap, asofTolerance, mvJoinDelta, asofNearest, lateArrivals)
 }

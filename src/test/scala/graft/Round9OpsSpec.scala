@@ -222,6 +222,81 @@ class Round9OpsSpec extends SparkSpec {
     assert(nRow.getAs[Double]("batch_a") + nRow.getAs[Double]("batch_b") == total.toDouble)
   }
 
+  test("events_asof_nearest: never farther than the one-sided joins, direction honest") {
+    val near = Registry.queries("events_asof_nearest")(spark, Sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (Option(r.getAs[Any]("near_err_us")), r.getAs[String]("direction"),
+          Option(r.getAs[Any]("gap_us")))).toMap
+    val back = Registry.queries("events_asof_lastmark")(spark, Sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[Any]("gap_us"))).toMap
+    assert(near.keySet == back.keySet)
+    near.foreach { case (id, (ts, dir, gap)) =>
+      assert((ts.isEmpty) == (dir == null)) // matched iff a direction
+      val bg = back(id)
+      (gap, bg) match {
+        case (Some(g), Some(b)) =>
+          assert(g.asInstanceOf[Long] <= b.asInstanceOf[Long],
+            s"event $id nearest gap $g beats backward $b")
+          if (dir == "B") assert(g == b)
+        case (None, Some(_)) => fail(s"event $id lost its backward match")
+        case _ =>
+      }
+      gap.foreach(g => assert(g.asInstanceOf[Long] >= 0))
+    }
+  }
+
+  test("events_late_arrivals: only planted pull-backs are late, by more than the allowance") {
+    val rows = Registry.queries("events_late_arrivals")(spark, Sf).collect()
+    assert(rows.nonEmpty, "the plant should produce late arrivals")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("event_id") % 13 == 0,
+        "an unperturbed in-order event was flagged late")
+      assert(r.getAs[Long]("late_by_us") > 3600000000L)
+      assert(r.getAs[Long]("late_by_us") ==
+        r.getAs[Long]("wm_us") - r.getAs[Long]("event_time_us"))
+    }
+  }
+
+  test("feat_standardize: per-segment z-scores have mean 0 and variance 1") {
+    val rows = Registry.queries("feat_standardize")(spark, Sf).collect()
+    rows.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (seg, part) =>
+      val zs = part.map(_.getAs[Double]("z"))
+      val n = zs.length
+      val mean = zs.sum / n
+      val varPop = zs.map(z => (z - mean) * (z - mean)).sum / n
+      assert(math.abs(mean) < 1e-9, s"$seg mean(z) = $mean")
+      assert(math.abs(varPop - 1.0) < 1e-9, s"$seg var(z) = $varPop")
+    }
+  }
+
+  test("sample_bootstrap: replicates draw ~Poisson(n) with ~1-1/e unique coverage") {
+    val rows = Registry.queries("sample_bootstrap")(spark, Sf).collect()
+    val n = graft.etl.Sources.table(spark, Sf, "documents").count().toDouble
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val drawn = r.getAs[Long]("n_drawn").toDouble
+      val unique = r.getAs[Long]("n_unique").toDouble
+      assert(unique <= drawn)
+      assert(math.abs(drawn - n) < 6 * math.sqrt(n), s"drawn $drawn vs n $n")
+      val expectUnique = n * (1 - math.exp(-1.0))
+      assert(math.abs(unique - expectUnique) < 6 * math.sqrt(n),
+        s"unique $unique vs ${expectUnique.round}")
+      assert(r.getAs[Double]("mean_chars") > 0)
+    }
+  }
+
+  test("trend_seasonal_anomaly: flags are exactly the >3-MAD weekday outliers") {
+    val rows = Registry.queries("trend_seasonal_anomaly")(spark, Sf).collect()
+    rows.foreach { r =>
+      val dev = r.getAs[Double]("abs_dev")
+      val mad = r.getAs[Double]("weekday_mad")
+      assert(dev > 3 * mad - 1e-9, s"day ${r.getAs[Int]("day")} under threshold")
+      assert(math.abs(dev - math.abs(r.getAs[Double]("revenue") -
+        r.getAs[Double]("weekday_median"))) < 1e-6)
+      assert(r.getAs[Int]("wd") == r.getAs[Int]("day") % 7)
+    }
+  }
+
   test("etl_jsonl_load: corrupt capture matches the plant rate, valid mass conserved") {
     val rows = Registry.queries("etl_jsonl_load")(spark, Sf).collect()
     val events = graft.etl.Sources.events(spark, Sf)
