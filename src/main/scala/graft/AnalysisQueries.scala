@@ -1798,6 +1798,52 @@ object AnalysisQueries {
         |WHERE dev > 3 * mad_cents
         |ORDER BY day""".stripMargin))
 
+  /** Bucket count for [[gapHistogram]]: 2^22 s ≈ 48 days covers any
+    * within-fixture gap; the ladder is generated, not hand-typed. */
+  private val GapBuckets = 22
+
+  /** Log₂-bucketed inter-event gap distribution per event stream — the
+    * telemetry behind every temporal knob in this registry (the 8 h
+    * session gap, the 1 h lateness allowance, the 6 h as-of staleness
+    * tolerance are all read off this table): one LAG over the standard
+    * user shuffle, then an integer threshold ladder (generated powers
+    * of two — no libm log2, same reasoning as the Zipf curve) folds to
+    * ≤[[GapBuckets]] rows. At 100 TB: one shuffle, 22-row output. */
+  val gapHistogram: Q = Q(
+    "events_gap_histogram",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val ladder = (0 until GapBuckets).foldRight(lit(GapBuckets.toLong)) {
+        case (k, e) => when(col("gap_s") < (1L << (k + 1)), k.toLong).otherwise(e)
+      }
+      graft.etl.Sources.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"))
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        // `div`, not `/`: Spark's `/` on longs is DOUBLE division
+        .withColumn("gap_s", expr("(ts_us - prev_us) div 1000000"))
+        .filter(col("gap_s").isNotNull)
+        .withColumn("bucket", ladder)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_s")).as("min_gap_s"), max(col("gap_s")).as("max_gap_s"))
+        .orderBy("bucket")
+    },
+    Some {
+      val ladder = (0 until GapBuckets)
+        .map(k => s"WHEN gap_s < ${1L << (k + 1)} THEN $k").mkString(" ")
+      s"""WITH g AS (
+         |  SELECT (ts_us - lag(ts_us) OVER (
+         |      PARTITION BY user_id ORDER BY ts_us, event_id)) // 1000000 AS gap_s
+         |  FROM (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events)),
+         |b AS (SELECT gap_s, CASE $ladder ELSE $GapBuckets END AS bucket
+         |      FROM g WHERE gap_s IS NOT NULL)
+         |SELECT bucket, count(*) AS n_gaps,
+         |       min(gap_s) AS min_gap_s, max(gap_s) AS max_gap_s
+         |FROM b GROUP BY bucket
+         |ORDER BY bucket""".stripMargin
+    })
+
   def all: Seq[Q] = Seq(
     trendByMonth, q1Agg, latestSnapshot, distinctTopSnapshots, snapshotLag,
     clientZoneTotals, propsJson, rollupFlagStatus, cubeTypeMonth,
@@ -1808,5 +1854,6 @@ object AnalysisQueries {
     trendYoy, q2MinCostSupplier, q6ForecastRevenue, q14PromoEffect,
     q19Disjunctive, retentionCohorts, rollingActive, skylineParts,
     markovTransitions, anomalyMad, groupMedian, groupMode, userFeatures,
-    sessionize, groupCorr, rankSuite, ewmaRevenue, seasonalAnomaly)
+    sessionize, groupCorr, rankSuite, ewmaRevenue, seasonalAnomaly,
+    gapHistogram)
 }

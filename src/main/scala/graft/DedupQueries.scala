@@ -1570,54 +1570,124 @@ object DedupQueries {
     * previous labels exactly once). O(rounds·|E|) total. */
   val labelPropagation: Q = Q(
     "graph_label_prop",
-    (s, dir) => {
-      val e = ngramPairs(s, dir).select(col("i"), col("j"))
-      val adj = e.select(col("i").as("src"), col("j").as("dst"))
-        .unionAll(e.select(col("j").as("src"), col("i").as("dst")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val n = adj.select(col("src")).distinct().count()
-      val gParts = math.max(2, math.min(
-        s.sessionState.conf.numShufflePartitions, (n / 65536L).toInt + 1))
-      val adjCut = cutLineage(adj.repartition(gParts, col("src")))
-      var labels = adjCut.select(col("src").as("v")).distinct()
-        .select(col("v"), col("v").as("lbl"))
-      for (_ <- 1 to LpRounds) {
-        labels = adjCut
-          .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
-          .groupBy(col("src"), col("lbl"))
-          .agg(count(lit(1)).as("c"))
-          .groupBy(col("src"))
-          .agg(max(struct(col("c"), (-col("lbl")).as("tb"),
-            col("lbl").as("l"))).as("m"))
-          .select(col("src").as("v"), col("m.l").as("lbl"))
-      }
-      labels.select(col("v").as("doc_id"), col("lbl").as("community"))
-        .orderBy("doc_id")
-    },
-    Some {
-      val stages = (1 to LpRounds).map { k =>
-        s"""l$k AS MATERIALIZED (
-           |  SELECT src AS v, lbl FROM (
-           |    SELECT a.src, p.lbl, count(*) AS c,
-           |           ROW_NUMBER() OVER (
-           |             PARTITION BY a.src
-           |             ORDER BY count(*) DESC, p.lbl ASC) AS rk
-           |    FROM adj a JOIN l${k - 1} p ON p.v = a.dst
-           |    GROUP BY a.src, p.lbl) WHERE rk = 1)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH $ddbCorpus,
-         |$ddbNgramPairs,
-         |e0 AS MATERIALIZED (SELECT i, j FROM pairs),
-         |adj AS MATERIALIZED (
-         |  SELECT i AS src, j AS dst FROM e0
-         |  UNION ALL SELECT j AS src, i AS dst FROM e0),
-         |l0 AS MATERIALIZED (
-         |  SELECT src AS v, src AS lbl FROM (SELECT DISTINCT src FROM adj)),
-         |$stages
+    (s, dir) => lpaLabels(s, dir)
+      .select(col("v").as("doc_id"), col("lbl").as("community"))
+      .orderBy("doc_id"),
+    Some(
+      s"""WITH $ddbLpaChain
          |SELECT v AS doc_id, lbl AS community
          |FROM l$LpRounds
-         |ORDER BY doc_id""".stripMargin
-    })
+         |ORDER BY doc_id""".stripMargin))
+
+  /** The LPA kernel behind [[labelPropagation]], exposed for
+    * [[modularity]]: per-node (v, lbl) after [[LpRounds]] majority
+    * rounds over the lineage-cut adjacency. */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val e = ngramPairs(s, dir).select(col("i"), col("j"))
+    val adj = e.select(col("i").as("src"), col("j").as("dst"))
+      .unionAll(e.select(col("j").as("src"), col("i").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = adj.select(col("src")).distinct().count()
+    val gParts = math.max(2, math.min(
+      s.sessionState.conf.numShufflePartitions, (n / 65536L).toInt + 1))
+    val adjCut = cutLineage(adj.repartition(gParts, col("src")))
+    var labels = adjCut.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to LpRounds) {
+      labels = adjCut
+        .join(labels.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("lbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (-col("lbl")).as("tb"),
+          col("lbl").as("l"))).as("m"))
+        .select(col("src").as("v"), col("m.l").as("lbl"))
+    }
+    labels
+  }
+
+  /** Shared oracle CTE chain producing adj, e0 and the LPA labels
+    * l[[LpRounds]] — the single source for [[labelPropagation]]'s and
+    * [[modularity]]'s oracles. */
+  private lazy val ddbLpaChain: String = {
+    val stages = (1 to LpRounds).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT src AS v, lbl FROM (
+         |    SELECT a.src, p.lbl, count(*) AS c,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY a.src
+         |             ORDER BY count(*) DESC, p.lbl ASC) AS rk
+         |    FROM adj a JOIN l${k - 1} p ON p.v = a.dst
+         |    GROUP BY a.src, p.lbl) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$ddbCorpus,
+       |$ddbNgramPairs,
+       |e0 AS MATERIALIZED (SELECT i, j FROM pairs),
+       |adj AS MATERIALIZED (
+       |  SELECT i AS src, j AS dst FROM e0
+       |  UNION ALL SELECT j AS src, i AS dst FROM e0),
+       |l0 AS MATERIALIZED (
+       |  SELECT src AS v, src AS lbl FROM (SELECT DISTINCT src FROM adj)),
+       |$stages""".stripMargin
+  }
+
+  /** Newman modularity of the LPA partition — the quality score that
+    * turns "we ran community detection" into "the communities are
+    * real": Q = Σ_c [e_c/m − (d_c/2m)²], reported PER COMMUNITY so a
+    * curation reviewer sees which clusters carry the structure. Float
+    * discipline: every contribution is the single exact division
+    * (4·m·e_c − d_c²) / (4·m²) — both operands exact integers, so the
+    * total Q is recoverable by summing exact numerators, never an
+    * ordered double sum. One labels join per edge endpoint (the same
+    * partitioning LPA already used), two map-side-combining folds;
+    * at 100 TB the cost is the LPA run it piggybacks on. */
+  val modularity: Q = Q(
+    "graph_modularity",
+    (s, dir) => {
+      val e = ngramPairs(s, dir).select(col("i"), col("j"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val m = e.count()
+      val labels = lpaLabels(s, dir)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val deg = e.select(explode(array(col("i"), col("j"))).as("v"))
+        .groupBy(col("v")).agg(count(lit(1)).as("d"))
+      val eIn = e
+        .join(labels.toDF("i", "ci"), Seq("i"))
+        .join(labels.toDF("j", "cj"), Seq("j"))
+        .filter(col("ci") === col("cj"))
+        .groupBy(col("ci").as("community")).agg(count(lit(1)).as("e_in"))
+      val dTot = labels.toDF("v", "community")
+        .join(deg, Seq("v"))
+        .groupBy(col("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+      dTot.join(eIn, Seq("community"), "left_outer")
+        .select(col("community"), col("n_nodes"),
+          coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
+          ((lit(4L) * m * coalesce(col("e_in"), lit(0L)) -
+            col("d_tot") * col("d_tot")).cast("double") /
+            lit(4L * m * m).cast("double")).as("q_contrib"))
+        .orderBy("community")
+    },
+    Some(
+      s"""WITH $ddbLpaChain,
+         |m AS (SELECT count(*) AS m FROM e0),
+         |deg AS (SELECT v, count(*) AS d FROM (
+         |  SELECT i AS v FROM e0 UNION ALL SELECT j FROM e0) GROUP BY v),
+         |ein AS (
+         |  SELECT a.lbl AS community, count(*) AS e_in
+         |  FROM e0 JOIN l$LpRounds a ON a.v = e0.i
+         |          JOIN l$LpRounds b ON b.v = e0.j AND b.lbl = a.lbl
+         |  GROUP BY a.lbl),
+         |dtot AS (
+         |  SELECT lbl AS community, count(*) AS n_nodes,
+         |         CAST(SUM(d) AS BIGINT) AS d_tot
+         |  FROM l$LpRounds nl JOIN deg ON nl.v = deg.v
+         |  GROUP BY lbl)
+         |SELECT community, n_nodes, COALESCE(e_in, 0) AS e_in, d_tot,
+         |       CAST(4 * m.m * COALESCE(e_in, 0) - d_tot * d_tot AS DOUBLE) /
+         |         CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+         |FROM dtot LEFT JOIN ein USING (community) CROSS JOIN m
+         |ORDER BY community""".stripMargin))
 
   // --------------------------------------------------- semantic dedup
 
@@ -1872,5 +1942,6 @@ object DedupQueries {
     simhashSketches,
     simhashPairs, embeddingNearDup, semantic, shingleDfCapReport,
     decontaminate, contamFraction, passages, incremental, triangles, kcore,
-    pagerank, labelPropagation, winnowing, commonNeighbors, bfsReach)
+    pagerank, labelPropagation, winnowing, commonNeighbors, bfsReach,
+    modularity)
 }

@@ -1245,8 +1245,118 @@ object SimilarityQueries {
          |ORDER BY query_id, pick_idx""".stripMargin
     })
 
+  /** Probe counts swept by [[nprobeSweep]]. */
+  private val NprobeGrid = Seq(1L, 2L, 4L, 8L)
+
+  /** IVF nprobe recall/cost sweep — the tuning table an ANN deployment
+    * is actually configured from: for each probe count, the candidate
+    * pairs scanned (the cost axis) and exact recall@3 against the
+    * brute-force truth (the quality axis). One number per knob setting;
+    * the curve's knee picks production nprobe. Everything expensive is
+    * computed ONCE and shared: the n×K assignment, the inverted lists,
+    * the per-query probe ranks up to max(grid), and the brute top-3 —
+    * all persisted lineage-cut leaves (the unrolled-loop discipline);
+    * each grid point is then a filter + join + 1-row fold. Recall and
+    * counts are exact integers; the single division per row is
+    * hits/(3·|Q|). */
+  val nprobeSweep: Q = Q(
+    "sim_ivf_nprobe_sweep",
+    (s, dir) => {
+      def cut(df: DataFrame): DataFrame = s.createDataFrame(df.rdd, df.schema)
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val stride = ivfStride(e.count())
+      val centroids = e.filter(col("vec_id") % stride === lit(3L % stride))
+        .toDF("centroid_id", "c_emb")
+      val lists = cut(assignArgmax(e, centroids)
+        .toDF("neighbor_id", "n_emb", "centroid_id").persist())
+      val queries = e.filter(col("vec_id") % QueryMod === 0)
+      val nQ = queries.count()
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("centroid_id").asc)
+      val pr = cut(scoredCentroids(queries, centroids)
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= NprobeGrid.max)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("centroid_id"), col("crank"))
+        .persist())
+      val brute = cut(topK(scoredAll(s, dir), 3)
+        .select(col("query_id"), col("neighbor_id")).persist())
+      val rows = NprobeGrid.map { np =>
+        val scored = pr.filter(col("crank") <= np)
+          .join(lists, Seq("centroid_id"))
+          .filter(col("neighbor_id") =!= col("query_id"))
+          .select(col("query_id"), col("neighbor_id"),
+            H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
+        val nScored = scored.agg(count(lit(1)).as("n_scored"))
+        val hits = topK(scored, 3)
+          .select(col("query_id"), col("neighbor_id"))
+          .join(brute, Seq("query_id", "neighbor_id"))
+          .agg(count(lit(1)).as("hits"))
+        nScored.crossJoin(hits)
+          .select(lit(np).as("nprobe"), col("n_scored"), col("hits"),
+            (col("hits").cast("double") / lit(3L * nQ).cast("double"))
+              .as("recall_at_3"))
+      }
+      rows.reduce(_ unionAll _).orderBy("nprobe")
+    },
+    Some {
+      val perNp = NprobeGrid.map { np =>
+        s"""sc$np AS (
+           |  SELECT p.query_id, l.neighbor_id,
+           |         ${H.cosineSql("p.q_emb", "l.n_emb")} AS cosine
+           |  FROM probes p JOIN lists l USING (centroid_id)
+           |  WHERE p.crank <= $np AND l.neighbor_id <> p.query_id),
+           |ann$np AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT query_id, neighbor_id,
+           |           ROW_NUMBER() OVER (PARTITION BY query_id
+           |             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           |    FROM sc$np) WHERE rank <= 3),
+           |row$np AS (
+           |  SELECT $np AS nprobe,
+           |         (SELECT count(*) FROM sc$np) AS n_scored,
+           |         (SELECT count(*) FROM ann$np a JOIN brute b
+           |            USING (query_id, neighbor_id)) AS hits)""".stripMargin
+      }.mkString(",\n")
+      val unioned = NprobeGrid.map(np => s"SELECT * FROM row$np")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |params AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS stride FROM e),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |      FROM e, params WHERE vec_id % params.stride = 3 % params.stride),
+         |assigned AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, c.centroid_id,
+         |         ROW_NUMBER() OVER (
+         |           PARTITION BY e.vec_id
+         |           ORDER BY ${H.cosineSql("e.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS crank
+         |  FROM e CROSS JOIN c),
+         |lists AS MATERIALIZED (
+         |  SELECT vec_id AS neighbor_id, embedding AS n_emb, centroid_id
+         |  FROM assigned WHERE crank = 1),
+         |probes AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, embedding AS q_emb, centroid_id, crank
+         |  FROM assigned WHERE vec_id % $QueryMod = 0 AND crank <= ${NprobeGrid.max}),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM e WHERE vec_id % $QueryMod = 0),
+         |nq AS (SELECT count(*) AS nq FROM q),
+         |bscored AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id,
+         |         ${H.cosineSql("q.q_emb", "e.embedding")} AS cosine
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+         |brute AS MATERIALIZED (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cosine DESC, neighbor_id ASC) AS rank
+         |    FROM bscored) WHERE rank <= 3),
+         |$perNp
+         |SELECT nprobe, n_scored, hits,
+         |       CAST(hits AS DOUBLE) / CAST(3 * nq AS DOUBLE) AS recall_at_3
+         |FROM ($unioned) CROSS JOIN nq
+         |ORDER BY nprobe""".stripMargin
+    })
+
   def all: Seq[Q] =
     Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans, quantizeInt8, pqAdc,
       annIvfPq, knnLabelEval, mrlRecall, centroidClassify, silhouette,
-      rerankMmr)
+      rerankMmr, nprobeSweep)
 }
