@@ -356,6 +356,42 @@ class Round9OpsSpec extends SparkSpec {
     }
   }
 
+  test("layout_hilbert: unrolled stages equal canonical xy2d on the full 256x256 grid") {
+    // canonical Wikipedia xy2d, n = 256
+    def xy2d(x0: Int, y0: Int): Long = {
+      var (x, y, d) = (x0, y0, 0L)
+      var s = 128
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1 else 0
+        val ry = if ((y & s) > 0) 1 else 0
+        d += s.toLong * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = 255 - x; y = 255 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    import spark.implicits._
+    val grid = spark.range(65536)
+      .selectExpr("CAST(id DIV 256 AS BIGINT) AS hx",
+        "CAST(id % 256 AS BIGINT) AS hy",
+        "CAST(0 AS BIGINT) AS hd", "id")
+    val viaStages = Seq(128, 64, 32, 16, 8, 4, 2, 1)
+      .foldLeft(grid) { (df, s) =>
+        df.selectExpr(("id" +: SketchQueries.hilbertStageForSpec(s)): _*)
+      }
+      .selectExpr("id", "hd").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 65536).foreach { i =>
+      assert(viaStages(i.toLong) == xy2d(i / 256, i % 256),
+        s"mismatch at (${i / 256}, ${i % 256})")
+    }
+    // and therefore a bijection onto 0..65535
+    assert(viaStages.values.toSet.size == 65536)
+  }
+
   test("etl_jsonl_load: corrupt capture matches the plant rate, valid mass conserved") {
     val rows = Registry.queries("etl_jsonl_load")(spark, Sf).collect()
     val events = graft.etl.Sources.events(spark, Sf)
