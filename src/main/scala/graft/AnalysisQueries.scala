@@ -1471,19 +1471,26 @@ object AnalysisQueries {
 
   /** Batch gap-based sessionization — the canonical clickstream
     * operator (the batch twin of `stream_sessionization`): a session is
-    * a maximal run of per-user events with no [[SessionGapUs]] silence
-    * between neighbors. One shuffle on user_id serves the LAG + running
-    * SUM window pair; the per-session rollup then map-side-combines on
+    * a maximal run of per-user events with no `gapUs` silence between
+    * neighbors. One shuffle on user_id serves the LAG + running SUM
+    * window pair; the per-session rollup then map-side-combines on
     * (user_id, session_idx), so the whole query is the sessionization
     * minimum of one wide shuffle — at 100 TB this is the same
     * hash-on-user layout every other per-user query here reuses.
     * Timestamps stay integer micros end-to-end (no double time math);
-    * tie order within a user is pinned by (ts, event_id). */
-  /** The gap-sessionization kernel, parameterized for the
-    * cross-formulation spec (Round9OpsSpec pins this LAG+running-SUM
-    * formulation ≡ Spark's native session_window gap-merge at the
-    * streaming family's 6 h gap — three formulations, one contract,
-    * same discipline as the streaming trio's shared oracle). */
+    * tie order within a user is pinned by (ts, event_id).
+    *
+    * Parameterized for the cross-formulation spec: Round9OpsSpec pins
+    * this LAG+running-SUM formulation ≡ Spark's native session_window
+    * gap-merge at the streaming family's 6 h gap — three formulations,
+    * one contract, same discipline as the streaming trio's shared
+    * oracle. Boundary semantics pinned AT exactly the gap: the break
+    * predicate is strict `>`, i.e. an event landing exactly gapUs after
+    * its predecessor MERGES into the session — matching session_window,
+    * whose merge test is inclusive (next.start ≤ current.end with
+    * end = ts + gap; adjudicated empirically by Round9OpsSpec's planted
+    * exactly-gap case — a `>=` formulation would split there and
+    * silently diverge from the native operator). */
   private[graft] def sessionSummary(events: DataFrame, gapUs: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))

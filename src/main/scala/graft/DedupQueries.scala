@@ -1660,12 +1660,21 @@ object DedupQueries {
         .join(deg, Seq("v"))
         .groupBy(col("community"))
         .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("d_tot"))
+      // Numerator AND denominator in decimal(38,0): a driver-side
+      // `4L * m * m` wraps Scala Long silently past m ≈ 1.5e9 edges
+      // (flipping q_contrib signs at the 100 TB scale this targets,
+      // where DuckDB's BIGINT would error instead) — BigDecimal keeps
+      // both exact, and decimal→double is the same single correct
+      // rounding the long cast was, so values are bit-identical
+      // wherever no wrap occurred.
+      val fourM = lit(BigDecimal(m) * 4)
+      val denom = lit(BigDecimal(m) * BigDecimal(m) * 4)
       dTot.join(eIn, Seq("community"), "left_outer")
         .select(col("community"), col("n_nodes"),
           coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_tot"),
-          ((lit(4L) * m * coalesce(col("e_in"), lit(0L)) -
-            col("d_tot") * col("d_tot")).cast("double") /
-            lit(4L * m * m).cast("double")).as("q_contrib"))
+          ((fourM * coalesce(col("e_in"), lit(0L)) -
+            col("d_tot").cast("decimal(38,0)") * col("d_tot")).cast("double") /
+            denom.cast("double")).as("q_contrib"))
         .orderBy("community")
     },
     Some(
@@ -1684,8 +1693,9 @@ object DedupQueries {
          |  FROM l$LpRounds nl JOIN deg ON nl.v = deg.v
          |  GROUP BY lbl)
          |SELECT community, n_nodes, COALESCE(e_in, 0) AS e_in, d_tot,
-         |       CAST(4 * m.m * COALESCE(e_in, 0) - d_tot * d_tot AS DOUBLE) /
-         |         CAST(4 * m.m * m.m AS DOUBLE) AS q_contrib
+         |       CAST(CAST(4 AS HUGEINT) * m.m * COALESCE(e_in, 0)
+         |              - CAST(d_tot AS HUGEINT) * d_tot AS DOUBLE) /
+         |         CAST(CAST(4 AS HUGEINT) * m.m * m.m AS DOUBLE) AS q_contrib
          |FROM dtot LEFT JOIN ein USING (community) CROSS JOIN m
          |ORDER BY community""".stripMargin))
 

@@ -307,7 +307,12 @@ object EtlQueries {
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_bad")
         .json(lines)
-        .groupBy(coalesce(col("event_type"), lit("_corrupt_")).as("event_type"))
+        // corrupt bucket keyed on the _bad capture column — the ONLY
+        // signal PERMISSIVE mode defines for a failed parse. Keying on
+        // event_type nullness would conflate a syntactically valid row
+        // whose event_type is legitimately null with a corrupt record.
+        .groupBy(when(col("_bad").isNotNull, lit("_corrupt_"))
+          .otherwise(col("event_type")).as("event_type"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .orderBy("event_type")

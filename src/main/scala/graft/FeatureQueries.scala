@@ -138,8 +138,13 @@ object FeatureQueries {
     (s, dir) => {
       val docs = table(s, dir, "documents")
       val n = docs.count() // footer-read parameter derivation
-      val raw = (lit(H.MixMulA) * (lit(2) * col("j") + 1) % T.HashMod *
-        col("doc_id") +
+      // Both multiplicands reduced mod M BEFORE the product: each is
+      // < M ≈ 1e9+7, so the product stays < ~1.0e18 < Long.MaxValue for
+      // ANY doc_id (an unreduced doc_id beyond ~9.2e9 would wrap Long
+      // silently in Spark while DuckDB BIGINT errors — latent 100 TB
+      // divergence). Values are unchanged wherever no wrap occurred.
+      val raw = ((lit(H.MixMulA) * (lit(2) * col("j") + 1) % T.HashMod *
+        (col("doc_id") % T.HashMod)) % T.HashMod +
         lit(H.MixMulB) * (col("j") + 1) % T.HashMod) % T.HashMod % n
       docs.filter(col("doc_id") % AnchorMod === 0)
         .select(col("doc_id"), explode(sequence(lit(1), lit(NegK))).as("j"))
@@ -157,7 +162,7 @@ object FeatureQueries {
       s"""WITH n AS (SELECT count(*) AS n FROM documents),
          |a AS (
          |  SELECT doc_id, j,
-         |         (${H.MixMulA} * (2 * j + 1) % ${T.HashMod} * doc_id +
+         |         ((${H.MixMulA} * (2 * j + 1) % ${T.HashMod} * (doc_id % ${T.HashMod})) % ${T.HashMod} +
          |          ${H.MixMulB} * (j + 1) % ${T.HashMod}) % ${T.HashMod} % n AS neg_raw,
          |         n
          |  FROM documents, (SELECT unnest(generate_series(1, $NegK)) AS j), n

@@ -58,14 +58,18 @@ object StreamingQueries {
 
   /** The same sessionization through Spark's NATIVE session_window
     * operator — the "compose built-ins first" rung of the ladder
-    * (built-in gap-merge > window formulation > custom state). Point
-    * events merge iff ts ≤ prev + gap, exactly the oracle's break
-    * predicate; start/end are re-derived as min/max event times because
-    * session_window.end adds the gap. Works identically under
-    * readStream + watermark. Shares stream_sessionization's oracle —
-    * three formulations, one contract. */
-  /** The session_window gap-merge over a (user_id, ts) frame — shared
-    * by the query and the boundary-pinning spec. */
+    * (built-in gap-merge > window formulation > custom state), shared
+    * by the query and the boundary-pinning spec. Point events merge iff
+    * ts − prev ≤ gap: session_window's merge test is inclusive
+    * (next.start ≤ current.end with end = ts + gap), so two events
+    * EXACTLY gap apart land in one session — adjudicated empirically by
+    * Round9OpsSpec's planted exactly-gap case, which is why every LAG
+    * twin here breaks on strict `>` (a `>=` formulation would split at
+    * the boundary and diverge from the native operator). Start/end are
+    * re-derived as min/max event times because session_window.end adds
+    * the gap. Works identically under readStream + watermark. Shares
+    * stream_sessionization's oracle — three formulations, one
+    * contract. */
   def sessionWindowSessions(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     e.groupBy(col("user_id"),
         session_window(col("ts"), s"${EventStream.SessionGapUs} microseconds"))

@@ -185,6 +185,39 @@ class Round9OpsSpec extends SparkSpec {
     assert(viaWindow == viaNative)
   }
 
+  test("sessionization boundary: event at EXACTLY the gap MERGES, matching session_window") {
+    // Planted exactly-gap case (the fixture's microsecond timestamps
+    // never land on the boundary, so the suite above can't see a
+    // >-vs->= divergence). Adjudicated empirically: session_window's
+    // merge test is INCLUSIVE (next.start <= current.end with
+    // end = ts + gap), so user 1's three events at {t, t+gap, t+2gap}
+    // form ONE session — the LAG formulation must break on strict > to
+    // agree (>= would split all three apart). User 2 plants gap+1
+    // spacing, the smallest split.
+    import spark.implicits._
+    val gap = graft.streaming.EventStream.SessionGapUs
+    val t0 = 1700000000000000L
+    val boundary = Seq(
+      (1L, 10L, t0), (1L, 11L, t0 + gap), (1L, 12L, t0 + 2 * gap),
+      (2L, 20L, t0), (2L, 21L, t0 + gap + 1))
+      .toDF("user_id", "event_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withColumn("event_type", lit("x"))
+    val viaNative = StreamingQueries.sessionWindowSessions(boundary)
+      .select("user_id", "session_start_us", "session_end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaWindow = AnalysisQueries.sessionSummary(boundary, gap)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val viaBatch = graft.streaming.EventStream.sessionsBatch(
+      boundary.select(col("user_id"), col("ts_us")).as[graft.streaming.EventStream.SessionEvent])
+      .collect().map(s => (s.user_id, s.session_start_us, s.session_end_us, s.n_events)).toSet
+    assert(viaNative.count(_._1 == 1L) == 1, s"native split at exactly-gap: $viaNative")
+    assert(viaNative.count(_._1 == 2L) == 2, s"native merged beyond the gap: $viaNative")
+    assert(viaWindow == viaNative)
+    assert(viaBatch == viaNative)
+  }
+
   test("sim_rerank_mmr: picks come from the shortlist, are distinct, and diversify") {
     val picks = Registry.queries("sim_rerank_mmr")(spark, Sf).collect()
     val top = Registry.queries("sim_knn_brute")(spark, Sf).collect()
