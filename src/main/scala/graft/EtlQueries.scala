@@ -63,15 +63,17 @@ object EtlQueries {
 
   val carteraLoad: Q = Q(
     "cartera_load",
-    // persist before the global sort: this pipeline is shuffle-free
-    // (broadcast joins only), so the range exchange's boundary-sampling
-    // job would otherwise re-execute the whole scan+join+parse chain —
-    // the query computed TWICE for one sort (measured 6.1 → 3.8 s at
-    // sf0.1). Cache ownership per Registry's note: harnesses clearCache
-    // between queries.
-    (s, dir) => pipelines.Cartera.load(s, dir, Some("2024-06-01"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy("document_number"),
+    // NO output sort: the correctness gate canon-sorts rows by all
+    // columns before hashing (tools/check.py `canon`, replicating the
+    // driver's t2 compare), so a snapshot APPEND load — which the
+    // reference writes unordered — needs no ORDER BY on either side.
+    // The total sort this used to carry was the query's top cost (a
+    // full-width range exchange of the whole snapshot plus the
+    // persist+sampling crutch it required: 6.1 → 3.8 s at sf0.1 with
+    // the persist, ~2 s without the sort at all); at 100 TB a global
+    // sort of an append snapshot is a pure scale-killer. ORDER BY
+    // remains only where semantics need it (top-k/LIMIT row picks).
+    (s, dir) => pipelines.Cartera.load(s, dir, Some("2024-06-01")),
     Some(
       s"""$ddbEnriched
          |SELECT
@@ -84,8 +86,7 @@ object EtlQueries {
          |  COALESCE(TRY_CAST(regexp_replace(regexp_replace(trim(open_balance_raw), '\\(', '-', 'g'), '[\\)\\$$,]', '', 'g') AS DOUBLE), 0.0) AS open_balance,
          |  '2024-06-01' AS fecha_carga
          |FROM joined
-         |WHERE id_cliente IS NOT NULL
-         |ORDER BY document_number""".stripMargin))
+         |WHERE id_cliente IS NOT NULL""".stripMargin))
 
   val carteraRejects: Q = Q(
     "cartera_rejects",
@@ -123,13 +124,13 @@ object EtlQueries {
 
   val pendingOrdersLoad: Q = Q(
     "pending_orders_load",
-    // Same persist-before-sort as cartera_load: shuffle-free pipeline,
-    // so the sort's sampling job re-executes it (measured ~15% here,
-    // larger on cartera — PO's residual cost is the 600k-row wide-row
-    // cache+range-shuffle itself, which is the honest sort cost).
-    (s, dir) => pipelines.PendingOrders.load(s, dir, Some("2024-06-01"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      .orderBy("document_number"),
+    // NO output sort (see cartera_load): the gate canon-sorts rows, a
+    // snapshot append has no order contract, and the 600k-row wide-row
+    // persist+range-shuffle WAS this query's dominant cost — six rounds
+    // as the registry's most expensive query and its worst scaler
+    // (6.6× on 10× data, SCALING.json r9) trace to the sort, not the
+    // pipeline (~4.4 s of honest ETL work at sf0.1).
+    (s, dir) => pipelines.PendingOrders.load(s, dir, Some("2024-06-01")),
     Some(
       s"""WITH raw AS ($ddbPendingRaw),
          |dim AS (
@@ -157,8 +158,7 @@ object EtlQueries {
          |  CAST(day(fecha_d) AS BIGINT) AS dia,
          |  CAST(year(fecha_d) AS BIGINT) AS anio,
          |  '2024-06-01' AS fecha_carga
-         |FROM f
-         |ORDER BY document_number""".stripMargin))
+         |FROM f""".stripMargin))
 
   /** A1 for the pending pipeline — distinct unmatched buyer names
     * (pending_orders.py:116-118; raw name, not the cleaned key). */
@@ -212,8 +212,9 @@ object EtlQueries {
 
   val ventasIncremental: Q = Q(
     "ventas_incremental",
-    (s, dir) => pipelines.VentasTotales.load(s, dir)
-      .orderBy("document_number", "item", "cantidad_producto", "amount"),
+    // No output sort — incremental INSERT of new rows, same unordered
+    // append contract as cartera_load (gate canon-sorts rows).
+    (s, dir) => pipelines.VentasTotales.load(s, dir),
     Some(
       s"""$ddbVentasPrep,
          |existing AS (
@@ -230,22 +231,19 @@ object EtlQueries {
          |  WHERE e.id_cliente = p.id_cliente
          |    AND e.fk = CAST(date_trunc('day', p.fecha) AS DATE)
          |    AND e.dk = trim(p.document_number)
-         |    AND e.ik = trim(p.item))
-         |ORDER BY document_number, item, cantidad_producto, amount""".stripMargin))
+         |    AND e.ik = trim(p.item))""".stripMargin))
 
   /** Re-run recovery (Ventas PDF §9): same file vs fully-loaded target
     * inserts zero rows — idempotence of the J4 anti-join. */
   val ventasRerunZero: Q = Q(
     "ventas_rerun_zero",
-    (s, dir) => pipelines.VentasTotales.rerun(s, dir)
-      .orderBy("document_number", "item"),
+    (s, dir) => pipelines.VentasTotales.rerun(s, dir),
     Some(
       s"""$ddbVentasPrep
          |SELECT p.id_cliente, strftime(p.fecha, '%Y-%m-%d') AS fecha, p.document_number,
          |       p.tipo, p.item, p.descripcion, p.clase, p.cantidad_producto,
          |       p.presentacion, p.amount, p.created_from
-         |FROM prep p WHERE FALSE
-         |ORDER BY document_number, item""".stripMargin))
+         |FROM prep p WHERE FALSE""".stripMargin))
 
   /** A2 — non-numeric amount diagnostic (ventas_totales.py:124-128). */
   val ventasDq: Q = Q(
