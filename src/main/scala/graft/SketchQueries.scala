@@ -252,19 +252,20 @@ object SketchQueries {
     * float log2 lands a ulp either side of whole numbers (the lshPlanes
     * lesson). Constants-become-functions-of-n.
     *
-    * Plan shape at 100 TB: the filter is built as the DISTINCT set of
-    * set-bit positions — one map-side-combining distinct whose shuffle
-    * carries ≤ k·n rows (bounded by m), then broadcast everywhere; the
-    * probe side explodes k salted positions per key and joins the
-    * broadcast bit set, all map-side. A production build replaces the
-    * distinct-positions table with a fixed m-bit buffer and associative
-    * OR-merge (O(m/8) bytes of state per partition, what
-    * spark.util.sketch.BloomFilter does internally — not reproducible
+    * Plan shape at 100 TB: the filter is built as an m/64-WORD BITMAP —
+    * positions fold 64-to-a-row via a map-side-combining grouped
+    * bit_or, so the filter's relational form is ≤ m/64 rows (8 bits/
+    * member packed 64/row ⇒ n/8 rows) and never touches the driver; the
+    * probe side explodes k salted positions per key and hash-joins the
+    * broadcast bitmap on the word index, all map-side. This is the
+    * associative OR-merge a fixed m-bit buffer does (what
+    * spark.util.sketch.BloomFilter runs internally — not reproducible
     * cross-engine, which is why the oracle-gated twin pins md5
     * positions); the EXACT-membership anti-join here exists only to
     * label the probes for the error report, not in a production probe
     * path. Everything emitted is integer arithmetic — the fp rate is
-    * exact ppm by integer division. */
+    * exact ppm by integer division, and bits_set is the bitmap's own
+    * Σ bit_count. */
   val bloomMembership: Q = Q(
     "sketch_bloom",
     (s, dir) => {
@@ -281,16 +282,30 @@ object SketchQueries {
         (0 until BloomK).map(j =>
             df.select(col("key"), posCol("key", j)))
           .reduce(_ unionAll _)
-      // MATERIALIZE the trained filter (the countMinFreq discipline): the
-      // distinct set-bit positions are bounded by m — "broadcastable
-      // anywhere" is the sketch's whole point — so one aggregation job to
-      // the driver replaces a persist that would otherwise leak across
-      // bench reps. import for toDF on the collected rows:
-      import s.implicits._
-      val bitSeq = positions(members.crossJoin(broadcast(mRow)))
-        .select(col("pos")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      val bits = bitSeq.toDF("pos")
+      // MATERIALIZE the trained filter as an m/64-WORD BITMAP, never a
+      // row-per-set-bit table on the driver: a .collect() of distinct
+      // positions is "bounded by m", but m is 8 bits/member — at 100 TB
+      // membership that table is corpus-sized and lands on the driver
+      // row-by-row. The grouped bit_or packs 64 positions/row (≤ n/8
+      // rows, 64× smaller than the position table) and STAYS a
+      // DataFrame: distributed through the fold, broadcast only at the
+      // probe join — the exact OR-merge a fixed m-bit buffer does,
+      // expressed relationally. (Production probe path: Spark's own
+      // bloom_filter_agg / runtime bloom; this md5-position build exists
+      // because its bits are reproducible cross-engine for the oracle.)
+      // UNpersisted on purpose: the bitmap subtree is m/64 rows off a
+      // distinct-members scan and feeds two consumers (Σ bit_count and
+      // the probe join) — recomputing it twice is fully parallel and
+      // cheap, while a persist serializes the plan behind the cache
+      // materialization (A/B at sf0.1: collect 2.43 s, bitmap+persist
+      // 4.68 s, bitmap unpersisted 1.99 s — PERF.md r10).
+      val bitmap = positions(members.crossJoin(broadcast(mRow)))
+        .select(expr("pos div 64").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+        .groupBy(col("word"))
+        .agg(expr("bit_or(bit)").as("bits"))
+      val bitsSet = bitmap.agg(
+        sum(bit_count(col("bits"))).cast("long").as("bits_set"))
       val cust = table(s, dir, "customer").select(col("c_custkey"))
       val probes = cust.select(col("c_custkey").as("key"))
         .unionAll(cust.select((col("c_custkey") + 1000000L).as("key")))
@@ -298,14 +313,17 @@ object SketchQueries {
       val nmCount = nonMembers.agg(count(lit(1)).as("n_nonmember_probes"))
       val nmPos = positions(nonMembers.crossJoin(broadcast(mRow))).distinct()
       val falsePos = nmPos
-        .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+        .withColumn("word", expr("pos div 64"))
+        .join(broadcast(bitmap), Seq("word"), "left")
+        .withColumn("hit",
+          when(expr("(shiftright(bits, CAST(pos % 64 AS INT)) & 1) = 1"), 1))
         .groupBy(col("key"))
         .agg(count(lit(1)).as("n_pos"), sum(col("hit")).as("n_hit"))
         .filter(col("n_pos") === col("n_hit"))
         .agg(count(lit(1)).as("n_false_positives"))
-      mRow.crossJoin(nmCount).crossJoin(falsePos)
+      mRow.crossJoin(nmCount).crossJoin(falsePos).crossJoin(bitsSet)
         .select(col("m_bits"), lit(BloomK).as("k_hashes"),
-          col("n_members"), lit(bitSeq.size.toLong).as("bits_set"),
+          col("n_members"), col("bits_set"),
           col("n_nonmember_probes"), col("n_false_positives"),
           expr("n_false_positives * 1000000 div n_nonmember_probes")
             .as("fp_ppm"))

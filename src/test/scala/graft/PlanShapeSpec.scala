@@ -383,4 +383,15 @@ class PlanShapeSpec extends SparkSpec {
     // h, doc_id, and the output range sort
     assert(count(p, "Exchange hashpartitioning") <= 3, p)
   }
+
+  test("bloom filter: bitmap stays a distributed plan — no driver-collected bit table") {
+    val p = plan("sketch_bloom")
+    // the trained filter must be the grouped bit_or bitmap, broadcast
+    // at the probe join — a .collect() of set-bit positions would show
+    // up as a LocalTableScan feeding the probe side (and would be
+    // O(membership) rows on the driver at scale)
+    assert(!p.contains("LocalTableScan"), p)
+    assert(p.contains("bit_or"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
 }
