@@ -84,10 +84,13 @@ object Bench {
       }
       // A failed query must not masquerade as a fast one: report -1.
       // Lower median for even rep counts — the conservative index that
-      // is an actual observed timing.
-      val median =
-        if (times.size < reps) -1.0
-        else times.sorted.apply((times.size - 1) / 2)
+      // is an actual observed timing. The full (median, min, max)
+      // spread goes to BENCH_FULL.json so noise adjudication (the
+      // box's documented ~2× in-sweep swing band) reads from data
+      // instead of burning a bisect on a false alarm.
+      val spread =
+        if (times.size < reps) (-1.0, -1.0, -1.0)
+        else (times.sorted.apply((times.size - 1) / 2), times.min, times.max)
       // Between QUERIES (untimed): broadcasts, shuffle dependencies and
       // localCheckpoint-style blocks release via ContextCleaner, which
       // only fires on GC — over a 116-query sweep the un-collected
@@ -95,7 +98,7 @@ object Bench {
       // of the run. An explicit collection here keeps every query's
       // timed region starting from the same clean slate.
       System.gc()
-      name -> median
+      name -> spread
     }
     // The harness that records this line keeps only the LAST 2000
     // characters of stdout; with 77+ registered queries even 2-decimal
@@ -111,15 +114,19 @@ object Bench {
     // gates cross-round total comparisons — excluding a failing query
     // silently LOWERS the total, so a regression would read as a win
     // to anyone comparing totals without scanning every sentinel
-    val failed = results.filter(_._2 < 0).map(_._1)
+    val failed = results.filter(_._2._1 < 0).map(_._1)
     // stdout line is size-capped (take 10); BENCH_FULL.json is documented
     // as the complete detail, so it gets the UNtruncated failure list
     val failedNames =
       failed.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedNamesFull =
       failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val allQs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    // BENCH_FULL carries the full per-rep spread; the stdout line keeps
+    // the scalar-median shape the driver parses
+    val allQs = results.map { case (k, (med, mn, mx)) =>
+        s"\"" + k + s"""":{"median":${f3(med)},"min":${f3(mn)},"max":${f3(mx)}}"""
+      }
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +
@@ -134,8 +141,8 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
+      .map { case (k, (med, _, _)) => s"\"" + k + "\":" + f3(med) }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +

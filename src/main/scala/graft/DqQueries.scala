@@ -22,6 +22,21 @@ import graft.etl.Sources.table
   * at 100 TB swap the groupBy level for `approx_count_distinct` (HLL,
   * mergeable) and drop the oracle to a rows-only check — the HLL
   * sketches of the two engines are not bit-compatible.
+  *
+  * WIDE-TABLE note (r10): P profiled columns = P narrow scans here —
+  * fine at 4 columns, linear-in-columns at a 100-col table. The
+  * single-pass alternative is the `dq_profile_drift` shape: ONE scan
+  * with a conditional aggregate per (column, metric) — n/n_null/min/
+  * max for all columns in one map-side-combined pass — which covers
+  * everything EXCEPT exact distincts (those either keep a per-column
+  * groupBy or drop to approx_count_distinct, itself single-pass once
+  * approximate). Rule of thumb: columns ≤ ~8 → per-branch columnar
+  * scans (each reads one parquet column); wide tables → one-pass
+  * conditional agg + HLL distincts.
+  *
+  * Perf history: r9's final sweep recorded 3.54 s (code unchanged from
+  * r7); two isolated clean runs in r10 measured 1.17 s / 1.01 s —
+  * adjudicated as in-sweep noise, not a regression (PERF.md r10).
   */
 object DqQueries {
 
