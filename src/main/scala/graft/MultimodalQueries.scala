@@ -10,18 +10,35 @@ import graft.functions.{TextFunctions => T}
   * typed metadata, plus decode / feature-extract / resize / frame-sample
   * stages.
   *
-  * The container has no image/audio codecs, so the DECODE STEP IS A
-  * DETERMINISTIC FAKE (documented per operator): byte-level arithmetic
-  * over the payload stands in for pixel decoding. Everything around it —
-  * binary schema, metadata struct, per-partition typed iteration, batch
-  * shape, exploded frame rows — is real Spark plumbing, and every
-  * operator still hash-matches a DuckDB oracle over the same bytes.
+  * Two tiers of queries here:
+  *
+  *  - REAL DECODE (r10, `mm_decode_bmp_stats` / `mm_decode_png_stats` /
+  *    `mm_ahash_cross_codec`): actual encoded images — hand-written
+  *    24-bit BMP and JDK ImageIO PNG (real zlib/deflate) — are built,
+  *    pushed through the `mapPartitions` codec seam as `Array[Byte]`,
+  *    parsed back to pixel planes, and every output statistic is
+  *    computed from the DECODED pixels. The DuckDB oracle recomputes
+  *    the same statistics from the closed-form pixel formula
+  *    ([[graft.multimodal.ImageCodec.synthPixel]]), so a decoder bug —
+  *    wrong stride, flipped rows, swapped channels, broken deflate
+  *    round-trip — breaks the hash.
+  *  - PAYLOAD-BYTE level (the original queries below): catalog,
+  *    resize, frame-sample and the content/perceptual dedups operate on
+  *    opaque payload BYTES (UTF-8 text bytes playing the payload;
+  *    byte-level arithmetic stands in for pixel math where a decode
+  *    would sit). These keep exercising the schema/metadata/explosion
+  *    plumbing on payloads the oracle can also see, and their dedup
+  *    shapes (digest grouping, banded Hamming join) are
+  *    decode-agnostic — swap the byte features for [[ImageCodec]]
+  *    outputs and the plans are unchanged.
   *
   * The media table is synthesized from `documents`: the UTF-8 text bytes
   * play the payload (ASCII in the testdata, so byte i == ascii(char i)
   * on both engines — the oracles lean on that equivalence).
   */
 object MultimodalQueries {
+
+  import graft.multimodal.ImageCodec
 
   /** Typed row for the per-partition decode path. */
   final case class MediaRow(
@@ -71,10 +88,10 @@ object MultimodalQueries {
          |FROM media
          |ORDER BY media_id""".stripMargin))
 
-  /** DECODE (stubbed codec): per-partition typed iteration — the shape a
-    * real decoder plugs into (batch of MediaRow in, features out). The
-    * "decode" is a deterministic fake: mean byte value and a rolling
-    * checksum of the first 64 payload bytes. */
+  /** Payload-byte features: per-partition typed iteration over raw
+    * payload bytes (mean byte value + rolling checksum of the first 64)
+    * — the oracle-visible byte tier. The REAL decoders run in the same
+    * mapPartitions seam in [[decodeBmpStats]]/[[decodePngStats]]. */
   val decodeFeatures: Q = Q(
     "mm_decode_features",
     (s, dir) => {
@@ -106,9 +123,11 @@ object MultimodalQueries {
          |FROM media
          |ORDER BY media_id""".stripMargin))
 
-  /** RESIZE (stubbed codec): halves the declared dims and "re-encodes" by
-    * striding every 2nd byte of the first 128 — the Spark side does it
-    * with pure array expressions (no UDF). */
+  /** RESIZE (payload-byte tier): halves the declared dims and
+    * "re-encodes" by striding every 2nd byte of the first 128 — the
+    * Spark side does it with pure array expressions (no UDF). A
+    * pixel-level resize plugs [[ImageCodec.decodeBmp]] + a box filter
+    * into the [[decodeBmpStats]] seam. */
   val resize: Q = Q(
     "mm_resize",
     (s, dir) => {
@@ -133,7 +152,7 @@ object MultimodalQueries {
          |FROM media
          |ORDER BY media_id""".stripMargin))
 
-  /** FRAME-SAMPLE (stubbed codec): up to 4 evenly-strided "frames" per
+  /** FRAME-SAMPLE (payload-byte tier): up to 4 evenly-strided "frames" per
     * media row, exploded to (media_id, frame_idx, frame_checksum) rows —
     * the row-explosion shape a video pipeline produces. */
   val frameSample: Q = Q(
@@ -216,9 +235,12 @@ object MultimodalQueries {
     * metadata) defeats content-hash dedup because the bytes differ
     * while the picture doesn't. The classic answer is a perceptual
     * hash (aHash/pHash family): downsample, compare each region to the
-    * global mean, match on Hamming distance.
+    * global mean, match on Hamming distance. (The decoded-plane version
+    * of this hash — real BMP/PNG pixels — is [[ahashCrossCodec]]; this
+    * query keeps the byte-tier twin because its oracle can see the
+    * payload bytes directly.)
     *
-    * Decode stub (same seam as [[decodeFeatures]]): 4-byte block sums
+    * Byte-tier sketch (same seam as [[decodeFeatures]]): 4-byte block sums
     * over the first 128 payload bytes stand in for downsampled pixel
     * means. Sketch bit j = 32·blockSum_j > totalSum — pure integer
     * arithmetic, so the bit is exact on both engines (no float means).
@@ -322,6 +344,190 @@ object MultimodalQueries {
          |ORDER BY i, j""".stripMargin
     })
 
+  // ------------------------------------------------ REAL decode (r10)
+
+  /** Typed rows for the real-codec path. */
+  final case class MediaSpec(media_id: Long, width: Int, height: Int)
+  final case class BmpStats(
+      media_id: Long, width: Int, height: Int, n_bytes: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+  final case class PngStats(
+      media_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, checksum: Long)
+  final case class AHashRow(
+      media_id: Long, ahash_hi: Long, ahash_lo: Long, codecs_agree: Boolean)
+
+  /** The deterministic image spec shared by the real-decode queries and
+    * their oracles: dims reuse the media() metadata derivation, pixels
+    * are [[ImageCodec.synthPixel]]'s affine formula.
+    *
+    * REPARTITIONED before the codec stage: the documents table is one
+    * parquet file ⇒ one scan partition, and a CPU-bound mapPartitions
+    * downstream of it runs single-threaded (measured: the PNG stage at
+    * sf0.1 was ~19 s wall on one core vs ~1.5 s scattered across 32 —
+    * PERF.md r10). The shuffle moves only (id, w, h) spec rows — 20
+    * bytes each — which is nothing next to the decode CPU it unlocks.
+    * On a real 100 TB media lake payloads arrive in thousands of scan
+    * partitions and this scatter is unnecessary — but a decode stage
+    * must NEVER inherit a single-file scan's parallelism. */
+  private def mediaSpecs(s: SparkSession, dir: String): DataFrame =
+    media(s, dir).select(col("media_id"), col("width"), col("height"))
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** Shared oracle fragment: explode every (media, pixel) pair and
+    * evaluate the synthetic pixel formula — the closed-form ground
+    * truth the Spark side must reproduce THROUGH a real encode→decode
+    * round-trip. */
+  private val ddbPixels =
+    """m AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS w,
+      |         CAST(48 + (doc_id % 5) * 24 AS BIGINT) AS h
+      |  FROM documents),
+      |px AS (
+      |  SELECT media_id, w, h, unnest(generate_series(0, w * h - 1)) AS p
+      |  FROM m),
+      |f AS (
+      |  SELECT media_id, w, h, p % w AS x, p // w AS y,
+      |         (7 * media_id + 3 * (p % w) + 5 * (p // w)) % 256 AS r,
+      |         (11 * media_id + 2 * (p % w) + 7 * (p // w)) % 256 AS g,
+      |         (13 * media_id + 5 * (p % w) + 2 * (p // w)) % 256 AS b
+      |  FROM px)""".stripMargin
+
+  /** REAL BMP decode: each row builds an actual 24-bit BMP container
+    * (synthetic pixels), then PARSES it back — dims from the header,
+    * planes from the bottom-up BGR rows — and reports pixel statistics
+    * off the decoded planes. n_bytes is the real container length,
+    * gated against the oracle's closed-form 54 + stride·h, so the
+    * encoder's padding/layout is checked too; width/height come from
+    * the parsed header, so the parse is checked; sums/checksum come
+    * from decoded pixels, so row order and channel order are checked.
+    * Scale shape: one mapPartitions over the spec rows, no shuffle
+    * before the output sort; with stored payloads this is a scan-local
+    * decode whose output is a few dozen bytes/row. */
+  val decodeBmpStats: Q = Q(
+    "mm_decode_bmp_stats",
+    (s, dir) => {
+      import s.implicits._
+      mediaSpecs(s, dir).as[MediaSpec]
+        .mapPartitions { rows =>
+          rows.map { m =>
+            val bytes = ImageCodec.encodeBmp(m.width, m.height,
+              (x, y) => ImageCodec.synthPixel(m.media_id, x, y))
+            val d = ImageCodec.decodeBmp(bytes)
+            val (sr, sg, sb, ck) = ImageCodec.planeStats(d, T.HashMod)
+            BmpStats(m.media_id, d.width, d.height, bytes.length.toLong,
+              sr, sg, sb, ck)
+          }
+        }
+        .toDF().orderBy("media_id")
+    },
+    Some(
+      s"""WITH $ddbPixels
+         |SELECT media_id,
+         |       CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+         |       CAST(54 + ((3 * MAX(w) + 3) // 4) * 4 * MAX(h) AS BIGINT) AS n_bytes,
+         |       CAST(SUM(r) AS BIGINT) AS sum_r,
+         |       CAST(SUM(g) AS BIGINT) AS sum_g,
+         |       CAST(SUM(b) AS BIGINT) AS sum_b,
+         |       CAST(SUM((r + 2 * g + 3 * b) * (1 + x + y * w)) % ${T.HashMod} AS BIGINT) AS checksum
+         |FROM f GROUP BY media_id
+         |ORDER BY media_id""".stripMargin))
+
+  /** REAL PNG decode: the same pixel truth round-tripped through the
+    * JDK's actual PNG pipeline — deflate compression, scanline filters,
+    * chunk framing — via encode → decode in one mapPartitions stage.
+    * PNG is lossless, so the decoded statistics must equal the SAME
+    * closed-form oracle as the BMP query (container bytes are
+    * encoder-dependent and deliberately unhashed). Passing proves a
+    * real compressed codec ran: corrupt one deflate byte and the decode
+    * throws; mis-scale one pixel and the checksum breaks. */
+  val decodePngStats: Q = Q(
+    "mm_decode_png_stats",
+    (s, dir) => {
+      import s.implicits._
+      mediaSpecs(s, dir).as[MediaSpec]
+        .mapPartitions { rows =>
+          rows.map { m =>
+            val bytes = ImageCodec.encodePng(m.width, m.height,
+              (x, y) => ImageCodec.synthPixel(m.media_id, x, y))
+            val d = ImageCodec.decodePng(bytes)
+            val (sr, sg, sb, ck) = ImageCodec.planeStats(d, T.HashMod)
+            PngStats(m.media_id, d.width, d.height, sr, sg, sb, ck)
+          }
+        }
+        .toDF().orderBy("media_id")
+    },
+    Some(
+      s"""WITH $ddbPixels
+         |SELECT media_id,
+         |       CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+         |       CAST(SUM(r) AS BIGINT) AS sum_r,
+         |       CAST(SUM(g) AS BIGINT) AS sum_g,
+         |       CAST(SUM(b) AS BIGINT) AS sum_b,
+         |       CAST(SUM((r + 2 * g + 3 * b) * (1 + x + y * w)) % ${T.HashMod} AS BIGINT) AS checksum
+         |FROM f GROUP BY media_id
+         |ORDER BY media_id""".stripMargin))
+
+  /** Cross-codec perceptual hash — the decoded-plane answer to "the
+    * same picture re-encoded defeats content-hash dedup": every image
+    * is encoded BOTH as BMP and as PNG (byte streams differ wildly, so
+    * md5-level dedup sees two distinct objects), both are decoded, and
+    * the 8×8 integer average-hash ([[ImageCodec.aHash]]) is computed
+    * from each plane. codecs_agree asserts the two decodes produce the
+    * identical hash — the invariant that makes perceptual dedup work
+    * across containers. The hash is emitted as (hi, lo) 32-bit halves
+    * so neither engine touches the sign bit of a 2⁶³ term. The oracle
+    * recomputes the hash from the pixel formula: 64 samples at
+    * (⌊i·w/8⌋, ⌊j·h/8⌋), bit = 64·gray > Σgray, all integer. */
+  val ahashCrossCodec: Q = Q(
+    "mm_ahash_cross_codec",
+    (s, dir) => {
+      import s.implicits._
+      mediaSpecs(s, dir).as[MediaSpec]
+        .mapPartitions { rows =>
+          rows.map { m =>
+            val pix = (x: Int, y: Int) => ImageCodec.synthPixel(m.media_id, x, y)
+            val hb = ImageCodec.aHash(
+              ImageCodec.decodeBmp(ImageCodec.encodeBmp(m.width, m.height, pix)))
+            val hp = ImageCodec.aHash(
+              ImageCodec.decodePng(ImageCodec.encodePng(m.width, m.height, pix)))
+            AHashRow(m.media_id, hb >>> 32, hb & 0xffffffffL, hb == hp)
+          }
+        }
+        .toDF().orderBy("media_id")
+    },
+    Some(
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |         CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS w,
+         |         CAST(48 + (doc_id % 5) * 24 AS BIGINT) AS h
+         |  FROM documents),
+         |s AS (
+         |  SELECT media_id, w, h, unnest(generate_series(0, 63)) AS sidx
+         |  FROM m),
+         |g AS (
+         |  SELECT media_id, sidx,
+         |         ((sidx % 8) * w) // 8 AS x, ((sidx // 8) * h) // 8 AS y
+         |  FROM s),
+         |q AS (
+         |  SELECT media_id, sidx,
+         |         (7 * media_id + 3 * x + 5 * y) % 256 +
+         |         (11 * media_id + 2 * x + 7 * y) % 256 +
+         |         (13 * media_id + 5 * x + 2 * y) % 256 AS gray
+         |  FROM g),
+         |t AS (SELECT media_id, CAST(SUM(gray) AS BIGINT) AS total FROM q GROUP BY media_id)
+         |SELECT q.media_id,
+         |       CAST(SUM(CASE WHEN gray * 64 > total AND sidx >= 32
+         |                     THEN CAST(1 AS BIGINT) << (sidx - 32) ELSE 0 END) AS BIGINT) AS ahash_hi,
+         |       CAST(SUM(CASE WHEN gray * 64 > total AND sidx < 32
+         |                     THEN CAST(1 AS BIGINT) << sidx ELSE 0 END) AS BIGINT) AS ahash_lo,
+         |       TRUE AS codecs_agree
+         |FROM q JOIN t USING (media_id)
+         |GROUP BY q.media_id
+         |ORDER BY media_id""".stripMargin))
+
   def all: Seq[Q] = Seq(catalog, decodeFeatures, resize, frameSample,
-    dedupContent, dedupPerceptual)
+    dedupContent, dedupPerceptual, decodeBmpStats, decodePngStats,
+    ahashCrossCodec)
 }
