@@ -62,6 +62,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // stderr marker so per-query attribution of Spark warnings (e.g.
+      // "Broadcasting large task binary") is greppable from a sweep log
+      System.err.println(s"[bench] >>> $name")
       val times = (1 to reps).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok =
