@@ -527,7 +527,116 @@ object MultimodalQueries {
          |GROUP BY q.media_id
          |ORDER BY media_id""".stripMargin))
 
+  // --------------------------------------------- REAL audio decode (r10)
+
+  import graft.multimodal.AudioCodec
+
+  final case class AudioSpec(media_id: Long, sample_rate: Int, n_samples: Int)
+  final case class WavStats(
+      media_id: Long, sample_rate: Int, n_samples: Long, n_bytes: Long,
+      sum_abs: Long, energy: Long, zero_crossings: Long)
+  final case class WavWindow(
+      media_id: Long, window_idx: Long, n_in_window: Long, energy: Long)
+
+  /** Per-media audio spec: rate ∈ {8, 12, 16} kHz, 2048–8192 samples —
+    * derived from doc_id exactly like the image dims. Scattered for the
+    * same single-file-scan reason as [[mediaSpecs]]. */
+  private def audioSpecs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(8000) + (col("doc_id") % 3) * 4000).cast("int").as("sample_rate"),
+      (lit(2048) + (col("doc_id") % 7) * 1024).cast("int").as("n_samples"))
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** Shared oracle fragment: every (media, t) sample evaluated from the
+    * closed-form PCM formula, with the PREVIOUS sample re-evaluated in
+    * place (no window function — the crossing predicate is pure
+    * arithmetic on both engines). */
+  private val ddbSamples =
+    """a AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+      |         CAST(2048 + (doc_id % 7) * 1024 AS BIGINT) AS n
+      |  FROM documents),
+      |ts AS (
+      |  SELECT media_id, sample_rate, n, unnest(generate_series(0, n - 1)) AS t
+      |  FROM a),
+      |s AS (
+      |  SELECT media_id, sample_rate, n, t,
+      |         (31 * media_id + 17 * t) % 65536 - 32768 AS s,
+      |         CASE WHEN t > 0
+      |              THEN (31 * media_id + 17 * (t - 1)) % 65536 - 32768 END AS prev
+      |  FROM ts)""".stripMargin
+
+  /** REAL WAV decode: each row builds an actual RIFF/WAVE container
+    * (16-bit PCM mono, synthetic sawtooth samples), walks the chunk
+    * list back — fmt geometry, data offset, s16le sign handling — and
+    * reports decoded-sample statistics: Σ|s|, energy Σs², and the
+    * zero-crossing count. sample_rate comes from the PARSED fmt chunk
+    * and n_bytes is the real container length (gated against the
+    * closed-form 44 + 2n), so header layout and sample packing are both
+    * checked; a byte-order or sign bug flips every statistic. */
+  val decodeWavStats: Q = Q(
+    "mm_decode_wav_stats",
+    (s, dir) => {
+      import s.implicits._
+      audioSpecs(s, dir).as[AudioSpec]
+        .mapPartitions { rows =>
+          rows.map { a =>
+            val samples = Array.tabulate(a.n_samples)(t =>
+              AudioCodec.synthSample(a.media_id, t))
+            val bytes = AudioCodec.encodeWav(a.sample_rate, samples)
+            val p = AudioCodec.decodeWav(bytes)
+            val (sumAbs, energy, zc) = AudioCodec.pcmStats(p)
+            WavStats(a.media_id, p.sampleRate, p.samples.length.toLong,
+              bytes.length.toLong, sumAbs, energy, zc)
+          }
+        }
+        .toDF().orderBy("media_id")
+    },
+    Some(
+      s"""WITH $ddbSamples
+         |SELECT media_id,
+         |       MAX(sample_rate) AS sample_rate,
+         |       CAST(MAX(n) AS BIGINT) AS n_samples,
+         |       CAST(44 + 2 * MAX(n) AS BIGINT) AS n_bytes,
+         |       CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+         |       CAST(SUM(s * s) AS BIGINT) AS energy,
+         |       CAST(SUM(CASE WHEN prev IS NOT NULL AND ((prev >= 0) <> (s >= 0))
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+         |FROM s GROUP BY media_id
+         |ORDER BY media_id""".stripMargin))
+
+  /** Windowed audio features off the decoded PCM: 1024-sample frames
+    * (last frame partial), per-frame energy — the frame-explosion shape
+    * every audio feature extractor (MFCC, VAD, loudness) produces. One
+    * flatMap per decoded clip; the exploded rows carry (id, idx, n,
+    * energy) only. */
+  val wavWindowEnergy: Q = Q(
+    "mm_wav_window_energy",
+    (s, dir) => {
+      import s.implicits._
+      audioSpecs(s, dir).as[AudioSpec]
+        .flatMap { a =>
+          val samples = Array.tabulate(a.n_samples)(t =>
+            AudioCodec.synthSample(a.media_id, t))
+          val p = AudioCodec.decodeWav(AudioCodec.encodeWav(a.sample_rate, samples))
+          p.samples.grouped(1024).zipWithIndex.map { case (win, idx) =>
+            WavWindow(a.media_id, idx.toLong, win.length.toLong,
+              win.foldLeft(0L)((acc, v) => acc + v.toLong * v))
+          }
+        }
+        .toDF().orderBy("media_id", "window_idx")
+    },
+    Some(
+      s"""WITH $ddbSamples
+         |SELECT media_id, CAST(t // 1024 AS BIGINT) AS window_idx,
+         |       count(*) AS n_in_window,
+         |       CAST(SUM(s * s) AS BIGINT) AS energy
+         |FROM s GROUP BY media_id, window_idx
+         |ORDER BY media_id, window_idx""".stripMargin))
+
   def all: Seq[Q] = Seq(catalog, decodeFeatures, resize, frameSample,
     dedupContent, dedupPerceptual, decodeBmpStats, decodePngStats,
-    ahashCrossCodec)
+    ahashCrossCodec, decodeWavStats, wavWindowEnergy)
 }

@@ -51,28 +51,44 @@ object ProfileStream {
 
     def ckpt() = java.nio.file.Files.createTempDirectory("stream_ck").toString
 
-    // 1 — watermarked ingest dedup (dropDuplicates state)
-    drive("dedup-ingest") {
-      EventStream.dedupedIngest(
-          EventStream.fileStream(spark, eventsDir, maxFilesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2").toInt))
-        .writeStream.format("noop")
-        .option("checkpointLocation", ckpt())
-        .trigger(Trigger.AvailableNow()).start()
-    }
+    // Matrix (round-9 verdict task 9): state-store provider × batch
+    // size. The HDFS-backed store pays a per-batch snapshot of the
+    // WHOLE store (in-memory map + file upload) — tolerable at few
+    // batches, dominant at many small ones; RocksDB keeps native state
+    // with incremental changelog-style maintenance. Batch size sweeps
+    // the fixed ~0.4 s/micro-batch overhead against state-store cost:
+    // filesPerTrigger=1 → 8 micro-batches, 4 → 2, 8 → 1.
+    val providers = Seq(
+      "hdfs" -> "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+      "rocksdb" -> "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val batchSizes = Seq(1, 4, 8)
 
-    // 2 — CDC merge (mapGroupsWithState, one state record per user)
-    drive("cdc-merge") {
-      val ops = EventStream.fileStream(spark, eventsDir, maxFilesPerTrigger = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2").toInt)
-        .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
-          col("event_id"), (col("event_type") === "delete").as("is_delete"),
-          col("value"))
-        .as[EventStream.CdcOp]
-      EventStream.cdcStreaming(ops)
-        .toDF()
-        .writeStream.format("noop")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt())
-        .trigger(Trigger.AvailableNow()).start()
+    for ((pname, pclass) <- providers; fpt <- batchSizes) {
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", pclass)
+
+      // 1 — watermarked ingest dedup (dropDuplicates state)
+      drive(s"dedup-ingest/$pname/files=$fpt") {
+        EventStream.dedupedIngest(
+            EventStream.fileStream(spark, eventsDir, maxFilesPerTrigger = fpt))
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckpt())
+          .trigger(Trigger.AvailableNow()).start()
+      }
+
+      // 2 — CDC merge (mapGroupsWithState, one state record per user)
+      drive(s"cdc-merge/$pname/files=$fpt") {
+        val ops = EventStream.fileStream(spark, eventsDir, maxFilesPerTrigger = fpt)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"), (col("event_type") === "delete").as("is_delete"),
+            col("value"))
+          .as[EventStream.CdcOp]
+        EventStream.cdcStreaming(ops)
+          .toDF()
+          .writeStream.format("noop")
+          .outputMode("update")
+          .option("checkpointLocation", ckpt())
+          .trigger(Trigger.AvailableNow()).start()
+      }
     }
 
     spark.stop()
