@@ -636,7 +636,85 @@ object MultimodalQueries {
          |FROM s GROUP BY media_id, window_idx
          |ORDER BY media_id, window_idx""".stripMargin))
 
+  // --------------------------------------------- REAL video decode (r10)
+
+  final case class VideoSpec(media_id: Long, width: Int, height: Int, n_frames: Int)
+  final case class VideoFrameRow(
+      media_id: Long, sample_idx: Long, frame_no: Long, n_frames: Long,
+      checksum: Long)
+
+  /** Per-media clip spec: quarter-scale frames (16–72 × 12–36), 1–7
+    * frames (the existing n_frames metadata derivation). */
+  private def videoSpecs(s: SparkSession, dir: String): DataFrame =
+    table(s, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      (lit(16) + (col("doc_id") % 8) * 8).cast("int").as("width"),
+      (lit(12) + (col("doc_id") % 5) * 6).cast("int").as("height"),
+      (lit(1) + col("doc_id") % 7).cast("int").as("n_frames"))
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** REAL frame-sampling from a multi-frame container: each row builds
+    * a GVID clip (offset-indexed BMP frames, frame f's pixels keyed by
+    * media_id·7919 + f), then samples ≤4 evenly-strided frames by
+    * SEEKING through the index — skipped frames are never decoded, the
+    * property that makes 100 TB video frame-sampling an index walk.
+    * n_frames is read from the container header; per-frame checksums
+    * come from decoded planes; the oracle recomputes both the stride
+    * rule (⌊i·nf/k⌋) and the pixel truth in closed form. */
+  val videoFrameStats: Q = Q(
+    "mm_video_frame_stats",
+    (s, dir) => {
+      import s.implicits._
+      videoSpecs(s, dir).as[VideoSpec]
+        .flatMap { v =>
+          val frames = (0 until v.n_frames).map { f =>
+            ImageCodec.encodeBmp(v.width, v.height,
+              (x, y) => ImageCodec.synthPixel(v.media_id * 7919 + f, x, y))
+          }
+          val clip = ImageCodec.encodeVideo(frames)
+          val nf = ImageCodec.videoFrameCount(clip)
+          val k = math.min(nf, 4)
+          (0 until k).map { i =>
+            val frameNo = i * nf / k
+            val d = ImageCodec.decodeVideoFrame(clip, frameNo)
+            val (_, _, _, ck) = ImageCodec.planeStats(d, T.HashMod)
+            VideoFrameRow(v.media_id, i.toLong, frameNo.toLong, nf.toLong, ck)
+          }
+        }
+        .toDF().orderBy("media_id", "sample_idx")
+    },
+    Some(
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |         CAST(16 + (doc_id % 8) * 8 AS BIGINT) AS w,
+         |         CAST(12 + (doc_id % 5) * 6 AS BIGINT) AS h,
+         |         CAST(1 + doc_id % 7 AS BIGINT) AS nf
+         |  FROM documents),
+         |si AS (
+         |  SELECT media_id, w, h, nf,
+         |         unnest(generate_series(0, least(nf, 4) - 1)) AS i,
+         |         least(nf, 4) AS k
+         |  FROM m),
+         |fr AS (
+         |  SELECT media_id, w, h, nf, i, (i * nf) // k AS f FROM si),
+         |px AS (
+         |  SELECT media_id, w, h, nf, i, f,
+         |         media_id * 7919 + f AS fid,
+         |         unnest(generate_series(0, w * h - 1)) AS p
+         |  FROM fr),
+         |c AS (
+         |  SELECT media_id, i, f, nf, w, p % w AS x, p // w AS y,
+         |         (7 * fid + 3 * (p % w) + 5 * (p // w)) % 256 AS r,
+         |         (11 * fid + 2 * (p % w) + 7 * (p // w)) % 256 AS g,
+         |         (13 * fid + 5 * (p % w) + 2 * (p // w)) % 256 AS b
+         |  FROM px)
+         |SELECT media_id, i AS sample_idx, MAX(f) AS frame_no,
+         |       CAST(MAX(nf) AS BIGINT) AS n_frames,
+         |       CAST(SUM((r + 2 * g + 3 * b) * (1 + x + y * w)) % ${T.HashMod} AS BIGINT) AS checksum
+         |FROM c GROUP BY media_id, i
+         |ORDER BY media_id, sample_idx""".stripMargin))
+
   def all: Seq[Q] = Seq(catalog, decodeFeatures, resize, frameSample,
     dedupContent, dedupPerceptual, decodeBmpStats, decodePngStats,
-    ahashCrossCodec, decodeWavStats, wavWindowEnergy)
+    ahashCrossCodec, decodeWavStats, wavWindowEnergy, videoFrameStats)
 }

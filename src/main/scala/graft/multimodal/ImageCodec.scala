@@ -224,6 +224,50 @@ object ImageCodec {
     (r << 16) | (g << 8) | b
   }
 
+  // --------------------------------------------- multi-frame container
+
+  /** Minimal multi-frame video container ("GVID"): magic + frame count
+    * + an offset index, then whole BMP frames back-to-back — the
+    * moving-parts subset of an AVI/MP4-style layout (random access via
+    * an index, codec payload per frame). [[decodeVideoFrame]] seeks
+    * frame k THROUGH the index and hands the blob to [[decodeBmp]], so
+    * frame-sampling a clip never decodes the frames it skips — the
+    * property that makes video frame-sampling at 100 TB an index walk,
+    * not a full decode. Layout (all LE):
+    * bytes 0–3 'G','V','I','D'; 4–7 n_frames; 8–(8+4n) frame byte
+    * offsets; frames follow. */
+  def encodeVideo(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "empty clip")
+    val headerLen = 8 + 4 * frames.length
+    val total = headerLen + frames.map(_.length).sum
+    val out = new Array[Byte](total)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    putIntLE(out, 4, frames.length)
+    var off = headerLen
+    frames.zipWithIndex.foreach { case (f, i) =>
+      putIntLE(out, 8 + 4 * i, off)
+      System.arraycopy(f, 0, out, off, f.length)
+      off += f.length
+    }
+    out
+  }
+
+  /** Number of frames in a GVID clip (header read only). */
+  def videoFrameCount(bytes: Array[Byte]): Int = {
+    require(bytes.length >= 8 && bytes(0) == 'G' && bytes(1) == 'V' &&
+      bytes(2) == 'I' && bytes(3) == 'D', "not a GVID clip")
+    getIntLE(bytes, 4)
+  }
+
+  /** Decode frame k via the offset index (frames ≠ k are never read). */
+  def decodeVideoFrame(bytes: Array[Byte], k: Int): Decoded = {
+    val n = videoFrameCount(bytes)
+    require(k >= 0 && k < n, s"frame $k of $n")
+    val start = getIntLE(bytes, 8 + 4 * k)
+    val end = if (k + 1 < n) getIntLE(bytes, 8 + 4 * (k + 1)) else bytes.length
+    decodeBmp(java.util.Arrays.copyOfRange(bytes, start, end))
+  }
+
   // ------------------------------------------------------- features
 
   /** Channel sums + a position-weighted checksum over a decoded plane —

@@ -92,6 +92,24 @@ class ImageCodecSpec extends AnyFunSuite {
     assert(ImageCodec.planeStats(d, m)._1 == ImageCodec.planeStats(flipped, m)._1)
   }
 
+  test("GVID container: indexed seek decodes exactly the requested frame") {
+    val frames = (0 until 5).map(f =>
+      ImageCodec.encodeBmp(6, 4, (x, y) => ImageCodec.synthPixel(1000 + f, x, y)))
+    val clip = ImageCodec.encodeVideo(frames)
+    assert(ImageCodec.videoFrameCount(clip) == 5)
+    for (f <- 0 until 5) {
+      val d = ImageCodec.decodeVideoFrame(clip, f)
+      val ref = ImageCodec.decodeBmp(frames(f))
+      assert(d.rgb.toSeq == ref.rgb.toSeq, s"frame $f")
+    }
+    // frames of different sizes round-trip too (the index carries offsets)
+    val mixed = ImageCodec.encodeVideo(Seq(
+      ImageCodec.encodeBmp(3, 3, rngPix(1)),
+      ImageCodec.encodeBmp(7, 2, rngPix(2))))
+    assert(ImageCodec.decodeVideoFrame(mixed, 1).width == 7)
+    intercept[IllegalArgumentException](ImageCodec.decodeVideoFrame(mixed, 2))
+  }
+
   test("aHash is container-invariant but pixel-sensitive") {
     val w = 64; val h = 48
     val pix = rngPix(7) _
