@@ -36,9 +36,14 @@ object ProfileSkew {
     spark.sparkContext.setLogLevel("WARN")
 
     val HotKey = 1L
+    // 10× replicated fact (~6M rows at sf0.1) with ~1/3 of rows on ONE
+    // hot key — without the inflation every variant finishes sub-second
+    // at 32 threads and the A/B can't separate (first-cut measurement)
     def fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .withColumn("rep", explode(sequence(lit(1), lit(10))))
       .select(
-        when((col("l_orderkey") * 8 + col("l_linenumber")) % 3 === 0, lit(HotKey))
+        when((col("l_orderkey") * 8 + col("l_linenumber") + col("rep")) % 3 === 0,
+          lit(HotKey))
           .otherwise(col("l_orderkey")).as("o_orderkey"),
         col("l_extendedprice"), col("l_discount"))
     def orders = spark.read.parquet(s"$sfDir/orders.parquet")
@@ -61,7 +66,14 @@ object ProfileSkew {
         agg(mk).write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"[skew-bench] $label%-10s median ${times.sorted.apply(1)}%.2f s (runs ${times.map(t => f"$t%.2f").mkString("/")})")
+      // Final-plan skew markers: must drive the SAME QueryExecution that
+      // executed (a .write spawns its own), and only a post-execution
+      // AdaptiveSparkPlan prints the final AQEShuffleRead shape.
+      val df = agg(mk)
+      df.collect()
+      val skewMarks = "skew".r.findAllIn(
+        df.queryExecution.executedPlan.toString.toLowerCase).length
+      println(f"[skew-bench] $label%-10s median ${times.sorted.apply(1)}%.2f s (runs ${times.map(t => f"$t%.2f").mkString("/")}; final-plan skew markers: $skewMarks)")
       rows
     }
 
@@ -72,9 +84,9 @@ object ProfileSkew {
         // scale the trigger to the fixture (defaults: factor 5.0 AND
         // 256 MB absolute floor — the floor never trips on a 600k-row
         // local fixture)
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
-        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "4m")
-        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "2m")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
         // forceOptimizeSkewedJoin: accept the extra shuffle if needed
         spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
       } else {
