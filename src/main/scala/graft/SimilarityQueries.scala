@@ -698,7 +698,16 @@ object SimilarityQueries {
         .persist(StorageLevel.MEMORY_AND_DISK)
       val codes = subs.filter(col("vec_id") % stride === lit(3L % stride))
         .select(col("m"), col("vec_id").as("code_id"), col("sub").as("c_sub"))
-      val encoded = subs.join(broadcast(codes), Seq("m"))
+      // Task-binary note (r10, PERF.md): this query is the registry's only
+      // "Broadcasting large task binary" source — 8 late-plan stages at
+      // 1.1–2.1 MiB, sizes growing monotonically along the ADC tail.
+      // Lineage cuts (createDataFrame and localCheckpoint at `encoded`
+      // and `dtable`) did NOT shrink them — the content is the live
+      // physical-plan fragments of the deep pipeline, not recompute
+      // lineage — and cost ~0.2 s, so they were reverted. Bounded at
+      // scale: a task binary is ONE broadcast per stage fetched per
+      // executor (~10 MB/run total here), not a per-task payload.
+      val encodedPlan = subs.join(broadcast(codes), Seq("m"))
         .select(col("vec_id"), col("m"), col("code_id"),
           l2sq(col("sub"), col("c_sub")).as("d"))
         .groupBy(col("vec_id"), col("m"))
@@ -708,6 +717,7 @@ object SimilarityQueries {
         .pivot("m", 0 until PqM)
         .agg(first(col("best.cid")))
         .toDF(("neighbor_id" +: (0 until PqM).map(m => s"c$m")): _*)
+      val encoded = encodedPlan
       val dtable = subs.filter(col("vec_id") % QueryMod === 0)
         .join(broadcast(codes), Seq("m"))
         .select(col("vec_id").as("query_id"), col("m"), col("code_id"),
