@@ -872,42 +872,121 @@ object CorpusQueries {
           (col("pos") + 1).cast("long").as("rank"))
         .orderBy("rank")
     },
-    Some {
-      val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf$i"
-      }.mkString(",\n|             ")
-      val dfs = Bm25Terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-        .mkString(",\n|             ")
-      val scores = Bm25Terms.indices.map(i =>
-        s"""CASE WHEN tf$i > 0
-           |  THEN ((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * $Bm25K1p1) /
-           |       (tf$i + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))
-           |  ELSE 0.0 END""".stripMargin)
-        .mkString("(", "\n + ", ")")
-      val anyTf = Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
-      s"""WITH t0 AS (SELECT doc_id, $ddbToks AS ts FROM documents),
-         |d AS (
-         |  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
-         |             $tfs
-         |  FROM t0),
-         |g AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-         |             sum(dl) / count(*) AS avgdl,
-         |             $dfs
-         |  FROM d),
-         |scored AS (
-         |  SELECT doc_id, $scores AS bm25
-         |  FROM d, g WHERE $anyTf),
-         |r AS (
-         |  SELECT doc_id, bm25,
-         |         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
-         |  FROM scored)
+    Some(
+      s"""WITH $ddbBm25RankedCte
          |SELECT doc_id, bm25, rank FROM r WHERE rank <= $Bm25TopK
-         |ORDER BY rank""".stripMargin
-    })
+         |ORDER BY rank""".stripMargin))
+
+  /** The BM25 scoring/ranking CTE chain (`t0 … r`), shared by the BM25
+    * oracle and the hybrid-fusion oracle. */
+  private lazy val ddbBm25RankedCte: String = {
+    val tfs = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ts, x -> x = '$t')) AS DOUBLE) AS tf$i"
+    }.mkString(",\n             ")
+    val dfs = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n             ")
+    val scores = Bm25Terms.indices.map(i =>
+      s"""CASE WHEN tf$i > 0
+         |  THEN ((n_docs - df$i + 0.5) / (df$i + 0.5)) * (tf$i * $Bm25K1p1) /
+         |       (tf$i + $Bm25K1 * ($Bm25OneMinusB + $Bm25B * dl / avgdl))
+         |  ELSE 0.0 END""".stripMargin)
+      .mkString("(", "\n + ", ")")
+    val anyTf = Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""t0 AS (SELECT doc_id, $ddbToks AS ts FROM documents),
+       |d AS (
+       |  SELECT doc_id, CAST(len(ts) AS DOUBLE) AS dl,
+       |             $tfs
+       |  FROM t0),
+       |g AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |             sum(dl) / count(*) AS avgdl,
+       |             $dfs
+       |  FROM d),
+       |scored AS (
+       |  SELECT doc_id, $scores AS bm25
+       |  FROM d, g WHERE $anyTf),
+       |r AS (
+       |  SELECT doc_id, bm25,
+       |         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank
+       |  FROM scored)""".stripMargin
+  }
+
+  /** Hybrid sparse+dense retrieval with reciprocal-rank fusion
+    * (Cormack, Clarke & Buettcher, SIGIR 2009): the modern RAG
+    * retrieval stack's default — BM25's lexical top-k and an embedding
+    * cosine top-k are fused as RRF(d) = Σ_lists 1/(60 + rank_d),
+    * rewarding documents both retrievers surface without comparing
+    * their incomparable scores. Query = the fixed [[Bm25Terms]] bag on
+    * the sparse side and document 0's embedding on the dense side
+    * (doc_id and vec_id share the id space by construction of the
+    * testdata).
+    *
+    * Float discipline: RRF is the SUM OF EXACTLY TWO terms, each
+    * 1/(60+rank) with an integer-valued rank — one correctly-rounded
+    * IEEE division per list and one addition in pinned order, so the
+    * fused score is bit-identical on both engines (the oracle casts
+    * its literals to DOUBLE: DuckDB parses bare `1.0` as DECIMAL and a
+    * decimal division would diverge). Cosine ranks reuse the
+    * order-pinned [[HashFunctions.cosine]] fold the sim_* family
+    * already hash-gates.
+    *
+    * Scale shape: each retriever keeps its own scale-correct plan (the
+    * BM25 zero-corpus-shuffle scan; the brute cosine here stands in
+    * for any ANN variant — the fusion only sees (doc_id, rank) lists);
+    * fusion itself touches ≤ 2k rows regardless of corpus size, so the
+    * final full-outer join and rank window are free. */
+  val searchHybridRrf: Q = Q(
+    "search_hybrid_rrf",
+    (s, dir) => {
+      val sparse = searchBm25.fn(s, dir)
+        .select(col("doc_id"), col("rank").as("r_bm25"))
+      val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+      val dense = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id").as("doc_id"),
+          H.cosine(col("q_emb"), col("embedding")).as("cos"))
+        .groupBy()
+        .agg(H.topKByScore(col("cos"), col("doc_id"), Bm25TopK).as("top"))
+        .select(posexplode(col("top")).as(Seq("pos", "p")))
+        .select(col("p.id").as("doc_id"), (col("pos") + 1).cast("long").as("r_cos"))
+      val w = Window.orderBy(desc("rrf"), col("doc_id"))
+      sparse.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"), col("r_bm25"), col("r_cos"),
+          (coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60.0) + col("r_cos")), lit(0.0))).as("rrf"))
+        // global window is fine HERE: at most 2k fused rows exist at any
+        // corpus size (k per retriever), never the corpus
+        .withColumn("fused_rank", row_number().over(w).cast("long"))
+        .filter(col("fused_rank") <= Bm25TopK)
+        .orderBy("fused_rank")
+    },
+    Some(
+      s"""WITH $ddbBm25RankedCte,
+         |sparse AS (SELECT doc_id, rank AS r_bm25 FROM r WHERE rank <= $Bm25TopK),
+         |qv AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |dcos AS (
+         |  SELECT n.vec_id AS doc_id,
+         |         row_number() OVER (
+         |           ORDER BY ${graft.functions.HashFunctions.cosineSql("q.q_emb", "n.embedding")} DESC,
+         |           n.vec_id ASC) AS r_cos
+         |  FROM embeddings n CROSS JOIN qv q
+         |  WHERE n.vec_id <> 0),
+         |dense AS (SELECT doc_id, r_cos FROM dcos WHERE r_cos <= $Bm25TopK),
+         |fused AS (
+         |  SELECT COALESCE(s.doc_id, de.doc_id) AS doc_id, s.r_bm25, de.r_cos,
+         |         COALESCE(CAST(1 AS DOUBLE) / CAST(60 + s.r_bm25 AS DOUBLE), CAST(0 AS DOUBLE)) +
+         |         COALESCE(CAST(1 AS DOUBLE) / CAST(60 + de.r_cos AS DOUBLE), CAST(0 AS DOUBLE)) AS rrf
+         |  FROM sparse s FULL OUTER JOIN dense de ON s.doc_id = de.doc_id),
+         |fr AS (
+         |  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+         |  FROM fused)
+         |SELECT doc_id, r_bm25, r_cos, rrf, fused_rank
+         |FROM fr WHERE fused_rank <= $Bm25TopK
+         |ORDER BY fused_rank""".stripMargin))
 
   def all: Seq[Q] = Seq(lineDedup, qualityModel, tfidfTopTerms, trigramSearch,
     bpePairCounts, bpeTrainMerges, bpeCompressionCurve, cooccurPmi,
-    perplexityLm, bpeEncode, searchBm25)
+    perplexityLm, bpeEncode, searchBm25, searchHybridRrf)
 }

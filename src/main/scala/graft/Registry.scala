@@ -19,7 +19,10 @@ import org.apache.spark.sql.functions._
   *  - every aggregate over doubles goes through an exact DECIMAL sum and
   *    is cast back to DOUBLE, so the result is bit-identical regardless
   *    of accumulation order on either engine;
-  *  - every query ends in a total ORDER BY;
+  *  - ORDER BY only where it selects WHICH rows appear (top-k/LIMIT):
+  *    the gate canon-sorts rows by all columns before hashing, so bulk
+  *    outputs must not pay a global sort for it (r10 — dropping the
+  *    four ETL loads' sorts halved pending_orders_load);
   *  - output column names/types are pinned identically on both sides;
   *  - DuckDB regexp_replace needs the 'g' flag to match Spark's
   *    replace-all semantics.
