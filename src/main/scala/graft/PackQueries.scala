@@ -318,7 +318,7 @@ object PackQueries {
       val d = table(s, dir, "documents")
         .select(col("doc_id"), T.tokenCount(col("text")).cast("long").as("n_tokens"))
       val hist = d.groupBy(col("n_tokens")).agg(count(lit(1)).as("c"))
-      val cumW = Window.partitionBy(col("n_tokens") * 0)
+      val cumW = Window.partitionBy(pmod(col("n_tokens"), lit(1)))
         .orderBy(col("n_tokens"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = hist.withColumn("cum", sum(col("c")).over(cumW))
@@ -451,9 +451,14 @@ object PackQueries {
       val ranked = ph.withColumn("rk", row_number().over(w))
       val counts = ph.groupBy(col("phase"), col("bucket"))
         .agg(count(lit(1)).as("cnt"))
-      // prefix sum over the ≤ phases·buckets-row group table (constant
-      // partition key per the bounded-frame window idiom)
-      val wOff = Window.partitionBy(col("phase") * 0)
+      // prefix sum over the ≤ phases·buckets-row group table. The
+      // constant partition key must be NON-FOLDABLE: `phase * 0`
+      // constant-folds to a literal, Catalyst drops foldable partition
+      // expressions, and the window degrades to an unpartitioned one
+      // (WindowExec "no partition defined" warnings in every sweep —
+      // r10 cleanup). pmod(phase, 1) is 0 for every row but survives
+      // folding, keeping the bounded-frame idiom warning-free.
+      val wOff = Window.partitionBy(pmod(col("phase"), lit(1)))
         .orderBy(col("phase"), col("bucket"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = counts

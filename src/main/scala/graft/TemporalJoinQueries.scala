@@ -755,7 +755,7 @@ object TemporalJoinQueries {
         .filter(col("cnt") * 2 * col("n_hours") > col("total") * 3)
         .select(col("h"))
         .withColumn("rn",
-          row_number().over(Window.partitionBy(col("h") * 0).orderBy(col("h"))))
+          row_number().over(Window.partitionBy(pmod(col("h"), lit(1))).orderBy(col("h"))))
         .groupBy((col("h") - col("rn")).as("isl"))
         .agg((min(col("h")) * HourUs).as("i_start"),
           ((max(col("h")) + 1) * HourUs - 1).as("i_end"))

@@ -543,7 +543,7 @@ object TextQueries {
       // partition key must be non-foldable (a lit would constant-fold
       // into an EMPTY partition spec = the WindowExec all-data-one-
       // partition warning), so derive the constant from the column
-      val cumW = Window.partitionBy(col("bin") * 0).orderBy(col("bin"))
+      val cumW = Window.partitionBy(pmod(col("bin"), lit(1))).orderBy(col("bin"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = d.groupBy(col("bin")).agg(count(lit(1)).as("c"))
         .withColumn("cum", sum(col("c")).over(cumW))

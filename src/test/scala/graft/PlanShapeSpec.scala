@@ -371,7 +371,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(windows(p) == 2, p)
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
-    assert(count(p, "Exchange hashpartitioning") <= 2, p)
+    // 3 hash exchanges: the (phase, bucket) data shuffle, the count-table
+    // groupBy, and the offsets window's NON-FOLDABLE constant key
+    // (pmod(phase, 1) — r10: a foldable `phase * 0` key was optimized
+    // away, silently degrading that window to single-partition-with-
+    // warning; the extra exchange moves ≤ phases·buckets rows)
+    assert(count(p, "Exchange hashpartitioning") <= 3, p)
+    // and the degradation itself must not come back: an unpartitioned
+    // window compiles to Exchange SinglePartition
+    assert(!p.contains("Exchange SinglePartition"), p)
   }
 
   test("novelty: postings-keyed joins only — no pair join, no cartesian") {
