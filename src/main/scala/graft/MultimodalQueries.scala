@@ -636,6 +636,64 @@ object MultimodalQueries {
          |FROM s GROUP BY media_id, window_idx
          |ORDER BY media_id, window_idx""".stripMargin))
 
+  final case class ResizeStats(
+      media_id: Long, new_width: Int, new_height: Int,
+      pooled_total: Long, pooled_checksum: Long)
+
+  /** REAL pixel-level resize: encode → decode → 2×2 box-filter pool
+    * over the DECODED planes ([[ImageCodec.boxPool2Stats]]) — the
+    * decode-tier completion of the payload-byte mm_resize. Pooled cells
+    * carry integer channel sums (no division), so the oracle recomputes
+    * them exactly: each pooled cell expands to its 12 closed-form
+    * channel samples. A resampling bug — wrong stride, off-by-one crop,
+    * mean-instead-of-sum — breaks the hash. */
+  val resizeDecoded: Q = Q(
+    "mm_resize_decoded",
+    (s, dir) => {
+      import s.implicits._
+      mediaSpecs(s, dir).as[MediaSpec]
+        .mapPartitions { rows =>
+          rows.map { m =>
+            val d = ImageCodec.decodeBmp(ImageCodec.encodeBmp(m.width, m.height,
+              (x, y) => ImageCodec.synthPixel(m.media_id, x, y)))
+            val (w2, h2, total, ck) = ImageCodec.boxPool2Stats(d, T.HashMod)
+            ResizeStats(m.media_id, w2, h2, total, ck)
+          }
+        }
+        .toDF().orderBy("media_id")
+    },
+    Some {
+      def chan(mul: Int, xo: String, yo: String, xs: Int, ys: Int) =
+        s"($mul * media_id + $xs * $xo + $ys * $yo) % 256"
+      def cell(dx: Int, dy: Int) = {
+        val xo = s"(2 * x2 + $dx)"; val yo = s"(2 * y2 + $dy)"
+        s"${chan(7, xo, yo, 3, 5)} + ${chan(11, xo, yo, 2, 7)} + ${chan(13, xo, yo, 5, 2)}"
+      }
+      val cellSum = Seq((0, 0), (1, 0), (0, 1), (1, 1)).map { case (dx, dy) => cell(dx, dy) }
+        .mkString("(", " + ", ")")
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id,
+         |         CAST(64 + (doc_id % 8) * 32 AS BIGINT) AS w,
+         |         CAST(48 + (doc_id % 5) * 24 AS BIGINT) AS h
+         |  FROM documents),
+         |p2 AS (
+         |  SELECT media_id, w // 2 AS w2, h // 2 AS h2,
+         |         unnest(generate_series(0, (w // 2) * (h // 2) - 1)) AS p
+         |  FROM m),
+         |c AS (
+         |  SELECT media_id, w2, h2, p % w2 AS x2, p // w2 AS y2
+         |  FROM p2),
+         |s AS (
+         |  SELECT media_id, w2, h2, x2, y2, $cellSum AS cell
+         |  FROM c)
+         |SELECT media_id,
+         |       CAST(MAX(w2) AS INT) AS new_width, CAST(MAX(h2) AS INT) AS new_height,
+         |       CAST(SUM(cell) AS BIGINT) AS pooled_total,
+         |       CAST(SUM(cell * (1 + x2 + y2 * w2)) % ${T.HashMod} AS BIGINT) AS pooled_checksum
+         |FROM s GROUP BY media_id
+         |ORDER BY media_id""".stripMargin
+    })
+
   // --------------------------------------------- REAL video decode (r10)
 
   final case class VideoSpec(media_id: Long, width: Int, height: Int, n_frames: Int)
@@ -716,5 +774,6 @@ object MultimodalQueries {
 
   def all: Seq[Q] = Seq(catalog, decodeFeatures, resize, frameSample,
     dedupContent, dedupPerceptual, decodeBmpStats, decodePngStats,
-    ahashCrossCodec, decodeWavStats, wavWindowEnergy, videoFrameStats)
+    ahashCrossCodec, decodeWavStats, wavWindowEnergy, videoFrameStats,
+    resizeDecoded)
 }

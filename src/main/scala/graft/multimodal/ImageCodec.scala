@@ -291,6 +291,41 @@ object ImageCodec {
     (sr, sg, sb, ck % hashMod)
   }
 
+  /** 2×2 box-filter downsample statistics over a decoded plane — the
+    * pixel-level RESIZE the payload-byte tier's mm_resize stands in
+    * for. Pooled cell (x, y) carries the INTEGER SUM of the 12 channel
+    * samples under it (4 pixels × r+g+b; sums, never means — no
+    * division, so the oracle is exact); odd edge rows/columns are
+    * cropped (floor semantics, the common libvips/PIL `size // 2`
+    * behavior). Returns (w/2, h/2, Σ cells, position-weighted checksum
+    * mod hashMod). */
+  def boxPool2Stats(d: Decoded, hashMod: Long): (Int, Int, Long, Long) = {
+    val w2 = d.width / 2; val h2 = d.height / 2
+    var total = 0L; var ck = 0L
+    var y = 0
+    while (y < h2) {
+      var x = 0
+      while (x < w2) {
+        var s = 0L
+        var dy = 0
+        while (dy < 2) {
+          var dx = 0
+          while (dx < 2) {
+            val p = d.rgb((2 * y + dy) * d.width + (2 * x + dx))
+            s += ((p >>> 16) & 0xff) + ((p >>> 8) & 0xff) + (p & 0xff)
+            dx += 1
+          }
+          dy += 1
+        }
+        total += s
+        ck += s * (1L + x + y.toLong * w2)
+        x += 1
+      }
+      y += 1
+    }
+    (w2, h2, total, ck % hashMod)
+  }
+
   /** 64-bit average-hash over an 8×8 sample grid of the decoded plane:
     * sample (i, j) reads pixel (⌊i·w/8⌋, ⌊j·h/8⌋), gray = r+g+b;
     * bit(i,j) = 1 iff 64·gray > Σ grays (integer compare — no float
