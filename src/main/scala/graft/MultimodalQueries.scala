@@ -405,21 +405,29 @@ object MultimodalQueries {
     * Scale shape: one mapPartitions over the spec rows, no shuffle
     * before the output sort; with stored payloads this is a scan-local
     * decode whose output is a few dozen bytes/row. */
+  /** The BMP encode→decode→stats stage as a reusable Dataset
+    * transformation: a pure mapPartitions, so the SAME code runs over a
+    * batch frame and a readStream micro-batch (StreamingSpec pins the
+    * equivalence — the codec tier is streaming-composable for free). */
+  def bmpStatsStage(specs: org.apache.spark.sql.Dataset[MediaSpec]): org.apache.spark.sql.Dataset[BmpStats] = {
+    import specs.sparkSession.implicits._
+    specs.mapPartitions { rows =>
+      rows.map { m =>
+        val bytes = ImageCodec.encodeBmp(m.width, m.height,
+          (x, y) => ImageCodec.synthPixel(m.media_id, x, y))
+        val d = ImageCodec.decodeBmp(bytes)
+        val (sr, sg, sb, ck) = ImageCodec.planeStats(d, T.HashMod)
+        BmpStats(m.media_id, d.width, d.height, bytes.length.toLong,
+          sr, sg, sb, ck)
+      }
+    }
+  }
+
   val decodeBmpStats: Q = Q(
     "mm_decode_bmp_stats",
     (s, dir) => {
       import s.implicits._
-      mediaSpecs(s, dir).as[MediaSpec]
-        .mapPartitions { rows =>
-          rows.map { m =>
-            val bytes = ImageCodec.encodeBmp(m.width, m.height,
-              (x, y) => ImageCodec.synthPixel(m.media_id, x, y))
-            val d = ImageCodec.decodeBmp(bytes)
-            val (sr, sg, sb, ck) = ImageCodec.planeStats(d, T.HashMod)
-            BmpStats(m.media_id, d.width, d.height, bytes.length.toLong,
-              sr, sg, sb, ck)
-          }
-        }
+      bmpStatsStage(mediaSpecs(s, dir).as[MediaSpec])
         .toDF().orderBy("media_id")
     },
     Some(

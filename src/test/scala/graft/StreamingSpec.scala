@@ -221,6 +221,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("codec tier composes with readStream: BMP decode stage matches batch") {
+    // The real-decode stage is a pure typed mapPartitions
+    // (MultimodalQueries.bmpStatsStage), so the identical code must run
+    // over a file stream — stage the documents parquet as a 3-file
+    // stream dir so multiple micro-batches exercise it.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("docs_stream")
+    val docs = graft.etl.Sources.table(spark, Sf, "documents")
+    docs.repartition(3).write.mode("overwrite").parquet(dir.toString)
+    def specsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      col("doc_id").as("media_id"),
+      (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
+      (lit(48) + (col("doc_id") % 5) * 24).cast("int").as("height"))
+      .as[MultimodalQueries.MediaSpec]
+    val streamed = MultimodalQueries.bmpStatsStage(specsOf(
+      spark.readStream.schema(spark.read.parquet(dir.toString).schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.toString)))
+    val q = streamed.toDF().writeStream.format("memory").queryName("bmp_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("bmp_out").collect().map(_.toSeq).toSet
+      val want = MultimodalQueries.bmpStatsStage(specsOf(docs.toDF()))
+        .toDF().collect().map(_.toSeq).toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("windowedCounts watermark: windows finalize in append mode; late data is dropped") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
