@@ -502,9 +502,11 @@ object SketchQueries {
     * range-partitioned sort, the same cost as any OPTIMIZE pass.
     * Production buckets real value domains to 16 bits via per-column
     * quantiles first; the keys here already fit. */
-  val layoutZorder: Q = Q(
-    "layout_zorder",
-    (s, dir) => {
+  /** The two-layout file-manifest frame (zorder vs linear), shared by
+    * [[layoutZorder]] (per-file detail) and [[layoutSkipGain]] (the
+    * skip-rate summary): per (layout, file) zone-map mins/maxes and the
+    * probe-range hit flag. */
+  private def layoutManifests(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
       val li = table(s, dir, "lineitem")
         .selectExpr("CAST(l_partkey AS BIGINT) & 65535 AS x",
           "CAST(l_suppkey AS BIGINT) & 65535 AS y")
@@ -538,10 +540,22 @@ object SketchQueries {
               min(col("y")) > min(col("probe_hi")))).as("probe_hit"))
       manifest("zorder", s"(${mortonSql("xb", "yb")} * f) DIV 65536")
         .unionAll(manifest("linear", "(x * f) DIV (max_x + 1)"))
-        .orderBy("layout", "file_id")
-    },
+  }
+
+  val layoutZorder: Q = Q(
+    "layout_zorder",
+    (s, dir) => layoutManifests(s, dir).orderBy("layout", "file_id"),
     Some(
-      s"""WITH li AS (
+      s"""WITH $ddbLayoutManifestCte
+         |SELECT layout, file_id, n_rows, min_part, max_part,
+         |       min_supp, max_supp, probe_hit
+         |FROM manifest
+         |ORDER BY layout, file_id""".stripMargin))
+
+  /** Shared oracle fragment: the `li…manifest` CTE chain for the layout
+    * pair. */
+  private lazy val ddbLayoutManifestCte: String =
+      s"""li AS (
          |  SELECT CAST(l_partkey AS BIGINT) & 65535 AS x,
          |         CAST(l_suppkey AS BIGINT) & 65535 AS y
          |  FROM lineitem),
@@ -565,14 +579,53 @@ object SketchQueries {
          |  FROM lb
          |  UNION ALL
          |  SELECT 'linear', (x * f) // (max_x + 1), x, y, probe_lo, probe_hi
-         |  FROM lb)
-         |SELECT layout, file_id, count(*) AS n_rows,
-         |       min(x) AS min_part, max(x) AS max_part,
-         |       min(y) AS min_supp, max(y) AS max_supp,
-         |       NOT (max(y) < min(probe_lo) OR min(y) > min(probe_hi)) AS probe_hit
-         |FROM z
-         |GROUP BY layout, file_id
-         |ORDER BY layout, file_id""".stripMargin))
+         |  FROM lb),
+         |manifest AS (
+         |  SELECT layout, file_id, count(*) AS n_rows,
+         |         min(x) AS min_part, max(x) AS max_part,
+         |         min(y) AS min_supp, max(y) AS max_supp,
+         |         NOT (max(y) < min(probe_lo) OR min(y) > min(probe_hi)) AS probe_hit
+         |  FROM z
+         |  GROUP BY layout, file_id)""".stripMargin
+
+  /** The "did clustering help" summary — what an OPTIMIZE ZORDER report
+    * should actually show: per layout, file count, probe-hit files,
+    * rows behind them, and the exact skip rates in ppm (integer
+    * division — no float percentages to diverge). The linear layout
+    * scatters the y-probe across ~every file (skip ≈ 0); the z-order
+    * layout's locality lets the SAME zone maps skip most files — the
+    * measured justification for paying the clustering write. Built on
+    * the identical manifests as [[layoutZorder]]; at 100 TB this reads
+    * manifests only, never data. */
+  val layoutSkipGain: Q = Q(
+    "layout_skip_gain",
+    (s, dir) => layoutManifests(s, dir)
+      .groupBy(col("layout"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("probe_hit"), 1L).otherwise(0L)).as("files_hit"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(col("probe_hit"), col("n_rows")).otherwise(0L))
+          .as("rows_behind_hits"))
+      .select(col("layout"), col("n_files"), col("files_hit"),
+        expr("(n_files - files_hit) * 1000000 div n_files").as("file_skip_ppm"),
+        col("rows_total"), col("rows_behind_hits"),
+        expr("(rows_total - rows_behind_hits) * 1000000 div rows_total")
+          .as("row_skip_ppm"))
+      .orderBy("layout"),
+    Some(
+      s"""WITH $ddbLayoutManifestCte
+         |SELECT layout, count(*) AS n_files,
+         |       CAST(SUM(CASE WHEN probe_hit THEN 1 ELSE 0 END) AS BIGINT) AS files_hit,
+         |       CAST((count(*) - SUM(CASE WHEN probe_hit THEN 1 ELSE 0 END)) * 1000000
+         |         // count(*) AS BIGINT) AS file_skip_ppm,
+         |       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         |       CAST(SUM(CASE WHEN probe_hit THEN n_rows ELSE 0 END) AS BIGINT) AS rows_behind_hits,
+         |       CAST((SUM(n_rows) - SUM(CASE WHEN probe_hit THEN n_rows ELSE 0 END)) * 1000000
+         |         // SUM(n_rows) AS BIGINT) AS row_skip_ppm
+         |FROM manifest
+         |GROUP BY layout
+         |ORDER BY layout""".stripMargin))
 
   /** Theta-sketch set operations (Dasgupta et al., "Theta sketch
     * framework"): estimate |A∩B| and |A∪B| of two key sets from their
@@ -1319,5 +1372,6 @@ object SketchQueries {
   def all: Seq[Q] = Seq(kmvDistinct, hllDistinct, zoneMaps, countMinFreq,
     bloomMembership,
     layoutZorder, thetaIntersect, cmJoinSize, compactionBins,
-    sampleQuantiles, hllRollup, quantileRollup, amsF2, layoutHilbert)
+    sampleQuantiles, hllRollup, quantileRollup, amsF2, layoutHilbert,
+    layoutSkipGain)
 }
