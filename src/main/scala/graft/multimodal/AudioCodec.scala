@@ -80,6 +80,9 @@ object AudioCodec {
     while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
       val id = tag(bytes, off)
       val len = getIntLE(bytes, off + 4)
+      // a crafted/corrupt negative chunk length would walk `off`
+      // backwards and hang the chunk walk — reject, don't loop
+      require(len >= 0, s"negative chunk length $len at offset $off")
       id match {
         case "fmt " =>
           val fmt = getShortLE(bytes, off + 8)

@@ -77,5 +77,9 @@ class AudioCodecSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](AudioCodec.decodeWav(notWave))
     val truncated = ok.slice(0, ok.length - 3)
     intercept[IllegalArgumentException](AudioCodec.decodeWav(truncated))
+    // a negative chunk length must be rejected, not walk the offset
+    // backwards into an infinite loop
+    val negLen = ok.clone(); negLen(19) = 0x80.toByte // fmt chunk size -> negative
+    intercept[IllegalArgumentException](AudioCodec.decodeWav(negLen))
   }
 }

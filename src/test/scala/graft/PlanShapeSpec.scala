@@ -392,6 +392,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Exchange hashpartitioning") <= 3, p)
   }
 
+  test("codec tier: decode stage is scattered off the single-file scan") {
+    val p = plan("mm_decode_png_stats")
+    // the documents table is ONE parquet file = one scan partition; a
+    // CPU-bound mapPartitions that inherits it runs single-threaded
+    // (measured 19 s -> 1.6 s at sf0.1 when scattered — PERF.md r10).
+    // The explicit round-robin repartition of the 20-byte spec rows is
+    // load-bearing and must not be refactored away.
+    assert(p.contains("RoundRobinPartitioning"), p)
+  }
+
   test("bloom filter: bitmap stays a distributed plan — no driver-collected bit table") {
     val p = plan("sketch_bloom")
     // the trained filter must be the grouped bit_or bitmap, broadcast
