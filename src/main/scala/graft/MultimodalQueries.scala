@@ -371,8 +371,14 @@ object MultimodalQueries {
     * partitions and this scatter is unnecessary — but a decode stage
     * must NEVER inherit a single-file scan's parallelism. */
   private def mediaSpecs(s: SparkSession, dir: String): DataFrame =
-    media(s, dir).select(col("media_id"), col("width"), col("height"))
+    mediaSpecsOf(media(s, dir))
       .repartition(s.sparkContext.defaultParallelism)
+
+  /** The (media_id, width, height) spec projection alone — shared with
+    * StreamingSpec's batch≡stream pin so the test always exercises the
+    * production dims derivation, never a drifted copy. */
+  def mediaSpecsOf(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("width"), col("height"))
 
   /** Shared oracle fragment: explode every (media, pixel) pair and
     * evaluate the synthetic pixel formula — the closed-form ground

@@ -707,7 +707,7 @@ object SimilarityQueries {
       // lineage — and cost ~0.2 s, so they were reverted. Bounded at
       // scale: a task binary is ONE broadcast per stage fetched per
       // executor (~10 MB/run total here), not a per-task payload.
-      val encodedPlan = subs.join(broadcast(codes), Seq("m"))
+      val encoded = subs.join(broadcast(codes), Seq("m"))
         .select(col("vec_id"), col("m"), col("code_id"),
           l2sq(col("sub"), col("c_sub")).as("d"))
         .groupBy(col("vec_id"), col("m"))
@@ -717,7 +717,6 @@ object SimilarityQueries {
         .pivot("m", 0 until PqM)
         .agg(first(col("best.cid")))
         .toDF(("neighbor_id" +: (0 until PqM).map(m => s"c$m")): _*)
-      val encoded = encodedPlan
       val dtable = subs.filter(col("vec_id") % QueryMod === 0)
         .join(broadcast(codes), Seq("m"))
         .select(col("vec_id").as("query_id"), col("m"), col("code_id"),

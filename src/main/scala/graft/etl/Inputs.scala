@@ -18,9 +18,11 @@ import scala.jdk.CollectionConverters._
   *  - [[pickInput]] replaces the dialog with a deterministic policy:
   *    newest file in a directory matching the same extension filters
   *    the dialogs pass ("*.csv" / "*.xlsx *.xls"), mtime descending
-  *    with path-name tiebreak; `None` when nothing matches — the
-  *    reference exits on an empty selection, and callers here abort the
-  *    load the same way.
+  *    with ascending path-name tiebreak; `None` when nothing matches —
+  *    the reference exits on an empty selection, and a caller composing
+  *    this with the pipelines aborts the load the same way (the
+  *    pipelines themselves keep taking resolved paths as parameters;
+  *    InputsSpec drives the composition end-to-end).
   *
   * This is driver-side file-system plumbing (one directory listing per
   * load), not a data-path operator — nothing here touches an executor.
@@ -45,7 +47,13 @@ object Inputs {
           if (raw.length >= 2 &&
             ((raw.head == '"' && raw.last == '"') ||
               (raw.head == '\'' && raw.last == '\''))) raw.tail.init
-          else raw
+          else {
+            // python-dotenv strips UNQUOTED inline comments
+            // ("PORT=1433 # note" -> "1433"); quoted values above keep
+            // their # verbatim
+            val c = raw.indexOf(" #")
+            (if (c >= 0) raw.take(c) else raw).trim
+          }
         k -> v
       }
       .filter(_._1.nonEmpty)
@@ -53,17 +61,17 @@ object Inputs {
   }
 
   /** dotenv precedence (override=False, the reference's call): the real
-    * environment wins over the file for keys present in both. */
+    * environment wins over the file for keys present in both — i.e. the
+    * file only SUPPLIES defaults. */
   def resolveConfig(
       dotenv: Map[String, String],
       env: Map[String, String] = sys.env): Map[String, String] =
-    dotenv ++ env.view.filterKeys(dotenv.contains).toMap ++
-      env.view.filterKeys(!dotenv.contains(_)).toMap
+    dotenv ++ env
 
   /** The headless file picker: newest regular file under `dir` (non-
     * recursive, like a dialog's single-directory view) whose lowercase
     * name ends with one of `extensions`; newest mtime first, full path
-    * descending as the deterministic tiebreak. `None` = the user hit
+    * ASCENDING as the deterministic tiebreak. `None` = the user hit
     * cancel — callers must abort the load (the reference exits). */
   def pickInput(dir: Path, extensions: Seq[String]): Option[Path] = {
     if (!Files.isDirectory(dir)) return None
@@ -79,11 +87,14 @@ object Inputs {
     } finally listing.close()
   }
 
-  /** Convenience: the CSV picker the cartera/pending front doors use. */
+  /** Convenience: the filter the cartera/pending CSV dialogs pass.
+    * (The pipelines themselves take resolved paths as parameters —
+    * these helpers are the headless front door a caller composes with
+    * them, exercised end-to-end by InputsSpec.) */
   def pickCsv(dir: String): Option[Path] =
     pickInput(Paths.get(dir), Seq(".csv"))
 
-  /** Convenience: the Excel picker the wor2 front door uses. */
+  /** Convenience: the filter the wor2 Excel dialog passes. */
   def pickExcel(dir: String): Option[Path] =
     pickInput(Paths.get(dir), Seq(".xlsx", ".xls"))
 }

@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * shuffle key whose hot values overwhelm single tasks in a SORT/HASH
   * join against a side that can be replicated.
   *
-  * Measured A/B (tools/ProfileSkew, r10, PERF.md): on a 6M-row fact
-  * with ~35% of rows on ONE key (hot shuffle partition 16× the median
-  * by row count), manual salting cut the join stage 3.9 → 2.4 s, while
-  * AQE's OptimizeSkewedJoin — force-enabled, thresholds dropped to
-  * 256 KB / factor 1.2 (conf names verified effective via SET -v) —
-  * logged "number of skewed partitions: left 0, right 0" and split
-  * nothing. Detection keys on map-output BYTES, and a hot partition of
+  * Measured A/B (tools/ProfileSkew, r10, PERF.md; clean re-run after a
+  * conf-leak retraction): on a 6M-row fact with ~35% of rows on ONE key
+  * (hot shuffle partition 16× the median by row count), manual salting
+  * cut the join stage 5.5 → 2.9 s, while AQE's OptimizeSkewedJoin —
+  * force-enabled, thresholds dropped to 256 KB / factor 1.2 (conf names
+  * verified effective via SET -v) — logged "number of skewed
+  * partitions: left 0, right 0" and split nothing (its variant's
+  * 4.2 s came from the smaller advisory partition size, not from skew
+  * splitting). Detection keys on map-output BYTES, and a hot partition of
   * a low-entropy key (constant key + repeated payload under lz4)
   * compresses far closer to the median than its row count suggests.
   * Guidance: treat AQE skew-split as opportunistic, VERIFY it engaged

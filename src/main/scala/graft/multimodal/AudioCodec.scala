@@ -73,24 +73,30 @@ object AudioCodec {
   def decodeWav(bytes: Array[Byte]): Pcm = {
     require(bytes.length >= 44 && tag(bytes, 0) == "RIFF" &&
       tag(bytes, 8) == "WAVE", "not a WAV")
-    var off = 12
+    // The walk runs in LONG arithmetic: a chunk length near
+    // Int.MaxValue would overflow `off + len` (or `dataOff + dataLen`)
+    // back to a small/negative Int, evading both guards and crashing
+    // uncontrolled instead of rejecting (caught in r10 review).
+    var off = 12L
     var sampleRate = -1
-    var dataOff = -1
-    var dataLen = -1
+    var dataOff = -1L
+    var dataLen = -1L
     while (off + 8 <= bytes.length && (sampleRate < 0 || dataOff < 0)) {
-      val id = tag(bytes, off)
-      val len = getIntLE(bytes, off + 4)
+      val o = off.toInt // off + 8 <= length, so the Int view is exact
+      val id = tag(bytes, o)
+      val len = getIntLE(bytes, o + 4).toLong
       // a crafted/corrupt negative chunk length would walk `off`
       // backwards and hang the chunk walk — reject, don't loop
       require(len >= 0, s"negative chunk length $len at offset $off")
       id match {
         case "fmt " =>
-          val fmt = getShortLE(bytes, off + 8)
-          val ch = getShortLE(bytes, off + 10)
-          val bits = getShortLE(bytes, off + 22)
+          require(off + 24 <= bytes.length, "truncated fmt chunk")
+          val fmt = getShortLE(bytes, o + 8)
+          val ch = getShortLE(bytes, o + 10)
+          val bits = getShortLE(bytes, o + 22)
           require(fmt == 1 && ch == 1 && bits == 16,
             s"unsupported WAV: fmt=$fmt channels=$ch bits=$bits")
-          sampleRate = getIntLE(bytes, off + 12)
+          sampleRate = getIntLE(bytes, o + 12)
         case "data" =>
           dataOff = off + 8; dataLen = len
         case _ => // skip unknown chunk
@@ -99,11 +105,12 @@ object AudioCodec {
     }
     require(sampleRate > 0 && dataOff > 0, "missing fmt/data chunk")
     require(bytes.length >= dataOff + dataLen, "truncated WAV")
-    val n = dataLen / 2
+    val n = (dataLen / 2).toInt // bounded by bytes.length via the require
+    val base = dataOff.toInt
     val samples = new Array[Short](n)
     var i = 0
     while (i < n) {
-      samples(i) = getShortLE(bytes, dataOff + 2 * i).toShort
+      samples(i) = getShortLE(bytes, base + 2 * i).toShort
       i += 1
     }
     Pcm(sampleRate, samples)

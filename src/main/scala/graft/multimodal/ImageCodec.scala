@@ -107,7 +107,13 @@ object ImageCodec {
       s"unsupported BMP: bpp=$bpp compression=$compression")
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     val stride = bmpStride(width)
-    require(bytes.length >= dataOff + stride * height, "truncated BMP")
+    // Long arithmetic: header-declared dims near Int.MaxValue overflow
+    // stride*height / width*height back to small or negative Ints,
+    // evading the truncation check and crashing in the allocation
+    // instead of rejecting (caught in r10 review)
+    require(bytes.length.toLong >= dataOff.toLong + stride.toLong * height,
+      "truncated BMP")
+    require(width.toLong * height <= Int.MaxValue, "implausible BMP dims")
     val rgb = new Array[Int](width * height)
     var y = 0
     while (y < height) {

@@ -91,6 +91,14 @@ object ProfileSkew {
         spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
       } else {
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        // reset EVERYTHING the skew branch touched — leaked confs
+        // (advisory size, forceOptimize) would make the baseline and
+        // salted variants run under different shuffle targets than
+        // they were measured with (caught in r10 review)
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+        spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+        spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
       }
     }
 

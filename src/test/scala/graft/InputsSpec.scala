@@ -24,14 +24,17 @@ class InputsSpec extends AnyFunSuite {
       "",
       "not a kv line",
       "SERVER_NAME=override.later.wins",
+      "HOST=db1 # primary instance",
       "=nokey"))
     val env = Inputs.loadDotenv(f)
     assert(env("SERVER_NAME") == "override.later.wins")
     assert(env("PORT") == "1433")
     assert(env("DATABASE_NAME") == "Ventas DB")
+    // quoted values keep their '#'; unquoted inline comments strip
     assert(env("PASSWORD") == "p#ss=word")
+    assert(env("HOST") == "db1")
     assert(!env.contains(""))
-    assert(env.size == 4)
+    assert(env.size == 5)
     assert(Inputs.loadDotenv(d.resolve("missing.env")).isEmpty)
   }
 

@@ -230,11 +230,15 @@ class StreamingSpec extends SparkSpec {
     val dir = Files.createTempDirectory("docs_stream")
     val docs = graft.etl.Sources.table(spark, Sf, "documents")
     docs.repartition(3).write.mode("overwrite").parquet(dir.toString)
-    def specsOf(df: org.apache.spark.sql.DataFrame) = df.select(
-      col("doc_id").as("media_id"),
-      (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
-      (lit(48) + (col("doc_id") % 5) * 24).cast("int").as("height"))
-      .as[MultimodalQueries.MediaSpec]
+    // re-derive specs THROUGH the production projection so this pin
+    // can't drift from the query's dims formula: the streaming frame
+    // reuses media()'s column derivations by name
+    def specsOf(df: org.apache.spark.sql.DataFrame) =
+      MultimodalQueries.mediaSpecsOf(df.select(
+        col("doc_id").as("media_id"),
+        (lit(64) + (col("doc_id") % 8) * 32).cast("int").as("width"),
+        (lit(48) + (col("doc_id") % 5) * 24).cast("int").as("height")))
+        .as[MultimodalQueries.MediaSpec]
     val streamed = MultimodalQueries.bmpStatsStage(specsOf(
       spark.readStream.schema(spark.read.parquet(dir.toString).schema)
         .option("maxFilesPerTrigger", 1).parquet(dir.toString)))
