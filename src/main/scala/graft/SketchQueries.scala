@@ -1369,9 +1369,86 @@ object SketchQueries {
          |ORDER BY layout, file_id""".stripMargin
     })
 
+  /** Deletion vectors (merge-on-read): the Delta/Iceberg answer to
+    * row-level DELETE against immutable files — instead of rewriting a
+    * file to drop rows, persist a per-file BITMAP of deleted row
+    * positions and apply it at read time. Model: orders laid out as
+    * 4096-key files (file = key div 4096, position = key mod 4096 — a
+    * stable position surrogate), a delete predicate hitting every 37th
+    * key plus a targeted range; the vector is the grouped bit_or bitmap
+    * (the sketch_bloom discipline — positions fold 64-to-a-word
+    * map-side, ≤ 64 words/file, never a row-per-delete table), and the
+    * report shows what a MoR scan needs: per file, total rows, deleted
+    * rows (Σ bit_count of the vector — the count comes FROM the bitmap,
+    * not the delete list, so the vector's content is what's gated),
+    * live rows, and a position-weighted word checksum pinning the exact
+    * bit layout. At 100 TB: deletes shuffle as (file, word, bit) — 17
+    * bytes/row pre-combine — files are never rewritten, and the scan
+    * applies vectors with one broadcast hash join on file_id. */
+  val deletionVectors: Q = Q(
+    "layout_deletion_vectors",
+    (s, dir) => {
+      val o = table(s, dir, "orders").select(
+        expr("o_orderkey div 4096").as("file_id"),
+        (col("o_orderkey") % 4096).as("pos"),
+        col("o_orderkey"), col("o_totalprice"))
+      val files = o.groupBy(col("file_id")).agg(count(lit(1)).as("n_rows"))
+      val deletes = o.filter(col("o_orderkey") % 37 === 0 ||
+        (col("o_totalprice") > 500000.0 && col("o_orderkey") % 5 === 0))
+      val vectors = deletes
+        .select(col("file_id"), expr("pos div 64").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+        .groupBy(col("file_id"), col("word"))
+        .agg(expr("bit_or(bit)").as("bits"))
+      val perFile = vectors
+        .groupBy(col("file_id"))
+        .agg(
+          sum(bit_count(col("bits"))).cast("long").as("n_deleted"),
+          // pmod keeps the signed word value engine-neutral (bit 63 set
+          // makes `bits` negative; % follows the dividend sign on both
+          // engines, pmod is the shared positive residue)
+          sum(expr(s"(word + 1) * pmod(bits, ${graft.functions.TextFunctions.HashMod})") % graft.functions.TextFunctions.HashMod)
+            .cast("long").as("vector_checksum_raw"))
+        .select(col("file_id"), col("n_deleted"),
+          expr(s"pmod(vector_checksum_raw, ${graft.functions.TextFunctions.HashMod})").as("vector_checksum"))
+      files.join(perFile, Seq("file_id"), "left")
+        .select(col("file_id"), col("n_rows"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          (col("n_rows") - coalesce(col("n_deleted"), lit(0L))).as("n_live"),
+          coalesce(col("vector_checksum"), lit(0L)).as("vector_checksum"))
+        .orderBy("file_id")
+    },
+    Some(
+      s"""WITH o AS (
+         |  SELECT o_orderkey // 4096 AS file_id, o_orderkey % 4096 AS pos,
+         |         o_orderkey, o_totalprice
+         |  FROM orders),
+         |files AS (SELECT file_id, count(*) AS n_rows FROM o GROUP BY 1),
+         |del AS (
+         |  SELECT file_id, pos FROM o
+         |  WHERE o_orderkey % 37 = 0
+         |     OR (o_totalprice > 500000.0 AND o_orderkey % 5 = 0)),
+         |vec AS (
+         |  SELECT file_id, pos // 64 AS word,
+         |         bit_or(CASE WHEN pos % 64 = 63
+         |                     THEN CAST(-9223372036854775808 AS BIGINT)
+         |                     ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INT) END) AS bits
+         |  FROM del GROUP BY 1, 2),
+         |pf AS (
+         |  SELECT file_id,
+         |         CAST(SUM(bit_count(bits)) AS BIGINT) AS n_deleted,
+         |         CAST(SUM(((word + 1) * (((bits % ${graft.functions.TextFunctions.HashMod}) + ${graft.functions.TextFunctions.HashMod}) % ${graft.functions.TextFunctions.HashMod})) % ${graft.functions.TextFunctions.HashMod}) AS BIGINT) AS raw
+         |  FROM vec GROUP BY 1)
+         |SELECT f.file_id, f.n_rows,
+         |       COALESCE(pf.n_deleted, 0) AS n_deleted,
+         |       f.n_rows - COALESCE(pf.n_deleted, 0) AS n_live,
+         |       COALESCE(((pf.raw % ${graft.functions.TextFunctions.HashMod}) + ${graft.functions.TextFunctions.HashMod}) % ${graft.functions.TextFunctions.HashMod}, 0) AS vector_checksum
+         |FROM files f LEFT JOIN pf USING (file_id)
+         |ORDER BY file_id""".stripMargin))
+
   def all: Seq[Q] = Seq(kmvDistinct, hllDistinct, zoneMaps, countMinFreq,
     bloomMembership,
     layoutZorder, thetaIntersect, cmJoinSize, compactionBins,
     sampleQuantiles, hllRollup, quantileRollup, amsF2, layoutHilbert,
-    layoutSkipGain)
+    layoutSkipGain, deletionVectors)
 }
