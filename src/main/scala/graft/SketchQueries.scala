@@ -1446,9 +1446,52 @@ object SketchQueries {
          |FROM files f LEFT JOIN pf USING (file_id)
          |ORDER BY file_id""".stripMargin))
 
+  /** The merge-on-read SCAN that applies [[deletionVectors]]: each row
+    * probes its file's vector word and survives iff its bit is clear —
+    * one broadcast hash join on (file_id, word), a bit test, then the
+    * ordinary aggregate over LIVE rows. The oracle computes the same
+    * aggregate with the plain delete predicate, so passing proves the
+    * bitmap round-trip is LOSSLESS: predicate → bitmap → bit-test
+    * selects exactly the same rows (a dropped word, wrong bit index, or
+    * sign-bit mishap changes the revenue). At 100 TB the join side is
+    * the vectors table (≤64 words/file — megabytes for millions of
+    * files), broadcast once; the fact never shuffles. */
+  val morScan: Q = Q(
+    "layout_mor_scan",
+    (s, dir) => {
+      val o = table(s, dir, "orders").select(
+        expr("o_orderkey div 4096").as("file_id"),
+        (col("o_orderkey") % 4096).as("pos"),
+        col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      val deletes = o.filter(col("o_orderkey") % 37 === 0 ||
+        (col("o_totalprice") > 500000.0 && col("o_orderkey") % 5 === 0))
+      val vectors = deletes
+        .select(col("file_id"), expr("pos div 64").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+        .groupBy(col("file_id"), col("word"))
+        .agg(expr("bit_or(bit)").as("bits"))
+      o.withColumn("word", expr("pos div 64"))
+        .join(broadcast(vectors), Seq("file_id", "word"), "left")
+        .filter(col("bits").isNull ||
+          expr("(shiftright(bits, CAST(pos % 64 AS INT)) & 1) = 0"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("live_revenue"))
+        .orderBy("o_orderpriority")
+    },
+    Some(
+      """SELECT o_orderpriority, count(*) AS n_live,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS live_revenue
+        |FROM orders
+        |WHERE NOT (o_orderkey % 37 = 0
+        |           OR (o_totalprice > 500000.0 AND o_orderkey % 5 = 0))
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin))
+
   def all: Seq[Q] = Seq(kmvDistinct, hllDistinct, zoneMaps, countMinFreq,
     bloomMembership,
     layoutZorder, thetaIntersect, cmJoinSize, compactionBins,
     sampleQuantiles, hllRollup, quantileRollup, amsF2, layoutHilbert,
-    layoutSkipGain, deletionVectors)
+    layoutSkipGain, deletionVectors, morScan)
 }
