@@ -603,7 +603,54 @@ object DqQueries {
         |FROM rep
         |ORDER BY metric""".stripMargin))
 
-  def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr,
+  /** Join-fanout health screen — run BEFORE a 100 TB join: per join
+    * key, the left×right multiplicity product is the join's output
+    * contribution, and a handful of hot keys can explode a "1:N"
+    * assumption into terabytes. The screen buckets keys by their
+    * output multiplicity (log₂ buckets), reporting key counts, actual
+    * output rows per bucket, and the exact total — versus the naive
+    * |L|+|R| intuition — so the explosion is visible from two
+    * map-side-combined aggregates WITHOUT running the join. Fixture:
+    * lineitem ⋈ lineitem-by-partkey (a genuine many-to-many: parts
+    * repeat ~30× at sf0.01). Σ cnt_l·cnt_r over keys is exactly the
+    * join's output size — the oracle cross-checks the closed form. */
+  val joinFanout: Q = Q(
+    "dq_join_fanout",
+    (s, dir) => {
+      val l = table(s, dir, "lineitem").groupBy(col("l_partkey").as("k"))
+        .agg(count(lit(1)).as("cnt_l"))
+      val r = table(s, dir, "part").select(col("p_partkey").as("k"))
+        .unionAll(table(s, dir, "lineitem")
+          .filter(col("l_linenumber") === 1).select(col("l_partkey").as("k")))
+        .groupBy(col("k")).agg(count(lit(1)).as("cnt_r"))
+      l.join(r, Seq("k"))
+        .select(col("k"), (col("cnt_l") * col("cnt_r")).as("out_rows"))
+        .groupBy(expr("CAST(length(bin(out_rows)) AS BIGINT)").as("multiplicity_bucket"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("out_rows")).cast("long").as("output_rows"),
+          max(col("out_rows")).cast("long").as("worst_key_rows"))
+        .orderBy("multiplicity_bucket")
+    },
+    Some(
+      """WITH l AS (SELECT l_partkey AS k, count(*) AS cnt_l FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT k, count(*) AS cnt_r FROM (
+        |    SELECT p_partkey AS k FROM part
+        |    UNION ALL
+        |    SELECT l_partkey FROM lineitem WHERE l_linenumber = 1)
+        |  GROUP BY k),
+        |m AS (
+        |  SELECT l.k, cnt_l * cnt_r AS out_rows
+        |  FROM l JOIN r USING (k))
+        |SELECT CAST(length(bin(out_rows)) AS BIGINT) AS multiplicity_bucket,
+        |       count(*) AS n_keys,
+        |       CAST(SUM(out_rows) AS BIGINT) AS output_rows,
+        |       CAST(MAX(out_rows) AS BIGINT) AS worst_key_rows
+        |FROM m
+        |GROUP BY 1
+        |ORDER BY multiplicity_bucket""".stripMargin))
+
+  def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr, joinFanout,
     driftTvd, benfordDigits, checksumRecon, fkOrphans, keyUniqueness,
     profileDrift)
 }

@@ -324,8 +324,54 @@ object EtlQueries {
         |GROUP BY 1
         |ORDER BY event_type""".stripMargin))
 
+  /** Schema evolution across batches — the lake reality the reference's
+    * tolerant renames (P1–P4) hint at, made first-class: an early batch
+    * lacks a column later batches carry, a late batch drops a column
+    * and adds another; the union is `unionByName(allowMissingColumns)`
+    * so absent fields surface as NULLs instead of a failed load or a
+    * positional mis-bind. Fixture: events split by id parity into an
+    * "old producer" (no props column, extra legacy_flag) and a "new
+    * producer" (props kept, no legacy_flag); the aggregate counts
+    * nulls per column per producer, gating exactly which fields each
+    * side lost. Scale: a union is a plan-level concat — zero shuffle
+    * before the aggregate. */
+  val schemaEvolution: Q = Q(
+    "etl_schema_evolution",
+    (s, dir) => {
+      val e = graft.etl.Sources.events(s, dir)
+      val oldBatch = e.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), lit("legacy").as("legacy_flag"))
+      val newBatch = e.filter(col("event_id") % 2 === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+      oldBatch.unionByName(newBatch, allowMissingColumns = true)
+        .groupBy((col("event_id") % 2 === 0).as("from_old_producer"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("legacy_flag").isNull, 1L).otherwise(0L)).as("null_legacy_flag"),
+          sum(when(col("props").isNull, 1L).otherwise(0L)).as("null_props"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy("from_old_producer")
+    },
+    Some(
+      """WITH u AS (
+        |  SELECT event_id, value,
+        |         'legacy' AS legacy_flag, CAST(NULL AS VARCHAR) AS props
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT event_id, value, NULL, props
+        |  FROM events WHERE event_id % 2 = 1)
+        |SELECT event_id % 2 = 0 AS from_old_producer,
+        |       count(*) AS n_rows,
+        |       CAST(SUM(CASE WHEN legacy_flag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_legacy_flag,
+        |       CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM u
+        |GROUP BY 1
+        |ORDER BY from_old_producer""".stripMargin))
+
   def all: Seq[Q] = Seq(
     carteraLoad, carteraRejects, pendingOrdersLoad, pendingRejects,
     ventasIncremental, ventasRerunZero, ventasDq, ventasDqPrefilter,
-    jsonlLoad)
+    jsonlLoad, schemaEvolution)
 }
