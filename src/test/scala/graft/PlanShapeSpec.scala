@@ -412,4 +412,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("bit_or"), p)
     assert(p.contains("BroadcastHashJoin"), p)
   }
+
+  test("MOR scan: DV application co-partitions on file_id — no static broadcast of the churn-unbounded DV table") {
+    // the DV table grows with TOTAL delete churn (~n_deletes/64 longs),
+    // so the static plan must shuffle-join it (broadcast is only ever a
+    // runtime AQE downgrade when the side MEASURES small); A/B at 50%
+    // churn: broadcast 1.28 s vs shuffle 0.96 s (ProfileMor, PERF.md r11)
+    val p = plan("layout_mor_scan")
+    assert(p.contains("ShuffledHashJoin [file_id"), p)
+    assert(!p.contains("BroadcastHashJoin"), p)
+  }
 }
