@@ -650,7 +650,147 @@ object DqQueries {
         |GROUP BY 1
         |ORDER BY multiplicity_bucket""".stripMargin))
 
+  /** The columns [[profileWide]] profiles — every lineitem column, with
+    * the canonical cross-engine string rendering each type hashes and
+    * compares under:
+    *   int    — plain decimal digits (identical CAST text both engines)
+    *   double — via DECIMAL(18,4) ("0.0400" both engines; a raw double
+    *            cast would hit each engine's own shortest-round-trip
+    *            formatter)
+    *   string — as-is
+    *   ts     — ISO 'yyyy-MM-dd HH:mm:ss' (lexicographic = chronologic,
+    *            so string min/max double as temporal min/max)
+    */
+  private case class WCol(name: String, kind: String)
+  private val WideCols = Seq(
+    WCol("l_orderkey", "int"), WCol("l_partkey", "int"),
+    WCol("l_suppkey", "int"), WCol("l_linenumber", "int"),
+    WCol("l_quantity", "dbl"), WCol("l_extendedprice", "dbl"),
+    WCol("l_discount", "dbl"), WCol("l_tax", "dbl"),
+    WCol("l_returnflag", "str"), WCol("l_linestatus", "str"),
+    WCol("l_shipdate", "ts"))
+  private def canonSpark(c: WCol): String = c.kind match {
+    case "int" => s"CAST(${c.name} AS STRING)"
+    case "dbl" => s"CAST(CAST(${c.name} AS DECIMAL(18,4)) AS STRING)"
+    case "str" => c.name
+    case "ts"  => s"date_format(${c.name}, 'yyyy-MM-dd HH:mm:ss')"
+  }
+  private def canonDdb(c: WCol): String = c.kind match {
+    case "int" => s"CAST(${c.name} AS VARCHAR)"
+    case "dbl" => s"CAST(CAST(${c.name} AS DECIMAL(18,4)) AS VARCHAR)"
+    case "str" => c.name
+    case "ts"  => s"strftime(${c.name}, '%Y-%m-%d %H:%M:%S')"
+  }
+  private def numExpr(c: WCol): String =
+    if (c.kind == "int" || c.kind == "dbl") s"CAST(${c.name} AS DOUBLE)"
+    else "CAST(NULL AS DOUBLE)"
+
+  /** The wide-table profile (round-10 verdict task 6): [[profile]]'s
+    * per-column-branch shape reads one narrow parquet column per branch
+    * — right at 4 columns, linear-in-columns at 100. This is the
+    * single-pass alternative for wide tables: ONE scan, each row
+    * unpivoted to (column, canonical-string, numeric) entries
+    * (`explode` of a struct array — a Generate over the scan, never a
+    * per-column re-read), then a two-level aggregate:
+    *
+    *   level 1 (col_name, hll_bucket): count / null-count / min / max
+    *     partials AND the per-bucket max HLL rank — map-side combined,
+    *     the shuffle carries ≤ cols×(m+1) rows regardless of input size
+    *   level 2 (col_name): totals, min/max folds, and the HLL estimate
+    *     from the 256 registers
+    *
+    * Distincts are the [[SketchQueries.hllDistinct]] estimator (the
+    * md5-derived engine-neutral sketch — ±6.5% at m=256), NOT exact:
+    * that is the wide-table trade the scaladoc on [[profile]] names —
+    * P exact distincts cost P shuffles of distinct values; one HLL pass
+    * costs a fixed 256-register state per column, and the DuckDB oracle
+    * replays the estimate bit-for-bit. The unpivot multiplies map-side
+    * rows ×P before combining (the per-entry cost of profiling P
+    * columns at once); nothing downstream of the first aggregate
+    * depends on input size. PlanShapeSpec pins the ONE-scan shape. */
+  val profileWide: Q = Q(
+    "dq_profile_wide",
+    (s, dir) => {
+      import SketchQueries.{hexValSql, rhoSql, HllM, HllWBits, HllEstConst}
+      val numericNames = WideCols.filter(c => c.kind == "int" || c.kind == "dbl")
+        .map(_.name)
+      val entries = WideCols.map { c =>
+        struct(lit(c.name).as("col_name"),
+          expr(canonSpark(c)).as("sval"),
+          expr(numExpr(c)).as("nval"))
+      }
+      table(s, dir, "lineitem")
+        .select(explode(array(entries: _*)).as("e"))
+        .select(col("e.col_name").as("col_name"), col("e.sval").as("sval"),
+          col("e.nval").as("nval"))
+        .withColumn("hv", expr(hexValSql("md5(sval)")))
+        .select(col("col_name"), col("sval"), col("nval"),
+          (col("hv") % HllM).as("bucket"),
+          expr(rhoSql(s"(hv div $HllM)")).as("rho"))
+        .groupBy(col("col_name"), col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("sval").isNull, lit(1))).as("nulls"),
+          max(col("rho")).as("r"),
+          min(col("nval")).as("mnn"), max(col("nval")).as("mxn"),
+          min(col("sval")).as("mns"), max(col("sval")).as("mxs"))
+        .groupBy(col("col_name"))
+        .agg(sum(col("cnt")).cast("long").as("n"),
+          sum(col("nulls")).cast("long").as("n_null"),
+          count(when(col("bucket").isNotNull, lit(1))).as("n_occupied"),
+          coalesce(
+            sum(when(col("bucket").isNotNull,
+              expr(s"shiftleft(1L, ${HllWBits + 1} - r)"))), lit(0L))
+            .as("occ_sum"),
+          min(col("mnn")).as("min_n"), max(col("mxn")).as("max_n"),
+          min(col("mns")).as("min_s"), max(col("mxs")).as("max_s"))
+        .select(col("col_name"), col("n"), col("n_null"),
+          (lit(HllM.toLong) - col("n_occupied")).as("v_empty"),
+          (expr(s"CAST($HllEstConst AS DOUBLE)") /
+            (col("occ_sum") +
+              (lit(HllM.toLong) - col("n_occupied")) *
+                lit(1L << (HllWBits + 1))).cast("double")).as("est_distinct"),
+          col("min_n").as("min_num"), col("max_n").as("max_num"),
+          when(col("col_name").isin(numericNames: _*),
+            lit(null).cast("string")).otherwise(col("min_s")).as("min_str"),
+          when(col("col_name").isin(numericNames: _*),
+            lit(null).cast("string")).otherwise(col("max_s")).as("max_str"))
+        .orderBy("col_name")
+    },
+    Some {
+      import SketchQueries.{hexValSqlDdb, rhoSql, HllM, HllWBits, HllEstConst}
+      val branches = WideCols.map { c =>
+        val numeric = c.kind == "int" || c.kind == "dbl"
+        val (minN, maxN) =
+          if (numeric) ("CAST(min(nv) AS DOUBLE)", "CAST(max(nv) AS DOUBLE)")
+          else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+        val (minS, maxS) =
+          if (numeric) ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+          else ("min(s)", "max(s)")
+        s"""SELECT '${c.name}' AS col_name, st.n, st.n_null,
+           |  CAST($HllM - reg.n_occupied AS BIGINT) AS v_empty,
+           |  CAST($HllEstConst AS DOUBLE) /
+           |    CAST(reg.occ_sum + ($HllM - reg.n_occupied)
+           |         * (CAST(1 AS BIGINT) << ${HllWBits + 1}) AS DOUBLE) AS est_distinct,
+           |  st.min_num, st.max_num, st.min_str, st.max_str
+           |FROM
+           | (SELECT count(*) AS n,
+           |         CAST(SUM(CASE WHEN s IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |         $minN AS min_num, $maxN AS max_num,
+           |         $minS AS min_str, $maxS AS max_str
+           |  FROM (SELECT ${canonDdb(c)} AS s, ${numExpr(c)} AS nv FROM lineitem)) st,
+           | (SELECT count(*) AS n_occupied,
+           |         COALESCE(CAST(sum(CAST(1 AS BIGINT) << (${HllWBits + 1} - r)) AS BIGINT), 0) AS occ_sum
+           |  FROM (SELECT bucket, max(rho) AS r FROM
+           |        (SELECT hv % $HllM AS bucket, ${rhoSql(s"(hv // $HllM)")} AS rho
+           |         FROM (SELECT ${hexValSqlDdb("md5(s)")} AS hv
+           |               FROM (SELECT ${canonDdb(c)} AS s FROM lineitem)
+           |               WHERE s IS NOT NULL) hvt) bt
+           |        GROUP BY bucket) regs) reg""".stripMargin
+      }
+      branches.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    })
+
   def all: Seq[Q] = Seq(profile, histogram, reconFullOuter, outlierIqr, joinFanout,
     driftTvd, benfordDigits, checksumRecon, fkOrphans, keyUniqueness,
-    profileDrift)
+    profileDrift, profileWide)
 }

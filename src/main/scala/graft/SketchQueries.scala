@@ -99,15 +99,15 @@ object SketchQueries {
     * 1.04/√m ≈ 6.5%. The 48-bit hash splits low-8 (bucket) /
     * high-40 (rank source), so ρ ∈ [1, 41]. */
   private val HllP = 8
-  private val HllM = 1 << HllP
-  private val HllWBits: Int = 4 * HexDigits - HllP
+  private[graft] val HllM = 1 << HllP
+  private[graft] val HllWBits: Int = 4 * HexDigits - HllP
 
   /** SQL for the HLL rank ρ(w) = (leading zeros of the [[HllWBits]]-bit
     * value `w`) + 1 — an UNROLLED descending threshold CASE: pure
     * integer comparisons against power-of-two literals, the same text
     * on both engines. No log2()/floor() doubles (exactly the libm drift
     * an oracle hash cannot tolerate), no engine-specific bit_length. */
-  private def rhoSql(w: String): String =
+  private[graft] def rhoSql(w: String): String =
     (HllWBits to 1 by -1).map { bl =>
       s"WHEN $w >= ${1L << (bl - 1)} THEN ${HllWBits - bl + 1}"
     }.mkString("CASE ", " ", s" ELSE ${HllWBits + 1} END")
@@ -140,7 +140,7 @@ object SketchQueries {
     * multiplication order or decimal-vs-double literal typing (Spark
     * parses bare `0.7213` as DECIMAL(4,4), DuckDB as its own decimal;
     * folding sidesteps both). */
-  private val HllEstConst: String = {
+  private[graft] val HllEstConst: String = {
     val alpha = 0.7213 / (1.0 + 1.079 / HllM)
     java.lang.Double.toString(
       alpha * HllM.toDouble * HllM.toDouble * (1L << (HllWBits + 1)).toDouble)

@@ -413,6 +413,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("wide profile: ONE parquet scan regardless of column count") {
+    // the per-branch dq_profile shape re-reads one narrow column per
+    // branch (right at 4 columns); the wide form must profile all 11
+    // lineitem columns from a single scan via the unpivot Generate
+    val p = plan("dq_profile_wide")
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("MOR scan: DV application co-partitions on file_id — no static broadcast of the churn-unbounded DV table") {
     // the DV table grows with TOTAL delete churn (~n_deletes/64 longs),
     // so the static plan must shuffle-join it (broadcast is only ever a
