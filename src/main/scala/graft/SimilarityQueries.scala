@@ -1364,8 +1364,105 @@ object SimilarityQueries {
          |ORDER BY nprobe""".stripMargin
     })
 
+  // ------------------------------------------- build-once / probe-many
+
+  /** On-disk home for the persisted IVF artifacts, keyed by the source
+    * data dir (distinct SFs get distinct indexes). Relative to the
+    * working directory (the harnesses run from the repo root), so
+    * nothing is written outside the project tree. */
+  private def indexRoot(dir: String): String =
+    "target/simindex/" + dir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Builds the IVF index of [[annIvf]] and PERSISTS the artifacts to
+    * parquet: the √n-strided coarse centroids and the inverted lists
+    * (every vector with its assigned centroid id). One corpus pass
+    * (broadcast argmax assignment), two writes. Returns the root. */
+  private def buildIndex(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val root = indexRoot(dir)
+    val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val stride = ivfStride(e.count())
+    val centroids = e.filter(col("vec_id") % stride === lit(3L % stride))
+      .toDF("centroid_id", "c_emb")
+    val lists = assignArgmax(e, centroids)
+    centroids.write.mode("overwrite").parquet(s"$root/centroids")
+    lists.write.mode("overwrite").parquet(s"$root/lists")
+    root
+  }
+
+  /** The production vector-store shape is build-once/probe-many — every
+    * other `sim_*` query rebuilds its index in-query because the gate
+    * runs each query standalone (round-10 verdict task 7 named the
+    * split). This pair separates the phases: `sim_index_build` runs the
+    * one corpus-touching pass and writes the IVF artifacts (centroids +
+    * inverted lists) to parquet; its gated OUTPUT is read back from the
+    * PERSISTED lists — per-centroid member count and exact member-id
+    * sum — so what the oracle hash-checks is the on-disk artifact, not
+    * the in-flight frame (a lossy write would fail here, not at probe
+    * time). At 100 TB the build is the indexing job (one n×K broadcast
+    * argmax, K≈√n); everything downstream probes the artifact. */
+  val indexBuild: Q = Q(
+    "sim_index_build",
+    (s, dir) => {
+      val root = buildIndex(s, dir)
+      s.read.parquet(s"$root/lists")
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("vec_id")).cast("long").as("member_id_sum"))
+        .orderBy("centroid_id")
+    },
+    Some(
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |params AS (SELECT GREATEST(1, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT)) AS stride FROM e),
+         |c AS (SELECT vec_id AS centroid_id, embedding AS c_emb
+         |      FROM e, params WHERE vec_id % params.stride = 3 % params.stride),
+         |assigned AS (
+         |  SELECT vec_id, centroid_id FROM (
+         |    SELECT e.vec_id, c.centroid_id,
+         |           ROW_NUMBER() OVER (
+         |             PARTITION BY e.vec_id
+         |             ORDER BY ${H.cosineSql("e.embedding", "c.c_emb")} DESC, c.centroid_id ASC) AS crank
+         |    FROM e CROSS JOIN c) WHERE crank = 1)
+         |SELECT centroid_id, count(*) AS n_members,
+         |       CAST(SUM(vec_id) AS BIGINT) AS member_id_sum
+         |FROM assigned
+         |GROUP BY centroid_id
+         |ORDER BY centroid_id""".stripMargin))
+
+  /** The probe half: top-3 ANN per query answered from the PERSISTED
+    * index — reads the centroids and inverted-list parquet plus the
+    * query subset of `embeddings`, and never re-derives an assignment
+    * (the corpus-sized argmax belongs to the build). Plan shape (pinned
+    * in PlanShapeSpec): exactly three parquet scans — centroids, lists,
+    * query rows — one rank window over the |Q|·K probe scores, and the
+    * candidate join shuffles on centroid_id. Builds the index first
+    * only if the artifact is absent (standalone-run safety; the build
+    * query always rebuilds, and both harnesses run build before probe
+    * alphabetically). Result is [[annIvf]]'s, so the SAME oracle gates
+    * it — passing proves the artifact round-trip preserved the index
+    * exactly. */
+  val indexProbe: Q = Q(
+    "sim_index_probe",
+    (s, dir) => {
+      val root = indexRoot(dir)
+      if (!new java.io.File(s"$root/lists/_SUCCESS").exists()) buildIndex(s, dir)
+      val centroids = s.read.parquet(s"$root/centroids")
+      val lists = s.read.parquet(s"$root/lists")
+        .toDF("neighbor_id", "n_emb", "centroid_id")
+      val nProbe = ivfNProbe(centroids.count())
+      val probes = probeRanks(
+        table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+          .filter(col("vec_id") % QueryMod === 0),
+        centroids, nProbe)
+      val scored = probes.join(lists, Seq("centroid_id"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          H.cosine(col("q_emb"), col("n_emb")).as("cosine"))
+      topK(scored, 3)
+    },
+    annIvf.oracle)
+
   def all: Seq[Q] =
     Seq(knnBrute, knnTopK, annLsh, annIvf, annIvfKmeans, quantizeInt8, pqAdc,
       annIvfPq, knnLabelEval, mrlRecall, centroidClassify, silhouette,
-      rerankMmr, nprobeSweep)
+      rerankMmr, nprobeSweep, indexBuild, indexProbe)
 }

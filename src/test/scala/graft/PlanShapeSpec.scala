@@ -413,6 +413,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("index probe answers from the persisted artifact — no corpus re-assignment") {
+    // build-once/probe-many: the probe plan reads exactly three parquet
+    // sources (centroids, inverted lists, the query rows) and ranks
+    // only the |Q|·K probe scores — a corpus-sized argmax re-derivation
+    // would appear as a fourth scan + a corpus-keyed aggregate
+    val p = plan("sim_index_probe")
+    assert(count(p, "Scan parquet") == 3, p)
+    assert(p.contains("simindex"), p)
+    // one rank window (WindowGroupLimit pre-filters are fine); ranked
+    // rows are the |Q|·K probe scores, never the corpus
+    assert(count(p, "Window [") == 1, p)
+  }
+
   test("wide profile: ONE parquet scan regardless of column count") {
     // the per-branch dq_profile shape re-reads one narrow column per
     // branch (right at 4 columns); the wide form must profile all 11
