@@ -43,4 +43,41 @@ class DppSpec extends SparkSpec {
     assert(joined.count() == expected)
     assert(expected > 0)
   }
+
+  test("layout_dpp_scan at sf0.1: runtime pruning opens only the hot month partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sf01 = "/root/testdata/sf0.1"
+    val df = Registry.queries("layout_dpp_scan")(spark, sf01)
+
+    // the fact scan must carry the runtime subquery filter
+    assert(df.queryExecution.executedPlan.toString.contains("dynamicpruning"),
+      df.queryExecution.executedPlan.toString)
+
+    val rows = df.collect()
+    // semantic pin: exactly the hot months, matching the static predicate
+    val hotMonths = spark.read
+      .parquet("/root/testdata/sf0.1/lineitem.parquet")
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("m")).distinct()
+      .filter(expr("(CAST(substr(m, 1, 4) AS INT) * 12 + " +
+        "CAST(substr(m, 6, 2) AS INT)) % 4 = 0"))
+      .count()
+    assert(rows.length == hotMonths && hotMonths > 0, s"${rows.length} vs $hotMonths")
+
+    // runtime pin: the executed fact scan READ only that many partition
+    // directories (the numPartitions driver metric counts directories
+    // surviving the dynamic filter — a static-only plan reads all ~84)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      (p +: p.children.flatMap(allNodes)) ++ (p match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => Seq.empty
+      })
+    val factScan = allNodes(df.queryExecution.executedPlan).collectFirst {
+      case f: FileSourceScanExec if f.toString.contains("/dpp/") &&
+        f.toString.contains("fact") => f
+    }.getOrElse(fail("no fact FileSourceScanExec found in executed plan"))
+    val partsRead = factScan.metrics("numPartitions").value
+    assert(partsRead == hotMonths, s"read $partsRead partitions, hot=$hotMonths")
+  }
 }
