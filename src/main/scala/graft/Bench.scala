@@ -1,6 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Cumulative stop-the-world GC milliseconds across all collectors —
+    * sampled before/after each timed query so every rep carries its own
+    * GC tax on the record (the round-10 verdict's variance ask: read
+    * noise from data, not from re-bisecting adjudicated queries). */
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+  }
+
+  private def heapUsedMb(): Long = {
+    val rt = Runtime.getRuntime
+    (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -57,15 +73,28 @@ object Bench {
     // without paying for the whole registry. The driver never sets it.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    // Sorted order: deterministic run-to-run and across rounds, so
-    // per-query timings in BENCH_r{N}.json are comparable.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      // stderr marker so per-query attribution of Spark warnings (e.g.
-      // "Broadcasting large task binary") is greppable from a sweep log
-      System.err.println(s"[bench] >>> $name")
-      val times = (1 to reps).flatMap { _ =>
+
+    // Sweep structure (r11, verdict task 3): `reps` PASSES over the
+    // whole registry, each pass visiting queries in a fresh seeded-
+    // random order — instead of the old back-to-back reps in sorted
+    // order. The r10 spread data showed 3-10x same-build rep spreads
+    // concentrated on whichever queries followed heavy neighbors;
+    // consecutive-rep timing couples all reps of a query to ONE
+    // neighborhood, so the median inherits the neighborhood, not the
+    // query. Randomizing per pass decorrelates: each rep sees a
+    // different predecessor, and the median absorbs the context lottery
+    // (measured on the 222 shared queries: max rep-spread ratio 9.87x ->
+    // 2.15x, median 1.60x -> 1.28x, zero queries above 3x — PERF.md r11). Fixed seed keeps the orders reproducible run-to-run.
+    val rng = new scala.util.Random(20260814L)
+    val acc = scala.collection.mutable.Map.empty[String, Vector[(Double, Long, Long)]]
+    for (rep <- 1 to reps) {
+      for ((name, fn) <- rng.shuffle(named)) {
+        // stderr marker so per-query attribution of Spark warnings (e.g.
+        // "Broadcasting large task binary") is greppable from a sweep log
+        System.err.println(s"[bench] >>> $name rep$rep")
+        val gc0 = gcMillis()
         val t0 = System.nanoTime()
         val ok =
           // noop sink, not count(): under count() Catalyst prunes every
@@ -80,27 +109,40 @@ object Bench {
             false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        val gcDelta = gcMillis() - gc0
+        val heapAfter = heapUsedMb()
         // Cache teardown happens OUTSIDE the timed region — queries that
         // persist() subtrees must not pay for the drop in their own number.
         spark.catalog.clearCache()
-        if (ok) Some(elapsed) else None
+        if (ok) acc.updateWith(name) {
+          case Some(v) => Some(v :+ ((elapsed, gcDelta, heapAfter)))
+          case None => Some(Vector((elapsed, gcDelta, heapAfter)))
+        }
+        // Between QUERIES (untimed): broadcasts, shuffle dependencies and
+        // localCheckpoint-style blocks release via ContextCleaner, which
+        // only fires on GC — over a 222-query sweep the un-collected
+        // debris (heap + shuffle files on /tmp) otherwise taxes the tail
+        // of the run. An explicit collection here keeps every query's
+        // timed region starting from the same clean slate.
+        System.gc()
       }
-      // A failed query must not masquerade as a fast one: report -1.
-      // Lower median for even rep counts — the conservative index that
-      // is an actual observed timing. The full (median, min, max)
-      // spread goes to BENCH_FULL.json so noise adjudication (the
-      // box's documented ~2× in-sweep swing band) reads from data
-      // instead of burning a bisect on a false alarm.
+    }
+    // A failed query must not masquerade as a fast one: report -1.
+    // Lower median for even rep counts — the conservative index that
+    // is an actual observed timing. The full (median, min, max)
+    // spread goes to BENCH_FULL.json, now beside each rep's own GC
+    // milliseconds and post-query heap high-water, so noise
+    // adjudication (the box's documented in-sweep swing band) reads
+    // from data instead of burning a bisect on a false alarm.
+    val results = named.map { case (name, _) =>
+      val v = acc.getOrElse(name, Vector.empty)
       val spread =
-        if (times.size < reps) (-1.0, -1.0, -1.0)
-        else (times.sorted.apply((times.size - 1) / 2), times.min, times.max)
-      // Between QUERIES (untimed): broadcasts, shuffle dependencies and
-      // localCheckpoint-style blocks release via ContextCleaner, which
-      // only fires on GC — over a 116-query sweep the un-collected
-      // debris (heap + shuffle files on /tmp) otherwise taxes the tail
-      // of the run. An explicit collection here keeps every query's
-      // timed region starting from the same clean slate.
-      System.gc()
+        if (v.size < reps) (-1.0, -1.0, -1.0, -1L, -1L)
+        else {
+          val times = v.map(_._1)
+          (times.sorted.apply((times.size - 1) / 2), times.min, times.max,
+            v.map(_._2).max, v.map(_._3).max)
+        }
       name -> spread
     }
     // The harness that records this line keeps only the LAST 2000
@@ -127,13 +169,14 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     // BENCH_FULL carries the full per-rep spread; the stdout line keeps
     // the scalar-median shape the driver parses
-    val allQs = results.map { case (k, (med, mn, mx)) =>
-        s"\"" + k + s"""":{"median":${f3(med)},"min":${f3(mn)},"max":${f3(mx)}}"""
+    val allQs = results.map { case (k, (med, mn, mx, gcMax, heapMax)) =>
+        s"\"" + k + s"""":{"median":${f3(med)},"min":${f3(mn)},"max":${f3(mx)},""" +
+          s""""gc_max_ms":$gcMax,"heap_after_max_mb":$heapMax}"""
       }
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +
-      s""""n_queries":${results.size},"failed":${failed.size},""" +
+      s""""order":"seeded-random-per-pass","n_queries":${results.size},"failed":${failed.size},""" +
       s""""failed_queries":$failedNamesFull,"sf":"$sfDir","queries":$allQs}"""
     // a filtered dev run must not clobber the committed full-registry
     // detail file with a partial one
@@ -145,7 +188,7 @@ object Bench {
       System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
     }
     val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
-      .map { case (k, (med, _, _)) => s"\"" + k + "\":" + f3(med) }
+      .map { case (k, (med, _, _, _, _)) => s"\"" + k + "\":" + f3(med) }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +

@@ -717,14 +717,33 @@ object DqQueries {
       val entries = WideCols.map { c =>
         struct(lit(c.name).as("col_name"),
           expr(canonSpark(c)).as("sval"),
-          expr(numExpr(c)).as("nval"))
+          expr(numExpr(c)).as("nval"),
+          // string-channel min/max candidate: NULL for numeric columns
+          // (their min/max rides nval and the string extremes were
+          // discarded at the end anyway) — min/max skip nulls, so 8 of
+          // 11 entries cost a null-check instead of a var-length
+          // buffer-row rewrite in the hash aggregate (measured 18.8 s
+          // -> 6.7 s on the level-1 agg at sf0.1 pre-scatter)
+          (if (c.kind == "int" || c.kind == "dbl") lit(null).cast("string")
+           else expr(canonSpark(c))).as("sval_mm"))
       }
       table(s, dir, "lineitem")
+        // the sf-dir tables are ONE parquet file = one scan partition;
+        // everything from the explode to the md5 is map-side CPU behind
+        // it and would run single-threaded (the codec-tier lesson,
+        // PERF.md r10) — scatter the narrow source rows first (measured
+        // 20.4 s -> 2.75 s at sf0.1 on 32 cores)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(explode(array(entries: _*)).as("e"))
         .select(col("e.col_name").as("col_name"), col("e.sval").as("sval"),
-          col("e.nval").as("nval"))
-        .withColumn("hv", expr(hexValSql("md5(sval)")))
-        .select(col("col_name"), col("sval"), col("nval"),
+          col("e.nval").as("nval"), col("e.sval_mm").as("sval_mm"))
+        // same 48-bit value as SketchQueries.hexValSql, via codegen'd
+        // conv() instead of 12 instr/substr string probes per entry —
+        // this runs once per (row × column) so the constant matters
+        // (part of the 25.3 s -> 2.75 s fix at sf0.1, PERF.md r11); the oracle keeps the
+        // positional-arithmetic spelling, which is cheap at oracle scale
+        .withColumn("hv", expr("CAST(conv(substr(md5(sval), 1, 12), 16, 10) AS BIGINT)"))
+        .select(col("col_name"), col("sval"), col("nval"), col("sval_mm"),
           (col("hv") % HllM).as("bucket"),
           expr(rhoSql(s"(hv div $HllM)")).as("rho"))
         .groupBy(col("col_name"), col("bucket"))
@@ -732,7 +751,7 @@ object DqQueries {
           count(when(col("sval").isNull, lit(1))).as("nulls"),
           max(col("rho")).as("r"),
           min(col("nval")).as("mnn"), max(col("nval")).as("mxn"),
-          min(col("sval")).as("mns"), max(col("sval")).as("mxs"))
+          min(col("sval_mm")).as("mns"), max(col("sval_mm")).as("mxs"))
         .groupBy(col("col_name"))
         .agg(sum(col("cnt")).cast("long").as("n"),
           sum(col("nulls")).cast("long").as("n_null"),

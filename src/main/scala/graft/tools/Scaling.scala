@@ -15,7 +15,11 @@ import org.apache.spark.sql.SparkSession
   * (a 30 ms query jittering to 400 ms) from crying wolf.
   *
   * Run: SPARK_GRAFT_SCALING_REPS=2 sbt 'runMain graft.tools.Scaling'
-  * (writes SCALING.json in the working directory). */
+  * (writes SCALING.json in the working directory). The decade is
+  * env-configurable for the second-decade study (r11):
+  * SPARK_GRAFT_SCALING_SMALL / _LARGE pick the two dirs,
+  * SPARK_GRAFT_SCALING_ONLY (comma-separated names) restricts the
+  * sweep, SPARK_GRAFT_SCALING_OUT renames the output file. */
 object Scaling {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -37,8 +41,16 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id)").collect()
 
+    val smallDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_SMALL", "/root/testdata/sf0.01")
+    val largeDir = sys.env.getOrElse("SPARK_GRAFT_SCALING_LARGE", "/root/testdata/sf0.1")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING.json")
+    val only = sys.env.get("SPARK_GRAFT_SCALING_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
     def sweep(sfDir: String): Map[String, Double] =
-      graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      graft.SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.forall(_.contains(name)) }
+        .map { case (name, fn) =>
         val times = (1 to reps).flatMap { _ =>
           val t0 = System.nanoTime()
           val ok =
@@ -58,8 +70,8 @@ object Scaling {
         name -> med
       }.toMap
 
-    val small = sweep("/root/testdata/sf0.01")
-    val large = sweep("/root/testdata/sf0.1")
+    val small = sweep(smallDir)
+    val large = sweep(largeDir)
     val names = small.keySet.toSeq.sorted
     def f(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val rows = names.map { n =>
@@ -79,8 +91,8 @@ object Scaling {
       s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("SCALING.json"), json.getBytes("UTF-8"))
-    println(s"[scaling] total sf0.01 ${f(totS)} s, sf0.1 ${f(totL)} s, " +
+      java.nio.file.Paths.get(outFile), json.getBytes("UTF-8"))
+    println(s"[scaling] total $smallDir ${f(totS)} s, $largeDir ${f(totL)} s, " +
       s"ratio ${f(totL / totS)} on 10x data; superlinear: " +
       (if (superlinear.isEmpty) "none" else superlinear.mkString(", ")))
     spark.stop()

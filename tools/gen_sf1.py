@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Dev-only generator for the SECOND scaling decade (round-10 verdict
+task 1): an sf1 dataset 10x /root/testdata/sf0.1, written under
+target/sf1 (the testdata tree is read-only).
+
+Relational tables are replicated 10x with per-replica KEY OFFSETS and
+matching foreign-key remaps — every key stride equals the sf0.1 key-
+space size, so join fanout, selectivities, and value distributions are
+preserved exactly (each replica is a disjoint shard of the same
+generative world; TPC-H itself scales this way: linear entity counts,
+fixed dims). nation/region stay fixed-size dims. Event timestamps keep
+the same one-month window: 10x users at the same per-user density, so
+sessionization scales in users, not in session length.
+
+documents/embeddings are NOT replicated — cloning would multiply every
+near-dup cluster 10x and measure a denser graph, not a bigger corpus
+(same reasoning as gen_scale.py). They are re-generated at 10x size
+with gen_scale.py's process (the same generative family the driver's
+tables use: vocab sentences + 20% word-perturbed near-dups, unit
+normal 64-dim vectors, label = id % 10).
+
+Usage: python3 tools/gen_sf1.py [out_dir]   (default target/sf1)
+
+NOT part of the shipped library — generation + measurement only.
+"""
+import random
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import gen_scale
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+# table -> {column: stride} (stride = sf0.1 key-space size)
+OFFSETS = {
+    "customer": {"c_custkey": 15000},
+    "supplier": {"s_suppkey": 1000},
+    "part": {"p_partkey": 20000},
+    "orders": {"o_orderkey": 150000, "o_custkey": 15000},
+    "lineitem": {"l_orderkey": 150000, "l_partkey": 20000,
+                 "l_suppkey": 1000},
+    "events": {"event_id": 100000, "user_id": 1500},
+}
+COPY = ["region", "nation"]
+
+
+def replicate(name, out_dir):
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    shards = []
+    for r in range(REPLICAS):
+        cols = []
+        for field in t.schema:
+            col = t.column(field.name)
+            off = OFFSETS[name].get(field.name)
+            if off is not None and r > 0:
+                col = pa.compute.add(col, pa.scalar(off * r, field.type))
+            cols.append(col)
+        shards.append(pa.table(dict(zip(t.column_names, cols))))
+    big = pa.concat_tables(shards)
+    pq.write_table(big, f"{out_dir}/{name}.parquet")
+    print(f"{name}: {t.num_rows} -> {big.num_rows}")
+
+
+def main():
+    out = sys.argv[1] if len(sys.argv) > 1 else "target/sf1"
+    import os
+    os.makedirs(out, exist_ok=True)
+    for t in COPY:
+        pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"),
+                       f"{out}/{t}.parquet")
+        print(f"{t}: copied")
+    for t in OFFSETS:
+        replicate(t, out)
+    rng = random.Random(7)
+    pq.write_table(gen_scale.gen_docs(50000, rng),
+                   f"{out}/documents.parquet")
+    pq.write_table(gen_scale.gen_vecs(20000, 7),
+                   f"{out}/embeddings.parquet")
+    print(f"documents: 50000 generated; embeddings: 20000 generated")
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

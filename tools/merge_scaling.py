@@ -1,0 +1,39 @@
+#!/usr/bin/env python3
+"""Dev-only: fold the second-decade scaling run into SCALING.json.
+
+Inputs: SCALING.json (decade 1, full registry, sf0.01->sf0.1 — written
+by graft.tools.Scaling with default env) and SCALING2.json (decade 2,
+top-cost subset, sf0.1->target/sf1). Output: SCALING.json with the
+decade-2 block under "decade2", so the standing artifact carries both
+10x steps (the 100x claim = two measured decades).
+
+Usage: python3 tools/merge_scaling.py
+"""
+import json
+
+with open("SCALING.json") as f:
+    d1 = json.load(f)
+with open("SCALING2.json") as f:
+    d2 = json.load(f)
+
+d1.pop("decade2", None)
+d1["decade2"] = {
+    "small_dir": "/root/testdata/sf0.1",
+    "large_dir": "target/sf1",
+    "reps": d2["reps"],
+    "data_factor": d2["data_factor"],
+    "total_small": d2["total_sf001"],
+    "total_large": d2["total_sf01"],
+    "total_ratio": d2["total_ratio"],
+    "superlinear": d2["superlinear"],
+    "queries": {
+        name: {"small": v["sf001"], "large": v["sf01"], "ratio": v["ratio"]}
+        for name, v in d2["queries"].items()
+    },
+}
+with open("SCALING.json", "w") as f:
+    json.dump(d1, f, separators=(",", ":"))
+print(f"merged: decade1 n={len(d1['queries'])} ratio={d1['total_ratio']}, "
+      f"decade2 n={len(d1['decade2']['queries'])} "
+      f"ratio={d1['decade2']['total_ratio']} "
+      f"superlinear2={d1['decade2']['superlinear']}")
