@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.Registry.Q
 import graft.etl.Sources.table
@@ -661,8 +662,8 @@ object DqQueries {
     *   ts     — ISO 'yyyy-MM-dd HH:mm:ss' (lexicographic = chronologic,
     *            so string min/max double as temporal min/max)
     */
-  private case class WCol(name: String, kind: String)
-  private val WideCols = Seq(
+  private[graft] case class WCol(name: String, kind: String)
+  private[graft] val WideCols = Seq(
     WCol("l_orderkey", "int"), WCol("l_partkey", "int"),
     WCol("l_suppkey", "int"), WCol("l_linenumber", "int"),
     WCol("l_quantity", "dbl"), WCol("l_extendedprice", "dbl"),
@@ -708,45 +709,54 @@ object DqQueries {
     * rows ×P before combining (the per-entry cost of profiling P
     * columns at once); nothing downstream of the first aggregate
     * depends on input size. PlanShapeSpec pins the ONE-scan shape. */
-  val profileWide: Q = Q(
-    "dq_profile_wide",
-    (s, dir) => {
-      import SketchQueries.{hexValSql, rhoSql, HllM, HllWBits, HllEstConst}
-      val numericNames = WideCols.filter(c => c.kind == "int" || c.kind == "dbl")
-        .map(_.name)
-      val entries = WideCols.map { c =>
-        struct(lit(c.name).as("col_name"),
-          expr(canonSpark(c)).as("sval"),
-          expr(numExpr(c)).as("nval"),
-          // string-channel min/max candidate: NULL for numeric columns
-          // (their min/max rides nval and the string extremes were
-          // discarded at the end anyway) — min/max skip nulls, so 8 of
-          // 11 entries cost a null-check instead of a var-length
-          // buffer-row rewrite in the hash aggregate (measured 18.8 s
-          // -> 6.7 s on the level-1 agg at sf0.1 pre-scatter)
-          (if (c.kind == "int" || c.kind == "dbl") lit(null).cast("string")
-           else expr(canonSpark(c))).as("sval_mm"))
-      }
-      table(s, dir, "lineitem")
-        // the sf-dir tables are ONE parquet file = one scan partition;
-        // everything from the explode to the md5 is map-side CPU behind
-        // it and would run single-threaded (the codec-tier lesson,
-        // PERF.md r10) — scatter the narrow source rows first (measured
-        // 20.4 s -> 2.75 s at sf0.1 on 32 cores)
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(explode(array(entries: _*)).as("e"))
-        .select(col("e.col_name").as("col_name"), col("e.sval").as("sval"),
-          col("e.nval").as("nval"), col("e.sval_mm").as("sval_mm"))
-        // same 48-bit value as SketchQueries.hexValSql, via codegen'd
-        // conv() instead of 12 instr/substr string probes per entry —
-        // this runs once per (row × column) so the constant matters
-        // (part of the 25.3 s -> 2.75 s fix at sf0.1, PERF.md r11); the oracle keeps the
-        // positional-arithmetic spelling, which is cheap at oracle scale
-        .withColumn("hv", expr("CAST(conv(substr(md5(sval), 1, 12), 16, 10) AS BIGINT)"))
-        .select(col("col_name"), col("sval"), col("nval"), col("sval_mm"),
-          (col("hv") % HllM).as("bucket"),
-          expr(rhoSql(s"(hv div $HllM)")).as("rho"))
-        .groupBy(col("col_name"), col("bucket"))
+  /** [[profileWide]]'s one-scan frame over an ARBITRARY source and
+    * column set — factored out (r13) so the ≥50-column plan pin
+    * (PlanShapeSpec) and the staged-fix A/B (tools/ProfileWide) run
+    * the exact production shape instead of a test re-implementation.
+    * `scatter`/`legacyHv` exist ONLY so the A/B tool can reconstruct
+    * the "before" stages of the r11 25.3 s → 2.75 s fix (PERF.md r11);
+    * the registry query always runs (scatter = true, legacyHv =
+    * false). */
+  private[graft] def wideProfileFrame(
+      src: DataFrame, cols: Seq[WCol], parallelism: Int,
+      scatter: Boolean = true, legacyHv: Boolean = false): DataFrame = {
+    import SketchQueries.{hexValSql, rhoSql, HllM, HllWBits, HllEstConst}
+    val numericNames = cols.filter(c => c.kind == "int" || c.kind == "dbl")
+      .map(_.name)
+    val entries = cols.map { c =>
+      struct(lit(c.name).as("col_name"),
+        expr(canonSpark(c)).as("sval"),
+        expr(numExpr(c)).as("nval"),
+        // string-channel min/max candidate: NULL for numeric columns
+        // (their min/max rides nval and the string extremes were
+        // discarded at the end anyway) — min/max skip nulls, so 8 of
+        // 11 entries cost a null-check instead of a var-length
+        // buffer-row rewrite in the hash aggregate (measured 18.8 s
+        // -> 6.7 s on the level-1 agg at sf0.1 pre-scatter)
+        (if (c.kind == "int" || c.kind == "dbl") lit(null).cast("string")
+         else expr(canonSpark(c))).as("sval_mm"))
+    }
+    // the sf-dir tables are ONE parquet file = one scan partition;
+    // everything from the explode to the md5 is map-side CPU behind
+    // it and would run single-threaded (the codec-tier lesson,
+    // PERF.md r10) — scatter the narrow source rows first (measured
+    // 20.4 s -> 2.75 s at sf0.1 on 32 cores)
+    (if (scatter) src.repartition(parallelism) else src)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.col_name").as("col_name"), col("e.sval").as("sval"),
+        col("e.nval").as("nval"), col("e.sval_mm").as("sval_mm"))
+      // same 48-bit value as SketchQueries.hexValSql, via codegen'd
+      // conv() instead of 12 instr/substr string probes per entry —
+      // this runs once per (row × column) so the constant matters
+      // (part of the 25.3 s -> 2.75 s fix at sf0.1, PERF.md r11); the oracle keeps the
+      // positional-arithmetic spelling, which is cheap at oracle scale
+      .withColumn("hv", expr(
+        if (legacyHv) hexValSql("md5(sval)")
+        else "CAST(conv(substr(md5(sval), 1, 12), 16, 10) AS BIGINT)"))
+      .select(col("col_name"), col("sval"), col("nval"), col("sval_mm"),
+        (col("hv") % HllM).as("bucket"),
+        expr(rhoSql(s"(hv div $HllM)")).as("rho"))
+      .groupBy(col("col_name"), col("bucket"))
         .agg(count(lit(1)).as("cnt"),
           count(when(col("sval").isNull, lit(1))).as("nulls"),
           max(col("rho")).as("r"),
@@ -774,7 +784,32 @@ object DqQueries {
           when(col("col_name").isin(numericNames: _*),
             lit(null).cast("string")).otherwise(col("max_s")).as("max_str"))
         .orderBy("col_name")
-    },
+  }
+
+  /** Deterministic P-column widening of lineitem — measurement/pin
+    * support for the linear-in-columns claim on [[profileWide]] (r12
+    * verdict task 6): column i cycles int/dbl/str/ts, each derived
+    * from a lineitem column so value widths and distributions stay
+    * realistic. Returns the widened frame (write it to parquet before
+    * profiling — the one-scan pin is about the SCAN, not an in-memory
+    * projection) plus its WCol descriptors. */
+  private[graft] def syntheticWide(src: DataFrame, p: Int): (DataFrame, Seq[WCol]) = {
+    val specs = (0 until p).map { i =>
+      i % 4 match {
+        case 0 => (expr(s"l_orderkey * 31 + $i"), WCol(s"w$i", "int"))
+        case 1 => (expr(s"l_extendedprice * (1.0d + $i * 0.01d)"), WCol(s"w$i", "dbl"))
+        case 2 => (expr(s"concat(l_returnflag, '_', CAST((l_partkey + $i) % 97 AS STRING))"),
+          WCol(s"w$i", "str"))
+        case _ => (expr("l_shipdate"), WCol(s"w$i", "ts"))
+      }
+    }
+    (src.select(specs.map { case (e, c) => e.as(c.name) }: _*), specs.map(_._2))
+  }
+
+  val profileWide: Q = Q(
+    "dq_profile_wide",
+    (s, dir) => wideProfileFrame(
+      table(s, dir, "lineitem"), WideCols, s.sparkContext.defaultParallelism),
     Some {
       import SketchQueries.{hexValSqlDdb, rhoSql, HllM, HllWBits, HllEstConst}
       val branches = WideCols.map { c =>

@@ -426,11 +426,50 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Window [") == 1, p)
   }
 
+  test("PQ index probe answers from the persisted codebooks/codes — no corpus re-encode") {
+    // the corpus-sized PQ encode (posexplode over every vector + the
+    // per-(vector,subspace) argmax + the pivot-to-wide aggregate)
+    // belongs to sim_index_build; the probe reads the pq_codebooks /
+    // pq_codes artifacts, and its four ADC lookups read the CACHED
+    // |Q|·M·K query distance table (raw "Scan parquet" counting is
+    // misleading here: each InMemoryRelation printout embeds its
+    // cached child plan, so the dtable's two source scans appear once
+    // per lookup in the text while executing once)
+    val p = plan("sim_index_pq_probe")
+    assert(p.contains("pq_codebooks") && p.contains("pq_codes"), p)
+    assert(count(p, "InMemoryTableScan") == 4, p)
+    // re-encode signatures: sim_pq_adc's in-query encode plans as a
+    // pivot aggregate ("first(if (...") over the per-subspace argmax
+    // ("max(struct("); neither may appear in the probe plan
+    assert(!p.contains("first(if ("), p)
+    assert(!p.contains("max(struct"), p)
+  }
+
   test("wide profile: ONE parquet scan regardless of column count") {
     // the per-branch dq_profile shape re-reads one narrow column per
     // branch (right at 4 columns); the wide form must profile all 11
     // lineitem columns from a single scan via the unpivot Generate
     val p = plan("dq_profile_wide")
+    assert(count(p, "Scan parquet") == 1, p)
+    assert(p.contains("Generate explode"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("wide profile keeps the one-scan shape at 55 columns (linear-in-columns claim)") {
+    // the registry query profiles 11 lineitem columns; the scaladoc
+    // claims linear-in-columns at 100. Gate the claim's plan half at
+    // ≥50: a 55-column parquet (r12 verdict task 6) must still plan as
+    // ONE scan + the unpivot Generate, no join, no per-column re-read.
+    // (The cost half — per-column marginal seconds — is measured by
+    // tools/ProfileWide and recorded in PERF.md.)
+    val (wide, wcols) = DqQueries.syntheticWide(
+      spark.read.parquet(s"$Sf/lineitem.parquet"), 55)
+    val out = java.nio.file.Files.createTempDirectory("graft-wide55")
+      .resolve("t").toString
+    wide.write.mode("overwrite").parquet(out)
+    val p = DqQueries.wideProfileFrame(
+        spark.read.parquet(out), wcols, spark.sparkContext.defaultParallelism)
+      .queryExecution.executedPlan.toString
     assert(count(p, "Scan parquet") == 1, p)
     assert(p.contains("Generate explode"), p)
     assert(!p.contains("Join"), p)
