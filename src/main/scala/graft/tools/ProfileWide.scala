@@ -57,21 +57,37 @@ object ProfileWide {
 
     val lineitem = graft.etl.Sources.table(spark, sfDir, "lineitem")
 
-    println(s"== Part 1: staged fix decomposition (11 registry columns, $sfDir) ==")
     import graft.DqQueries.{wideProfileFrame, WideCols, syntheticWide}
-    val s0 = medianOf("stage0 legacyHv+noscatter")(
-      wideProfileFrame(lineitem, WideCols, par, scatter = false, legacyHv = true))
-    val s1 = medianOf("stage1 legacyHv+scatter")(
-      wideProfileFrame(lineitem, WideCols, par, scatter = true, legacyHv = true))
-    val s2 = medianOf("stage2 shipped")(
-      wideProfileFrame(lineitem, WideCols, par, scatter = true, legacyHv = false))
-    println(f"[wide] staged: $s0%.2f -> $s1%.2f -> $s2%.2f s")
+    if (!sys.env.contains("SPARK_GRAFT_WIDE_SKIP_STAGED")) {
+      println(s"== Part 1: staged fix decomposition (11 registry columns, $sfDir) ==")
+      val s0 = medianOf("stage0 legacyHv+noscatter")(
+        wideProfileFrame(lineitem, WideCols, par, scatter = false, legacyHv = true))
+      val s1 = medianOf("stage1 legacyHv+scatter")(
+        wideProfileFrame(lineitem, WideCols, par, scatter = true, legacyHv = true))
+      val s2 = medianOf("stage2 shipped")(
+        wideProfileFrame(lineitem, WideCols, par, scatter = true, legacyHv = false))
+      println(f"[wide] staged: $s0%.2f -> $s1%.2f -> $s2%.2f s")
+    }
 
     println(s"== Part 2: per-column marginal cost (synthetic wide parquet) ==")
-    val points = Seq(11, 33, 55).map { p =>
+    val pointList = sys.env.getOrElse("SPARK_GRAFT_WIDE_POINTS", "11,33,55")
+      .split(',').map(_.trim.toInt).toSeq
+    val points = pointList.map { p =>
       val (wide, wcols) = syntheticWide(lineitem, p)
       val out = s"target/widecols/p$p"
       wide.write.mode("overwrite").parquet(out)
+      if (sys.env.contains("SPARK_GRAFT_WIDE_EXPLAIN")) {
+        val plan = wideProfileFrame(spark.read.parquet(out), wcols, par)
+          .queryExecution.executedPlan.toString
+        val spans = "\\*\\(\\d+\\)".r.findAllIn(plan).toSeq.distinct
+        println(s"[wide] P=$p codegen spans=${spans.size} " +
+          s"generateCodegen=${plan.contains("Generate explode") && spans.nonEmpty}")
+        println(plan.linesIterator.filter(l =>
+          l.contains("Generate") || l.contains("WholeStageCodegen") ||
+          l.contains("HashAggregate") || l.contains("Project") ||
+          l.contains("Exchange") || l.contains("Scan parquet"))
+          .map(l => "[wide]   " + l.take(160)).mkString("\n"))
+      }
       val t = medianOf(s"P=$p")(
         wideProfileFrame(spark.read.parquet(out), wcols, par))
       (p, t)
