@@ -3,9 +3,10 @@
 
 Inputs: SCALING.json (decade 1, full registry, sf0.01->sf0.1 — written
 by graft.tools.Scaling with default env) and SCALING2.json (decade 2,
-top-cost subset, sf0.1->target/sf1). Output: SCALING.json with the
-decade-2 block under "decade2", so the standing artifact carries both
-10x steps (the 100x claim = two measured decades).
+full registry, sf0.1->target/sf1 — Scaling with SMALL/LARGE/OUT env
+overrides). Output: SCALING.json with the decade-2 block under
+"decade2", so the standing artifact carries both 10x steps for every
+query (the 100x claim = two measured decades).
 
 Usage: python3 tools/merge_scaling.py
 """
