@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""Dev-only: production-file-shape twin of the sf0.1 / sf1 dirs.
+
+The driver's parquet (and gen_sf1.py's) write each table as ONE file
+with ONE row group — so a Spark scan gets exactly one task no matter
+how large the table, and every narrow per-row stage downstream runs on
+one core. Production parquet has ~128 MB row groups, i.e. scan
+parallelism grows with data. This script rewrites each table with 32
+row groups (same rows, same order) so the decade-2 superlinear flags
+can be re-measured under production file shape: if a flagged query's
+ratio collapses to ~10x (and its absolute time drops ~cores-fold), the
+flag was the fixture's file shape, not the operator's plan.
+
+Usage: python3 tools/gen_rgtest.py
+Writes target/rgtest/sf0.1 and target/rgtest/sf1.
+"""
+import math
+import os
+
+import pyarrow.parquet as pq
+
+PAIRS = [("/root/testdata/sf0.1", "target/rgtest/sf0.1"),
+         ("target/sf1", "target/rgtest/sf1")]
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+for src, dst in PAIRS:
+    os.makedirs(dst, exist_ok=True)
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        rg = max(1, math.ceil(tbl.num_rows / 32))
+        pq.write_table(tbl, f"{dst}/{t}.parquet", row_group_size=rg)
+        print(f"{dst}/{t}: {tbl.num_rows} rows, rg_size={rg}")
