@@ -8,7 +8,14 @@ matching foreign-key remaps — every key stride equals the sf0.1 key-
 space size, so join fanout, selectivities, and value distributions are
 preserved exactly (each replica is a disjoint shard of the same
 generative world; TPC-H itself scales this way: linear entity counts,
-fixed dims). nation/region stay fixed-size dims. Event timestamps keep
+fixed dims). NATURAL keys must be remapped along with surrogate keys:
+`c_name` is `Customer#%09d` of the custkey and the ETL pipelines join
+dims BY NAME (the reference's lookup is name-keyed), so a replica that
+offsets `c_custkey` but copies `c_name` gives 10 customers per name
+and every name-keyed dim join fans out 10x — that bug shipped in the
+first r13 decade-2 run and produced phantom superlinear flags on the
+cartera/ventas loads (PERF.md r13); NAME_OF regenerates the name from
+the offset key. nation/region stay fixed-size dims. Event timestamps keep
 the same one-month window: 10x users at the same per-user density, so
 sessionization scales in users, not in session length.
 
@@ -47,18 +54,33 @@ OFFSETS = {
 }
 COPY = ["region", "nation"]
 
+# table -> {natural-key column: (surrogate-key column, format)} — string
+# identities derived from a remapped key must be re-derived, not copied.
+NAME_OF = {
+    "customer": {"c_name": ("c_custkey", "Customer#{:09d}")},
+    "supplier": {"s_name": ("s_suppkey", "Supplier#{:09d}")},
+}
+
 
 def replicate(name, out_dir):
     t = pq.read_table(f"{SRC}/{name}.parquet")
     shards = []
     for r in range(REPLICAS):
         cols = []
+        keyed = {}
         for field in t.schema:
             col = t.column(field.name)
             off = OFFSETS[name].get(field.name)
             if off is not None and r > 0:
                 col = pa.compute.add(col, pa.scalar(off * r, field.type))
+            keyed[field.name] = col
             cols.append(col)
+        for nat, (key, fmt) in NAME_OF.get(name, {}).items():
+            if r > 0:
+                idx = t.column_names.index(nat)
+                cols[idx] = pa.array(
+                    [fmt.format(k) for k in keyed[key].to_pylist()],
+                    type=t.schema.field(nat).type)
         shards.append(pa.table(dict(zip(t.column_names, cols))))
     big = pa.concat_tables(shards)
     pq.write_table(big, f"{out_dir}/{name}.parquet")
