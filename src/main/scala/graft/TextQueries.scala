@@ -33,6 +33,11 @@ object TextQueries {
   private val ddbStopRatio = TextOracleSql.stopRatio
   private val ddbAvgLen = TextOracleSql.avgLen
 
+  // No output sort on the per-doc scorer queries (r13 decade-2 finding):
+  // the gate hashes order-insensitively, and a trailing global ORDER BY
+  // makes the range partitioner's sampling pass evaluate the whole
+  // scorer twice — text_lang_id measured 2x its confusion-matrix twin
+  // at sf1 for no semantic difference (PERF.md r13 scaling bucket 3).
   val qualityScore: Q = Q(
     "text_quality_score",
     (s, dir) => table(s, dir, "documents")
@@ -41,8 +46,7 @@ object TextQueries {
         T.punctRatio(col("text")).as("punct_ratio"),
         T.stopwordRatio(col("text")).as("stopword_ratio"),
         T.avgTokenLen(col("text")).as("avg_token_len"),
-        T.qualityScore(col("text")).as("quality_score"))
-      .orderBy("doc_id"),
+        T.qualityScore(col("text")).as("quality_score")),
     Some(
       s"""SELECT doc_id,
          |       $ddbPunctRatio AS punct_ratio,
@@ -61,8 +65,7 @@ object TextQueries {
       .select(
         col("doc_id"),
         col("lang").as("lang_label"),
-        T.langId(col("text")).as("lang_pred"))
-      .orderBy("doc_id"),
+        T.langId(col("text")).as("lang_pred")),
     Some {
       val hits = T.LangLexicons.map { case (lang, lex) => lang -> ddbLexHits(lex) }
       val best = hits.map(_._2).mkString("greatest(", ", ", ")")
