@@ -84,14 +84,21 @@ object TextFunctions {
     "fr" -> Seq("le", "les", "de", "et", "des", "un", "une", "est", "dans", "pour"))
 
   /** Language-ID: argmax of lexicon hit counts, ties broken by lexicon
-    * order (en > es > de > fr), all-zero → 'und'. */
+    * order (en > es > de > fr), all-zero → 'und'.
+    *
+    * Shape (r13): scores land in ONE array and the argmax is
+    * array_max + first array_position — the earlier when-chain
+    * re-embedded `greatest(4 lexicon scans)` inside every branch
+    * (~24 token-array scans per row after tree expansion, vs 4 here).
+    * array_position's first-match rule IS the lexicon-order
+    * tie-break, matching the oracle's CASE chain. */
   def langId(text: Column): Column = {
     val toks = tokens(text)
-    val scores = LangLexicons.map { case (lang, lex) => lang -> lexiconHits(toks, lex) }
-    val best = greatest(scores.map(_._2): _*)
-    scores.foldRight(lit("und")) { case ((lang, s), acc) =>
-      when(s === best && s > 0, lit(lang)).otherwise(acc)
-    }
+    val scores = array(LangLexicons.map { case (_, lex) => lexiconHits(toks, lex) }: _*)
+    val langs = typedlit(LangLexicons.map(_._1))
+    val best = array_max(scores)
+    when(best > 0, element_at(langs, array_position(scores, best).cast("int")))
+      .otherwise(lit("und"))
   }
 
   /** Content fingerprint: md5 of the whitespace-normalized lowercased
