@@ -1408,7 +1408,10 @@ object SimilarityQueries {
     * sum — so what the oracle hash-checks is the on-disk artifact, not
     * the in-flight frame (a lossy write would fail here, not at probe
     * time). At 100 TB the build is the indexing job (one n×K broadcast
-    * argmax, K≈√n); everything downstream probes the artifact. */
+    * argmax, K≈√n); everything downstream probes the artifact.
+    * Persisting the PQ tier added ~55% to this build's bench time
+    * (1.25 → 1.94 s, r13) — that is the indexing-side cost the probes
+    * avoid re-paying, not a regression in the IVF build itself. */
   val indexBuild: Q = Q(
     "sim_index_build",
     (s, dir) => {
@@ -1489,7 +1492,14 @@ object SimilarityQueries {
     * signatures — the pivot aggregate and the per-subspace argmax —
     * appear nowhere. Result is [[pqAdc]]'s, so the SAME oracle gates it —
     * passing proves the artifact round-trip preserved codebooks and
-    * codes exactly (same discipline as [[indexProbe]]/[[annIvf]]). */
+    * codes exactly (same discipline as [[indexProbe]]/[[annIvf]]).
+    *
+    * Cache ownership (Registry's note): the |Q|·M·K distance table is
+    * persist()ed for the returned frame's lifetime and cannot be
+    * unpersisted here (the four ADC lookups read it lazily); harnesses
+    * clearCache between queries, and a long-lived caller should
+    * unpersist/clearCache after materializing — same convention as
+    * [[pqAdc]]'s in-query distance table. */
   val pqIndexProbe: Q = Q(
     "sim_index_pq_probe",
     (s, dir) => {

@@ -40,13 +40,21 @@ object TextQueries {
   // at sf1 for no semantic difference (PERF.md r13 scaling bucket 3).
   val qualityScore: Q = Q(
     "text_quality_score",
+    // Two-step projection = tokens-once across all four output columns:
+    // __st/__punct are non-cheap aliases referenced more than once, so
+    // CollapseProject (SPARK-36718 cost check) keeps them materialized
+    // instead of re-inlining one fold per metric (r14 verdict task 1).
     (s, dir) => table(s, dir, "documents")
       .select(
         col("doc_id"),
-        T.punctRatio(col("text")).as("punct_ratio"),
-        T.stopwordRatio(col("text")).as("stopword_ratio"),
-        T.avgTokenLen(col("text")).as("avg_token_len"),
-        T.qualityScore(col("text")).as("quality_score")),
+        T.tokenStats(col("text")).as("__st"),
+        T.punctRatio(col("text")).as("__punct"))
+      .select(
+        col("doc_id"),
+        col("__punct").as("punct_ratio"),
+        T.stopwordRatioFrom(col("__st")).as("stopword_ratio"),
+        T.avgTokenLenFrom(col("__st")).as("avg_token_len"),
+        T.qualityScoreFrom(col("__st"), col("__punct")).as("quality_score")),
     Some(
       s"""SELECT doc_id,
          |       $ddbPunctRatio AS punct_ratio,
@@ -336,9 +344,13 @@ object TextQueries {
     Q(
       "text_gopher_rules",
       (s, dir) => {
-        val toks = T.tokens(col("text"))
+        // tokens-once (r14 verdict task 1): the split lands in a __toks
+        // alias referenced by every metric — CollapseProject's cost
+        // check keeps the non-cheap alias materialized, so the row is
+        // tokenized once, not once per rule.
+        val toks = col("__toks")
         val n = size(toks).cast("double")
-        val meanLen = T.avgTokenLen(col("text"))
+        val meanLen = T.avgTokenLenOf(toks)
         val symbolRatio =
           regexp_count(lower(col("text")), lit("#|\\.\\.\\.")).cast("double") /
             greatest(n, lit(1.0))
@@ -348,6 +360,7 @@ object TextQueries {
         val stopHits = size(array_intersect(array_distinct(toks),
           typedlit(stops)))
         table(s, dir, "documents")
+          .select(col("doc_id"), col("text"), T.tokens(col("text")).as("__toks"))
           .select(col("doc_id"),
             size(toks).cast("long").as("n_words"),
             meanLen.as("mean_word_len"),
@@ -368,7 +381,9 @@ object TextQueries {
           .withColumn("keep",
             col("pass_words") && col("pass_mean_len") && col("pass_symbols") &&
               col("pass_alpha") && col("pass_stops"))
-          .orderBy("doc_id")
+          // no output sort: per-doc scorer, gate hashes order-insensitively;
+          // a trailing ORDER BY would double-evaluate the rules via the
+          // range partitioner's sampling pass (r13 decade-2 finding)
       },
       Some(
         s"""WITH m AS (

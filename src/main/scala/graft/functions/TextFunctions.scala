@@ -50,30 +50,72 @@ object TextFunctions {
   def lexiconHits(toks: Column, lexicon: Seq[String]): Column =
     size(filter(toks, t => array_contains(typedlit(lexicon), t)))
 
-  def stopwordRatio(text: Column): Column = {
-    val toks = tokens(text)
-    lexiconHits(toks, Stopwords).cast("double") /
-      greatest(size(toks).cast("double"), lit(1.0))
-  }
+  /** Let-binding for an expensive sub-expression: evaluate `x` ONCE per
+    * row and hand it to `body` as a lambda variable (a plain slot read).
+    * Referencing an expensive Column twice in a tree duplicates the
+    * subtree — Catalyst's subexpression elimination does not reach
+    * CodegenFallback HOFs, which is how the r13 langId when-chain grew
+    * to ~24 token scans per row. transform over a 1-element array is
+    * the cheapest binder the expression language offers. */
+  private def bind(x: Column)(body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
+  /** One-pass token statistics — struct(n, len, stop) = (token count,
+    * summed token length, stopword hits) from a SINGLE tokenization and
+    * a single array traversal. The quality sub-metrics below all read
+    * from this so scoring a row costs one split, not four (r13 verdict
+    * task 1: tokens-once). `n` counts every split element (including
+    * the empty token split() yields on empty input) so it equals
+    * size(tokens(text)) exactly. */
+  def tokenStats(text: Column): Column = tokenStatsOf(tokens(text))
+
+  /** [[tokenStats]] over an already-materialized token array (e.g. a
+    * projected `__toks` column a query shares across several metrics). */
+  def tokenStatsOf(toks: Column): Column =
+    aggregate(
+      toks,
+      struct(lit(0L).as("n"), lit(0L).as("len"), lit(0L).as("stop")),
+      (acc, t) => struct(
+        (acc.getField("n") + lit(1L)).as("n"),
+        (acc.getField("len") + length(t)).as("len"),
+        (acc.getField("stop") +
+          when(array_contains(typedlit(Stopwords), t), lit(1L)).otherwise(lit(0L))).as("stop")))
+
+  /** stopword_hits / max(n, 1) from a [[tokenStats]] struct. */
+  def stopwordRatioFrom(stats: Column): Column =
+    stats.getField("stop").cast("double") /
+      greatest(stats.getField("n").cast("double"), lit(1.0))
+
+  def stopwordRatio(text: Column): Column =
+    bind(tokenStats(text))(stopwordRatioFrom)
+
+  /** Mean token length from a [[tokenStats]] struct. */
+  def avgTokenLenFrom(stats: Column): Column =
+    stats.getField("len").cast("double") /
+      greatest(stats.getField("n").cast("double"), lit(1.0))
 
   /** Mean token length. */
-  def avgTokenLen(text: Column): Column = {
-    val toks = tokens(text)
-    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(size(toks).cast("double"), lit(1.0))
-  }
+  def avgTokenLen(text: Column): Column =
+    bind(tokenStats(text))(avgTokenLenFrom)
+
+  /** Mean token length over an already-materialized token array. */
+  def avgTokenLenOf(toks: Column): Column =
+    bind(tokenStatsOf(toks))(avgTokenLenFrom)
 
   /** Composite quality score in [0,1]: rewards reasonable length,
     * low punctuation density, natural-language stopword density, and
     * word lengths near English norms. Weights are fixed constants; the
     * arithmetic order is pinned (left-to-right) for oracle parity. */
-  def qualityScore(text: Column): Column = {
-    val lenTerm = least(tokenCount(text).cast("double"), lit(100.0)) / lit(100.0)
-    val punctTerm = lit(1.0) - least(punctRatio(text) * lit(4.0), lit(1.0))
-    val stopTerm = least(stopwordRatio(text) * lit(4.0), lit(1.0))
-    val wordTerm = lit(1.0) - least(abs(avgTokenLen(text) - lit(5.0)) / lit(5.0), lit(1.0))
+  def qualityScoreFrom(stats: Column, punctR: Column): Column = {
+    val lenTerm = least(stats.getField("n").cast("double"), lit(100.0)) / lit(100.0)
+    val punctTerm = lit(1.0) - least(punctR * lit(4.0), lit(1.0))
+    val stopTerm = least(stopwordRatioFrom(stats) * lit(4.0), lit(1.0))
+    val wordTerm = lit(1.0) - least(abs(avgTokenLenFrom(stats) - lit(5.0)) / lit(5.0), lit(1.0))
     lenTerm * lit(0.25) + punctTerm * lit(0.25) + stopTerm * lit(0.25) + wordTerm * lit(0.25)
   }
+
+  def qualityScore(text: Column): Column =
+    bind(tokenStats(text))(st => qualityScoreFrom(st, punctRatio(text)))
 
   /** Per-language function-word lexicons for the n-gram/stopword
     * language-ID heuristic. */
@@ -91,15 +133,24 @@ object TextFunctions {
     * re-embedded `greatest(4 lexicon scans)` inside every branch
     * (~24 token-array scans per row after tree expansion, vs 4 here).
     * array_position's first-match rule IS the lexicon-order
-    * tie-break, matching the oracle's CASE chain. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scores = array(LangLexicons.map { case (_, lex) => lexiconHits(toks, lex) }: _*)
-    val langs = typedlit(LangLexicons.map(_._1))
-    val best = array_max(scores)
-    when(best > 0, element_at(langs, array_position(scores, best).cast("int")))
-      .otherwise(lit("und"))
-  }
+    * tie-break, matching the oracle's CASE chain.
+    *
+    * Shape (r14): `toks` and `scores` are let-bound via [[bind]] — the
+    * r13 array form still re-split the text once per lexicon (each
+    * lexiconHits reference duplicated the split subtree; that constant
+    * was the measured sf0.1 regression, mix 0.84→2.0 s) and re-built
+    * the scores array for each of array_max/array_position. Now: one
+    * split, four filter passes over the materialized array, two scans
+    * of the 4-element scores array. */
+  def langId(text: Column): Column =
+    bind(tokens(text)) { toks =>
+      bind(array(LangLexicons.map { case (_, lex) => lexiconHits(toks, lex) }: _*)) { scores =>
+        val langs = typedlit(LangLexicons.map(_._1))
+        val best = array_max(scores)
+        when(best > 0, element_at(langs, array_position(scores, best).cast("int")))
+          .otherwise(lit("und"))
+      }
+    }
 
   /** Content fingerprint: md5 of the whitespace-normalized lowercased
     * text — engine-agnostic (hex string identical in DuckDB). */

@@ -8,7 +8,7 @@ import graft.pipelines.VentasTotales
   * superlinear (13-16x on 10x data; 34x under production row groups),
   * while `ventas_dq_nonnumeric*` — the SAME prepared subtree minus the
   * anti-join — scaled at 2-3x. The superlinear term is therefore the
-  * dedup stage, not the join tree. This times the three candidate
+  * dedup stage, not the join tree. This times the two candidate
   * shapes for that stage end-to-end at an arbitrary SF dir:
   *
   *   window    — shipped `antiJoinSelfNormalized`: one derivation, but

@@ -28,6 +28,12 @@ for src, dst in PAIRS:
     os.makedirs(dst, exist_ok=True)
     for t in TABLES:
         tbl = pq.read_table(f"{src}/{t}.parquet")
-        rg = max(1, math.ceil(tbl.num_rows / 32))
+        # Tiny dims (region: 5, nation: 25) stay ONE row group — a
+        # ceil-div rg_size of 1 would make one row group per ROW, which
+        # is not the documented ~32-row-group production shape either.
+        if tbl.num_rows < 64:
+            rg = tbl.num_rows or 1
+        else:
+            rg = math.ceil(tbl.num_rows / 32)
         pq.write_table(tbl, f"{dst}/{t}.parquet", row_group_size=rg)
         print(f"{dst}/{t}: {tbl.num_rows} rows, rg_size={rg}")

@@ -18,10 +18,17 @@ with open("SCALING.json") as f:
 def report(tag, queries, small_k, large_k, tot_small, tot_large):
     rows = [(n, v[small_k], v[large_k], v["ratio"]) for n, v in queries.items()]
     ratios = [r for _, s, l, r in rows if s > 0 and l >= 0 and r >= 0]
-    print(f"== {tag}: n={len(rows)} total {tot_small} -> {tot_large} s "
-          f"(ratio {tot_large / tot_small:.2f} on 10x data)")
-    print(f"   per-query ratio: median {statistics.median(ratios):.2f} "
-          f"p90 {sorted(ratios)[int(.9 * len(ratios))]:.2f} max {max(ratios):.2f}")
+    # Degenerate inputs (every query failed, or a zeroed small-side
+    # total) must still print the FAILED list instead of raising
+    # ZeroDivisionError/StatisticsError before reaching it.
+    tot = (f"(ratio {tot_large / tot_small:.2f} on 10x data)"
+           if tot_small > 0 else "(small-side total is 0 — no ratio)")
+    print(f"== {tag}: n={len(rows)} total {tot_small} -> {tot_large} s {tot}")
+    if ratios:
+        print(f"   per-query ratio: median {statistics.median(ratios):.2f} "
+              f"p90 {sorted(ratios)[int(.9 * len(ratios))]:.2f} max {max(ratios):.2f}")
+    else:
+        print("   per-query ratio: no usable measurements")
     watch = sorted((r for r in rows if r[3] > 7 and r[2] > 0.5),
                    key=lambda r: -r[3])
     fails = [n for n, s, l, r in rows if s < 0 or l < 0]
