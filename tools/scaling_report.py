@@ -45,3 +45,8 @@ d2 = d.get("decade2")
 if d2:
     report("decade 2 (sf0.1 -> sf1)", d2["queries"], "small", "large",
            d2["total_small"], d2["total_large"])
+rg = d.get("decade2_rgtest")
+if rg:
+    report("decade 2 rgtest (32-row-group production shape, affected families)",
+           rg["queries"], "small", "large",
+           rg["total_small"], rg["total_large"])
