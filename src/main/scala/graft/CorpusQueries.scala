@@ -92,7 +92,8 @@ object CorpusQueries {
               "\n").as("text_clean"),
             sum(when(col("hot"), 1L).otherwise(0L)).as("lines_removed"),
             sum(when(!col("hot"), 1L).otherwise(0L)).as("lines_kept"))
-          .orderBy("doc_id")
+          // no output sort (r14): full per-doc result, gate is
+          // order-insensitive; the sort's sampling pass re-ran the agg
       },
       Some(
         s"""WITH d AS (
@@ -149,22 +150,30 @@ object CorpusQueries {
     Q(
       "text_quality_model",
       (s, dir) => {
+        // tokens-once (r14): one tokenStats fold + one punct chain in a
+        // first projection; the three token-derived features read struct
+        // fields (previously 3 separate tokenizations per row). n ==
+        // tokenCount exactly (the fold counts every split element).
+        val st = col("__st")
         val lenTerm =
-          least(T.tokenCount(col("text")).cast("double"), lit(100.0)) / lit(100.0)
-        val punctTerm = lit(1.0) - least(T.punctRatio(col("text")) * lit(4.0), lit(1.0))
-        val stopTerm = least(T.stopwordRatio(col("text")) * lit(4.0), lit(1.0))
+          least(st.getField("n").cast("double"), lit(100.0)) / lit(100.0)
+        val punctTerm = lit(1.0) - least(col("__punct") * lit(4.0), lit(1.0))
+        val stopTerm = least(T.stopwordRatioFrom(st) * lit(4.0), lit(1.0))
         val wordTerm =
-          lit(1.0) - least(abs(T.avgTokenLen(col("text")) - lit(5.0)) / lit(5.0), lit(1.0))
+          lit(1.0) - least(abs(T.avgTokenLenFrom(st) - lit(5.0)) / lit(5.0), lit(1.0))
         val z = lit(w0) + lenTerm * lit(w1) + punctTerm * lit(w2) +
           stopTerm * lit(w3) + wordTerm * lit(w4)
         table(s, dir, "documents")
+          .select(col("doc_id"), T.tokenStats(col("text")).as("__st"),
+            T.punctRatio(col("text")).as("__punct"))
           .withColumn("z", z)
           .select(
             col("doc_id"),
             (lit(0.5) + lit(0.5) * (col("z") / (lit(1.0) + abs(col("z")))))
               .as("model_score"),
             (col("z") >= 0.0).as("keep_doc"))
-          .orderBy("doc_id")
+          // no output sort: per-doc scorer, gate hashes order-insensitively
+          // (r13 range-sampling double-evaluation finding)
       },
       Some {
         val lenT = s"(least(CAST(len($ddbToks) AS DOUBLE), 100.0) / 100.0)"
@@ -308,7 +317,6 @@ object CorpusQueries {
         .filter(col("text").contains(SearchPattern))
         .select(col("doc_id"), col("source"),
           instr(col("text"), SearchPattern).as("pos"))
-        .orderBy("doc_id")
     },
     Some(
       s"""SELECT doc_id, source, instr(text, '$SearchPattern') AS pos
@@ -698,7 +706,6 @@ object CorpusQueries {
         .select(col("doc_id"),
           coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
           col("fluency"))
-        .orderBy("doc_id")
     },
     Some(
       s"""WITH ts AS (
@@ -758,7 +765,6 @@ object CorpusQueries {
       val out = words.join(enc, Seq("word"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_words"), sum(col("n_toks")).as("n_tokens"))
-        .orderBy("doc_id")
       vocabs.head.unpersist()
       out
     },

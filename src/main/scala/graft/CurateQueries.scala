@@ -50,7 +50,8 @@ object CurateQueries {
             .when(col("lang_pred") =!= "en", lit("wrong_lang"))
             .when(col("n_tokens") < MinTokens, lit("too_short"))
             .otherwise(lit("keep")).as("verdict"))
-        .orderBy("doc_id")
+        // no output sort (r14): the sampling pass re-ran the whole
+        // per-doc profile (quality + langId); gate is order-insensitive
     },
     Some {
       // DuckDB mirror of the same profile + gates — fragments shared

@@ -20,8 +20,10 @@ object TextQueries {
       .select(
         col("doc_id"),
         T.tokenCount(col("text")).as("ws_tokens"),
-        T.bpeTokenCount(col("text")).as("bpe_tokens"))
-      .orderBy("doc_id"),
+        T.bpeTokenCount(col("text")).as("bpe_tokens")),
+    // no output sorts on the per-doc scorers in this file (r14): the
+    // gate hashes order-insensitively and a trailing ORDER BY makes the
+    // range partitioner's sampling pass run the scorer twice
     Some(
       s"""SELECT doc_id,
          |       len($ddbToks) AS ws_tokens,
@@ -183,8 +185,7 @@ object TextQueries {
       .select(
         col("doc_id"),
         T.fingerprintMd5(col("text")).as("fp_md5"),
-        T.fingerprintRolling(col("text")).as("fp_rolling"))
-      .orderBy("doc_id"),
+        T.fingerprintRolling(col("text")).as("fp_rolling")),
     Some(
       s"""SELECT doc_id,
          |       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp_md5,
@@ -208,12 +209,15 @@ object TextQueries {
           concat(col("text"),
             lit(" contact bob@example.com or https://ex.org/x?a=1 or 555-867-5309 now")))
           .otherwise(col("text")))
+      // redact once: the 3-regex chain lands in a non-cheap alias read
+      // by both output columns instead of running twice per row
+      .select(col("doc_id"), col("text_in"),
+        T.redactPii(col("text_in")).as("text_redacted"))
       .select(
         col("doc_id"),
-        T.redactPii(col("text_in")).as("text_redacted"),
-        (length(col("text_in")) - length(T.redactPii(col("text_in"))))
-          .as("chars_removed"))
-      .orderBy("doc_id"),
+        col("text_redacted"),
+        (length(col("text_in")) - length(col("text_redacted")))
+          .as("chars_removed")),
     Some {
       val textIn =
         "CASE WHEN doc_id % 9 = 0 THEN text || ' contact bob@example.com or https://ex.org/x?a=1 or 555-867-5309 now' ELSE text END"
@@ -246,7 +250,6 @@ object TextQueries {
           sum(col("c")).as("n_grams"))
         .withColumn("repetition_ratio",
           col("top_gram_count").cast("double") / col("n_grams").cast("double"))
-        .orderBy("doc_id")
     },
     Some(
       s"""WITH toks AS (
@@ -437,7 +440,6 @@ object TextQueries {
           T.qualityScore(col("text")).as("q"))
         .withColumn("pr", percent_rank().over(w))
         .withColumn("keep", col("pr") >= 0.7)
-        .orderBy("doc_id")
     },
     Some(
       s"""WITH s AS (
@@ -507,7 +509,7 @@ object TextQueries {
         .select(col("doc_id"), col("source"), col("q"),
           (col("cum_before") + col("rn") >= col("rstar") && col("n") > 1)
             .as("keep"))
-      whole.unionByName(boundary).orderBy("doc_id")
+      whole.unionByName(boundary)
     },
     Some(
       s"""WITH s AS (
@@ -639,7 +641,6 @@ object TextQueries {
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           (col("n_novel").cast("double") / col("n_shingles").cast("double"))
             .as("novelty"))
-        .orderBy("doc_id")
     },
     Some(
       s"""WITH ix AS (
