@@ -292,22 +292,17 @@ object CorpusQueries {
       val docs = table(s, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"))
       val k = PatternTrigrams.length
-      val patTriSql =
-        PatternTrigrams.map(t => s"'${t.replace("'", "\\'")}'")
-          .mkString("array(", ", ", ")")
       // doc → its distinct trigrams ∩ pattern trigrams, exploded to
-      // postings; the intersect runs inside the projection so only
-      // pattern-relevant postings ever leave the scan. Sub-3-char texts
-      // get an EXPLICIT empty posting list: sequence(1, 0) is not empty
-      // but DESCENDING [1, 0] (junk sub-trigrams that only happened to
-      // be harmless because they can never equal a 3-char pattern gram)
+      // postings, with the intersection INVERTED (r14): probe each of
+      // the k pattern trigrams with contains() instead of materializing
+      // every doc trigram (~|text| string allocations/row) and
+      // hash-intersecting. Same distinct posting set — substring
+      // presence IS trigram-set membership — so only pattern-relevant
+      // postings ever leave the scan, at k substring probes per doc.
+      // Sub-3-char texts contain no trigram → naturally empty.
       val postings = docs.select(col("doc_id"),
-        explode(expr(
-          s"""array_intersect(
-             |  CASE WHEN length(text) < 3 THEN array()
-             |       ELSE transform(sequence(1, length(text) - 2),
-             |                      i -> substring(text, i, 3)) END,
-             |  $patTriSql)""".stripMargin)).as("tri"))
+        explode(filter(typedlit(PatternTrigrams),
+          t => col("text").contains(t))).as("tri"))
       val candidates = postings
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_tris"))  // intersect output is distinct

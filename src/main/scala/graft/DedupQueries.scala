@@ -52,7 +52,7 @@ object DedupQueries {
       .groupBy(T.fingerprintMd5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
       .select(col("keeper_id"), col("n_copies"))
-      .orderBy("keeper_id"),
+      ,
     Some(
       s"""WITH $ddbCorpus
          |SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
@@ -81,7 +81,6 @@ object DedupQueries {
         .select(col("source"), col("n_docs"), col("n_unique"),
           (lit(1.0) - col("n_unique").cast("double") /
             col("n_docs").cast("double")).as("dup_rate"))
-        .orderBy("source")
     },
     Some(
       s"""WITH $ddbCorpus,
@@ -243,7 +242,7 @@ object DedupQueries {
     * index (|A∩B| = co-occurrence count), exact Jaccard from set sizes. */
   val ngramJaccard: Q = Q(
     "dedup_ngram_jaccard",
-    (s, dir) => ngramPairs(s, dir).orderBy("i", "j"),
+    (s, dir) => ngramPairs(s, dir),
     Some(
       s"""WITH $ddbCorpus,
          |$ddbNgramPairs
@@ -326,7 +325,6 @@ object DedupQueries {
           (col("c").cast("double") / (col("na") + col("nb") - col("c")))
             .as("jaccard"))
         .filter(col("jaccard") >= PrefixT)
-        .orderBy("i", "j")
     },
     Some(
       s"""WITH $ddbCorpus,
@@ -406,7 +404,6 @@ object DedupQueries {
         .select(col("train_id"), col("bench_id"), col("shared"),
           (col("shared").cast("double") / col("bench_n")).as("containment"))
         .filter(col("containment") >= 0.5)
-        .orderBy("train_id", "bench_id")
     },
     Some {
       s"""WITH $ddbContamFixture,
@@ -446,7 +443,6 @@ object DedupQueries {
         .select(col("train_id"), col("n_shingles"), col("n_hit"),
           (col("n_hit").cast("double") / col("n_shingles")).as("dirty_frac"))
         .filter(col("dirty_frac") >= 0.5)
-        .orderBy("train_id")
     },
     Some(
       s"""WITH $ddbContamFixture,
@@ -508,7 +504,6 @@ object DedupQueries {
         .filter(col("n_windows") >= 2)
         .select(col("doc_id"), col("span_start"), col("span_end"),
           col("n_windows"))
-        .orderBy("doc_id", "span_start")
     },
     Some(
       s"""WITH $ddbCorpus,
@@ -605,7 +600,6 @@ object DedupQueries {
           (col("n_shared").cast("double") /
             least(col("ni"), col("nj")).cast("double")).as("containment"))
         .filter(col("containment") >= WinnowThreshold)
-        .orderBy("i", "j")
     },
     Some(
       s"""WITH $ddbCorpus,
@@ -837,7 +831,7 @@ object DedupQueries {
 
   val clusters: Q = Q(
     "dedup_clusters",
-    (s, dir) => clusterLabels(s, dir).orderBy("doc_id"),
+    (s, dir) => clusterLabels(s, dir),
     Some(
       s"""WITH RECURSIVE $ddbCorpus,
          |$ddbNgramPairs,
@@ -864,7 +858,7 @@ object DedupQueries {
       val nodes = corpus(s, dir).select(col("doc_id"))
       val edges = ngramPairs(s, dir)
         .select(col("i").as("src"), col("j").as("dst"))
-      starLabels(nodes, edges).orderBy("doc_id")
+      starLabels(nodes, edges)
     },
     clusters.oracle)
 
@@ -891,7 +885,6 @@ object DedupQueries {
           (-col("w.neg_id")).as("keeper_id"),
           col("w.q").as("keeper_q"),
           col("n_members"))
-        .orderBy("cluster_id")
     },
     Some(
       s"""WITH RECURSIVE $ddbCorpus,
@@ -951,7 +944,6 @@ object DedupQueries {
         .select(col("i"), col("j"),
           H.estJaccard(n => col("l_" + n), n => col("r_" + n)).as("est_jaccard"))
         .filter(col("est_jaccard") >= 0.5)
-        .orderBy("i", "j")
     },
     Some {
       val mins = (0 until H.MinHashK)
@@ -1051,7 +1043,6 @@ object DedupQueries {
           coalesce(col("n_matches"), lit(0L)).as("n_matches"),
           col("best_match"), col("best_est"),
           col("n_matches").isNull.as("kept"))
-        .orderBy("doc_id")
     },
     Some {
       val mins = (0 until H.MinHashK)
@@ -1130,7 +1121,7 @@ object DedupQueries {
   /** Per-document 32-bit SimHash sketches. */
   val simhashSketches: Q = Q(
     "dedup_simhash_sketches",
-    (s, dir) => simhashDocs(s, dir).orderBy("doc_id"),
+    (s, dir) => simhashDocs(s, dir),
     Some(
       s"""WITH $ddbCorpus,
          |$ddbSimhashDocs
@@ -1157,7 +1148,6 @@ object DedupQueries {
           bit_count(col("sh_i").bitwiseXOR(col("sh_j"))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 1)
-        .orderBy("i", "j")
     },
     Some {
       val bandSelects = (0 until 4)
@@ -1218,7 +1208,6 @@ object DedupQueries {
         .select(col("i"), col("j"),
           H.cosine(col("emb_i"), col("emb_j")).as("cosine"))
         .filter(col("cosine") >= 0.95)
-        .orderBy("i", "j")
     },
     Some(
       s"""WITH vecs AS (
@@ -1275,7 +1264,6 @@ object DedupQueries {
       batch.withColumn("fp", T.fingerprintMd5(col("text")))
         .join(existingFps, Seq("fp"), "left_anti")
         .select(col("doc_id"), col("fp"))
-        .orderBy("doc_id")
     },
     Some(
       // NOT EXISTS, never NOT IN: a NULL fingerprint on either side of
@@ -1339,7 +1327,6 @@ object DedupQueries {
             least(col("a"), col("b"), col("c")) -
             greatest(col("a"), col("b"), col("c"))).as("y"),
           greatest(col("a"), col("b"), col("c")).as("z"))
-        .orderBy("x", "y", "z")
     },
     Some(
       s"""WITH $ddbCorpus,
@@ -1401,7 +1388,6 @@ object DedupQueries {
       require(converged, s"graph_kcore: no fixpoint in $rounds rounds")
       edges.select(explode(array(col("i"), col("j"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("core_deg"))
-        .orderBy("doc_id")
     },
     Some {
       // MATERIALIZED stages: DuckDB inlines plain CTEs at every
@@ -1514,7 +1500,6 @@ object DedupQueries {
       ranks
         .select(col("v").as("doc_id"), col("r").as("pr_scaled"),
           (col("r").cast("double") / lit(PrScale.toDouble)).as("pr"))
-        .orderBy("doc_id")
     },
     Some {
       val stages = (1 to PrRounds).map { k =>
@@ -1571,8 +1556,7 @@ object DedupQueries {
   val labelPropagation: Q = Q(
     "graph_label_prop",
     (s, dir) => lpaLabels(s, dir)
-      .select(col("v").as("doc_id"), col("lbl").as("community"))
-      .orderBy("doc_id"),
+      .select(col("v").as("doc_id"), col("lbl").as("community")),
     Some(
       s"""WITH $ddbLpaChain
          |SELECT v AS doc_id, lbl AS community
@@ -1675,7 +1659,6 @@ object DedupQueries {
           ((fourM * coalesce(col("e_in"), lit(0L)) -
             col("d_tot").cast("decimal(38,0)") * col("d_tot")).cast("double") /
             denom.cast("double")).as("q_contrib"))
-        .orderBy("community")
     },
     Some(
       s"""WITH $ddbLpaChain,
@@ -1758,7 +1741,6 @@ object DedupQueries {
         .join(dropped, Seq("vec_id"), "left")
         .select(col("vec_id"), col("centroid_id"),
           coalesce(!col("is_dropped"), lit(true)).as("kept"))
-        .orderBy("vec_id")
     },
     Some(
       s"""WITH vecs AS (
@@ -1837,7 +1819,6 @@ object DedupQueries {
         .select(col("x"), col("y"), col("cn"),
           (col("cn").cast("double") / (col("dx") + col("dy") - col("cn")))
             .as("cn_jaccard"))
-        .orderBy("x", "y")
     },
     Some(
       s"""WITH $ddbCorpus,
@@ -1919,7 +1900,7 @@ object DedupQueries {
             .select(col("dst").as("v"), (col("hop") + 1).as("hop")))
           .groupBy(col("v")).agg(min(col("hop")).as("hop"))
       }
-      dist.select(col("v").as("doc_id"), col("hop")).orderBy("doc_id")
+      dist.select(col("v").as("doc_id"), col("hop"))
     },
     Some {
       // MATERIALIZED per round for the same reason as kcore's oracle:

@@ -78,8 +78,10 @@ object MultimodalQueries {
       col("media_id"), col("format"), col("width"), col("height"),
       col("n_frames"),
       length(col("payload")).cast("long").as("n_bytes"),
-      lower(substring(hex(col("payload")), 1, 16)).as("hex_prefix"))
-      .orderBy("media_id"),
+      lower(substring(hex(col("payload")), 1, 16)).as("hex_prefix")),
+    // no trailing output sorts in this file (r14): full-result queries,
+    // the gate hashes order-insensitively, and the sort's sampling pass
+    // re-ran the expensive child (for the codec tiers: the DECODE)
     Some(
       s"""WITH $ddbMedia
          |SELECT media_id, format, width, height, n_frames,
@@ -111,7 +113,6 @@ object MultimodalQueries {
           }
         }
         .toDF()
-        .orderBy("media_id")
     },
     Some(
       s"""WITH $ddbMedia
@@ -141,7 +142,6 @@ object MultimodalQueries {
           (col("width") / 2).cast("int").as("new_width"),
           (col("height") / 2).cast("int").as("new_height"),
           T.polyHash(strided).as("resized_checksum"))
-        .orderBy("media_id")
     },
     Some(
       s"""WITH $ddbMedia
@@ -172,7 +172,6 @@ object MultimodalQueries {
           T.polyHash(substring(col("text_v"),
             (col("frame_idx") * col("stride") + 1).cast("int"), lit(16)))
             .as("frame_checksum"))
-        .orderBy("media_id", "frame_idx")
     },
     Some(
       s"""WITH $ddbMedia,
@@ -214,7 +213,6 @@ object MultimodalQueries {
           concat_ws(",", sort_array(collect_list(col("media_id"))))
             .as("members"))
         .filter(col("n_copies") > 1)
-        .orderBy("keeper_id")
     },
     Some(
       """WITH m AS (
@@ -302,7 +300,6 @@ object MultimodalQueries {
         .filter(col("hamming") <= 1)
         .select(col("i"), col("j"), col("hamming"),
           (col("j") >= 2000000).as("is_planted_reencode"))
-        .orderBy("i", "j")
     },
     Some {
       val bandSelects = (0 until 4)
@@ -434,7 +431,7 @@ object MultimodalQueries {
     (s, dir) => {
       import s.implicits._
       bmpStatsStage(mediaSpecs(s, dir).as[MediaSpec])
-        .toDF().orderBy("media_id")
+        .toDF()
     },
     Some(
       s"""WITH $ddbPixels
@@ -470,7 +467,7 @@ object MultimodalQueries {
             PngStats(m.media_id, d.width, d.height, sr, sg, sb, ck)
           }
         }
-        .toDF().orderBy("media_id")
+        .toDF()
     },
     Some(
       s"""WITH $ddbPixels
@@ -509,7 +506,7 @@ object MultimodalQueries {
             AHashRow(m.media_id, hb >>> 32, hb & 0xffffffffL, hb == hp)
           }
         }
-        .toDF().orderBy("media_id")
+        .toDF()
     },
     Some(
       s"""WITH m AS (
@@ -606,7 +603,7 @@ object MultimodalQueries {
               bytes.length.toLong, sumAbs, energy, zc)
           }
         }
-        .toDF().orderBy("media_id")
+        .toDF()
     },
     Some(
       s"""WITH $ddbSamples
@@ -640,7 +637,7 @@ object MultimodalQueries {
               win.foldLeft(0L)((acc, v) => acc + v.toLong * v))
           }
         }
-        .toDF().orderBy("media_id", "window_idx")
+        .toDF()
     },
     Some(
       s"""WITH $ddbSamples
@@ -674,7 +671,7 @@ object MultimodalQueries {
             ResizeStats(m.media_id, w2, h2, total, ck)
           }
         }
-        .toDF().orderBy("media_id")
+        .toDF()
     },
     Some {
       def chan(mul: Int, xo: String, yo: String, xs: Int, ys: Int) =
@@ -753,7 +750,7 @@ object MultimodalQueries {
             VideoFrameRow(v.media_id, i.toLong, frameNo.toLong, nf.toLong, ck)
           }
         }
-        .toDF().orderBy("media_id", "sample_idx")
+        .toDF()
     },
     Some(
       s"""WITH m AS (

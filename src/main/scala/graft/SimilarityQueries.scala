@@ -78,7 +78,6 @@ object SimilarityQueries {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("query_id"), col("p.id").as("neighbor_id"),
         col("p.score").as("cosine"), (col("pos") + 1).cast("int").as("rank"))
-      .orderBy("query_id", "rank")
 
   /** Every (query, neighbor) cosine — the brute-force scoring both
     * exact-k-NN formulations rank: query set broadcast, corpus never
@@ -103,7 +102,6 @@ object SimilarityQueries {
       scoredAll(s, dir)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
-        .orderBy("query_id", "rank")
     },
     Some(
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -954,7 +952,6 @@ object SimilarityQueries {
             .cast("long").as("hits"))
         .select(col("query_id"), col("hits"),
           (col("hits").cast("double") / lit(MrlK.toDouble)).as("recall_at_k"))
-        .orderBy("query_id")
     },
     Some(
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -1047,7 +1044,6 @@ object SimilarityQueries {
         .join(assigned, "vec_id")
         .groupBy(col("true_label"), col("pred_label"))
         .agg(count(lit(1)).as("n"))
-        .orderBy("true_label", "pred_label")
     },
     Some(
       s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
@@ -1194,7 +1190,7 @@ object SimilarityQueries {
               .as("score"))
         sel = sel.unionAll(argmax(scored, k))
       }
-      sel.orderBy("query_id", "pick_idx")
+      sel
     },
     Some {
       val lam = s"CAST($MmrLambda AS DOUBLE)"
