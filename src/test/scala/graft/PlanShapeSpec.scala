@@ -43,6 +43,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pd.contains("Expand"), pd)
   }
 
+  test("tokens-once projections survive CollapseProject (one fold, one split per row)") {
+    // The r14 tokens-once shape relies on CollapseProject's cost check
+    // (SPARK-36718) NOT re-inlining the shared __st/__toks aliases —
+    // if a future optimizer change inlines them, the scorers silently
+    // go back to one tokenization per metric. Pin: exactly one
+    // aggregate() HOF (the tokenStats fold) and one split() in the
+    // executed plan.
+    def folds(p: String): Int = count(p, "aggregate(")
+    def splits(p: String): Int = count(p, "split(")
+    val pq = plan("text_quality_score")
+    assert(folds(pq) == 1 && splits(pq) == 1, pq)
+    val pg = plan("text_gopher_rules")
+    assert(splits(pg) == 1, pg)
+    val pm = plan("text_quality_model")
+    assert(folds(pm) == 1, pm)
+  }
+
   test("IVF queries rank-window only the query subset (one Window operator)") {
     // corpus assignment is the partial-aggregating argmax; the only
     // rank window left is the |Q|-row probe ranking ("Window [" — the
