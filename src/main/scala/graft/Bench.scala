@@ -17,6 +17,32 @@ object Bench {
     (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
   }
 
+  /** Cumulative JIT compilation milliseconds (HotSpot background
+    * compiler threads). A rep whose wall time inflates WITH a large
+    * jit_ms delta is paying the whole-JVM warm-up/deopt mode the r13/r14
+    * sweeps kept re-adjudicating by hand; a flat delta rules it out. */
+  private def jitMillis(): Long = {
+    val b = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (b != null && b.isCompilationTimeMonitoringSupported)
+      b.getTotalCompilationTime
+    else 0L
+  }
+
+  /** Cumulative count of whole-stage-codegen source compilations
+    * (Janino invocations behind CodeGenerator.cache misses). A nonzero
+    * per-rep delta means this rep compiled fresh generated code; zero
+    * means every fragment was a codegen-cache hit. */
+  private def codegenCompiles(): Long =
+    org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+
+  /** One timed repetition's full attribution record. */
+  private case class Rep(t: Double, gcMs: Long, heapMb: Long,
+      jitMs: Long, cgen: Long, taskMs: Long, cpuMs: Long) {
+    def json: String =
+      f"""{"t":${t}%.3f,"gc_ms":$gcMs,"jit_ms":$jitMs,"cgen":$cgen,""" +
+        s""""task_ms":$taskMs,"cpu_ms":$cpuMs,"heap_mb":$heapMb}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -88,13 +114,31 @@ object Bench {
     // (measured on the 222 shared queries: max rep-spread ratio 9.87x ->
     // 2.15x, median 1.60x -> 1.28x, zero queries above 3x — PERF.md r11). Fixed seed keeps the orders reproducible run-to-run.
     val rng = new scala.util.Random(20260814L)
-    val acc = scala.collection.mutable.Map.empty[String, Vector[(Double, Long, Long)]]
+    // Per-rep task-time accumulators (executor wall + CPU across all
+    // tasks of the rep): wall >> task_ms/cores with flat jit/cgen/gc
+    // localizes a slow rep OUTSIDE task execution (driver, planning,
+    // listener debris); task_ms up with cpu_ms up means the work itself
+    // ran slower (the decode-tier whole-JVM mode shape).
+    val taskMsAcc = new java.util.concurrent.atomic.AtomicLong
+    val cpuMsAcc = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          taskMsAcc.addAndGet(m.executorRunTime)
+          cpuMsAcc.addAndGet(m.executorCpuTime / 1000000L)
+        }
+      }
+    })
+    val acc = scala.collection.mutable.Map.empty[String, Vector[Rep]]
     for (rep <- 1 to reps) {
       for ((name, fn) <- rng.shuffle(named)) {
         // stderr marker so per-query attribution of Spark warnings (e.g.
         // "Broadcasting large task binary") is greppable from a sweep log
         System.err.println(s"[bench] >>> $name rep$rep")
-        val gc0 = gcMillis()
+        val gc0 = gcMillis(); val jit0 = jitMillis()
+        val cgen0 = codegenCompiles()
+        val task0 = taskMsAcc.get(); val cpu0 = cpuMsAcc.get()
         val t0 = System.nanoTime()
         val ok =
           // noop sink, not count(): under count() Catalyst prunes every
@@ -109,14 +153,20 @@ object Bench {
             false
           }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        val gcDelta = gcMillis() - gc0
-        val heapAfter = heapUsedMb()
+        // Task-end events arrive async on the listener bus; drain it
+        // (outside the timed region) so the rep's task_ms/cpu_ms deltas
+        // cover exactly this rep's tasks.
+        try org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+        catch { case _: java.util.concurrent.TimeoutException => () }
+        val r = Rep(elapsed, gcMillis() - gc0, heapUsedMb(),
+          jitMillis() - jit0, codegenCompiles() - cgen0,
+          taskMsAcc.get() - task0, cpuMsAcc.get() - cpu0)
         // Cache teardown happens OUTSIDE the timed region — queries that
         // persist() subtrees must not pay for the drop in their own number.
         spark.catalog.clearCache()
         if (ok) acc.updateWith(name) {
-          case Some(v) => Some(v :+ ((elapsed, gcDelta, heapAfter)))
-          case None => Some(Vector((elapsed, gcDelta, heapAfter)))
+          case Some(v) => Some(v :+ r)
+          case None => Some(Vector(r))
         }
         // Between QUERIES (untimed): broadcasts, shuffle dependencies and
         // localCheckpoint-style blocks release via ContextCleaner, which
@@ -139,11 +189,11 @@ object Bench {
       val spread =
         if (v.size < reps) (-1.0, -1.0, -1.0, -1L, -1L)
         else {
-          val times = v.map(_._1)
+          val times = v.map(_.t)
           (times.sorted.apply((times.size - 1) / 2), times.min, times.max,
-            v.map(_._2).max, v.map(_._3).max)
+            v.map(_.gcMs).max, v.map(_.heapMb).max)
         }
-      name -> spread
+      (name, spread, v)
     }
     // The harness that records this line keeps only the LAST 2000
     // characters of stdout; with 77+ registered queries even 2-decimal
@@ -167,11 +217,14 @@ object Bench {
     val failedNamesFull =
       failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2._1).filter(_ >= 0).sum
-    // BENCH_FULL carries the full per-rep spread; the stdout line keeps
-    // the scalar-median shape the driver parses
-    val allQs = results.map { case (k, (med, mn, mx, gcMax, heapMax)) =>
+    // BENCH_FULL carries the full per-rep spread PLUS each rep's own
+    // attribution record (wall, gc, jit, codegen compiles, task wall/cpu,
+    // heap) — so a whole-JVM sweep mode reads off the data (r14 verdict
+    // task 2: modes become attributable instead of re-adjudicated).
+    val allQs = results.map { case (k, (med, mn, mx, gcMax, heapMax), v) =>
         s"\"" + k + s"""":{"median":${f3(med)},"min":${f3(mn)},"max":${f3(mx)},""" +
-          s""""gc_max_ms":$gcMax,"heap_after_max_mb":$heapMax}"""
+          s""""gc_max_ms":$gcMax,"heap_after_max_mb":$heapMax,""" +
+          s""""reps":${v.map(_.json).mkString("[", ",", "]")}}"""
       }
       .mkString("{", ",", "}")
     val full =
@@ -179,16 +232,19 @@ object Bench {
       s""""order":"seeded-random-per-pass","n_queries":${results.size},"failed":${failed.size},""" +
       s""""failed_queries":$failedNamesFull,"sf":"$sfDir","queries":$allQs}"""
     // a filtered dev run must not clobber the committed full-registry
-    // detail file with a partial one
-    if (only.isEmpty) try {
+    // detail file with a partial one — it writes the same detail to the
+    // uncommitted BENCH_ONLY.json instead, so isolated adjudication runs
+    // get the per-rep attribution records too
+    val detailPath = if (only.isEmpty) "BENCH_FULL.json" else "BENCH_ONLY.json"
+    try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("BENCH_FULL.json"),
+        java.nio.file.Paths.get(detailPath),
         full.getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $detailPath write failed: ${e.getMessage}")
     }
     val slowest = results.filter(_._2._1 >= 0).sortBy(-_._2._1).take(15)
-      .map { case (k, (med, _, _, _, _)) => s"\"" + k + "\":" + f3(med) }
+      .map { case (k, (med, _, _, _, _), _) => s"\"" + k + "\":" + f3(med) }
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +

@@ -35,6 +35,26 @@ import graft.functions.{TextFunctions => T}
   * The media table is synthesized from `documents`: the UTF-8 text bytes
   * play the payload (ASCII in the testdata, so byte i == ascii(char i)
   * on both engines — the oracles lean on that equivalence).
+  *
+  * == Known whole-JVM bench mode: slow ImageIO sweeps ==
+  *
+  * One r13 idle-box sweep ran BOTH ImageIO-decode queries
+  * (`mm_decode_png_stats`, `mm_ahash_cross_codec`) ~3.5× slow in ALL
+  * reps of that JVM, while every other query held its band; fresh JVMs
+  * landed back in-band. Per-query caches are ruled out by construction:
+  * readers/writers are ThreadLocal-cached for the JVM's life
+  * ([[graft.multimodal.ImageCodec]] — not rebuilt per query), streams
+  * are pure in-memory (`setUseCache(false)`), and the decode stage is
+  * pre-repartitioned. The remaining candidates are JVM-global: HotSpot
+  * tiered-compilation placement of the inflater/filter hot loops (a
+  * C1-parked decode loop is a few-× penalty that persists for the JVM)
+  * and GC/heap geometry. Since r15, `BENCH_FULL.json` carries per-rep
+  * `jit_ms`/`cgen`/`task_ms`/`cpu_ms` records: a slow-mm sweep with
+  * `cpu_ms` inflated and `jit_ms` quiet = code running at lower
+  * compilation tier; `jit_ms` churning = active (re)compilation;
+  * `task_ms` flat with wall inflated = the mode is outside the decode
+  * tasks entirely. Adjudication protocol stays two fresh JVMs
+  * (`SPARK_GRAFT_BENCH_ONLY`), but the sweep now self-explains.
   */
 object MultimodalQueries {
 

@@ -98,9 +98,18 @@ object TextFunctions {
   def avgTokenLen(text: Column): Column =
     bind(tokenStats(text))(avgTokenLenFrom)
 
-  /** Mean token length over an already-materialized token array. */
+  /** Mean token length over an already-materialized token array.
+    *
+    * Length-only fold on purpose: the one caller (text_gopher_rules)
+    * computes its stopword metric separately (different lexicon,
+    * distinct-type counting), so routing through [[tokenStatsOf]] would
+    * run a 15-word membership test per token into a `stop` accumulator
+    * nobody reads. `toks` is referenced twice (fold + size) — pass a
+    * materialized column (e.g. a projected `__toks` alias), not an
+    * expression subtree. */
   def avgTokenLenOf(toks: Column): Column =
-    bind(tokenStatsOf(toks))(avgTokenLenFrom)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0))
 
   /** Composite quality score in [0,1]: rewards reasonable length,
     * low punctuation density, natural-language stopword density, and

@@ -32,6 +32,13 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Block until the listener bus has delivered every queued event —
+    * lets Bench read its task-metrics accumulators race-free right
+    * after a query's action returns (events are delivered async;
+    * `listenerBus` is private[spark], hence the bridge). */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
+
   /** Register graft's SQL functions on an already-built session (e.g.
     * `SELECT graft_polyhash(text) FROM docs`) — the same function list
     * the extensions path injects, so the registries cannot drift. */

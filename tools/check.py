@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Dev-only local replica of the driver's correctness gate.
 
-Usage: python3 tools/check.py <verify_out_dir> <sf_dir> [query ...]
+Usage: python3 tools/check.py [--json OUT.json] <verify_out_dir> <sf_dir> [query ...]
+
+--json writes a driver-CORRECTNESS-format artifact (per-query
+rows_match/schema_match/hash_match/spark_rows/oracle_rows/err) so
+builder-side sweeps at other scale factors (sf0.001/sf0.1/sf1) land in
+the same shape the judge reads for sf0.01.
 
 Reads each <out_dir>/<name>/ parquet (Spark result) and runs the matching
 oracle SQL from <out_dir>/oracle_sql.json in DuckDB over the sf_dir parquet
@@ -68,9 +73,15 @@ def table_hash(df: pd.DataFrame) -> str:
 
 
 def main():
-    out_dir, sf_dir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    out_dir, sf_dir = argv[0], argv[1]
+    only = set(argv[2:])
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    report = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -92,6 +103,9 @@ def main():
             ddb_df = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             print(f"  [FAIL] {name}: oracle SQL error: {e}")
+            report[name] = {"rows_match": False, "schema_match": False,
+                            "hash_match": False, "spark_rows": len(spark_df),
+                            "oracle_rows": None, "err": f"oracle SQL error: {e}"}
             n_fail += 1
             continue
         s, d = canon(spark_df), canon(ddb_df)
@@ -100,6 +114,10 @@ def main():
             problems.append(f"schema spark={list(s.columns)} ddb={list(d.columns)}")
         if len(s) != len(d):
             problems.append(f"rows spark={len(s)} ddb={len(d)}")
+        report[name] = {"rows_match": len(s) == len(d),
+                        "schema_match": list(s.columns) == list(d.columns),
+                        "hash_match": False,
+                        "spark_rows": len(s), "oracle_rows": len(d), "err": None}
         if not problems and table_hash(s) != table_hash(d):
             neq = (s.astype(str) != d.astype(str))
             bad_cols = [c for c in s.columns if neq[c].any()]
@@ -109,10 +127,16 @@ def main():
                 problems.append(f"  e.g. row {i} col {c}: spark={s[c][i]!r} ddb={d[c][i]!r}")
         if problems:
             print(f"  [FAIL] {name}: " + "; ".join(problems))
+            report[name]["err"] = "; ".join(problems)
             n_fail += 1
         else:
             print(f"  [ok]   {name} ({len(s)} rows)")
+            report[name]["hash_match"] = True
             n_pass += 1
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out} ({len(report)} entries)")
     print(f"pass={n_pass} fail={n_fail} skip(no-oracle)={n_skip}")
     sys.exit(1 if n_fail else 0)
 

@@ -31,7 +31,9 @@ for src, dst in PAIRS:
         # Tiny dims (region: 5, nation: 25) stay ONE row group — a
         # ceil-div rg_size of 1 would make one row group per ROW, which
         # is not the documented ~32-row-group production shape either.
-        if tbl.num_rows < 64:
+        # Threshold is <= 32 (the dims actually targeted are 5/25 rows):
+        # a 33+-row table gets the ceil-div multi-row-group shape.
+        if tbl.num_rows <= 32:
             rg = tbl.num_rows or 1
         else:
             rg = math.ceil(tbl.num_rows / 32)
