@@ -11,16 +11,21 @@ can be re-measured under production file shape: if a flagged query's
 ratio collapses to ~10x (and its absolute time drops ~cores-fold), the
 flag was the fixture's file shape, not the operator's plan.
 
-Usage: python3 tools/gen_rgtest.py
-Writes target/rgtest/sf0.1 and target/rgtest/sf1.
+Usage: python3 tools/gen_rgtest.py [src dst [src dst ...]]
+With no args, writes target/rgtest/sf0.1 and target/rgtest/sf1.
 """
 import math
 import os
+import sys
 
 import pyarrow.parquet as pq
 
 PAIRS = [("/root/testdata/sf0.1", "target/rgtest/sf0.1"),
          ("target/sf1", "target/rgtest/sf1")]
+if len(sys.argv) > 1:
+    argv = sys.argv[1:]
+    assert len(argv) % 2 == 0, "args must be src dst pairs"
+    PAIRS = list(zip(argv[::2], argv[1::2]))
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
