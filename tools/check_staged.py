@@ -41,11 +41,60 @@ sys.path.insert(0, __import__('os').path.dirname(__file__))
 from check import TABLES, canon, table_hash
 
 
+def skip_inert(s, m):
+    """If position m starts a SQL string literal, quoted identifier, or
+    comment, return the index just past it; else return m. Keeps the
+    paren scanner and the top-level keyword scanner from being fooled
+    by parens/keywords inside 'literals', \"idents\", -- or /* */."""
+    if s[m] == "'" or s[m] == '"':
+        q = s[m]
+        m += 1
+        while True:
+            if s[m] == q:
+                if s[m:m + 2] == q + q:  # doubled-quote escape
+                    m += 2
+                    continue
+                return m + 1
+            m += 1
+    if s[m:m + 2] == "--":
+        nl = s.find("\n", m)
+        return len(s) if nl < 0 else nl + 1
+    if s[m:m + 2] == "/*":
+        return s.index("*/", m) + 2
+    return m
+
+
+def toplevel_tokens(body):
+    """Yield uppercased word tokens of `body` that sit at paren depth 0,
+    outside literals/comments."""
+    depth, m, out = 0, 0, []
+    while m < len(body):
+        m2 = skip_inert(body, m)
+        if m2 != m:
+            m = m2
+            continue
+        c = body[m]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (c.isalpha() or c == "_"):
+            j = m
+            while j < len(body) and (body[j].isalnum() or body[j] == "_"):
+                j += 1
+            out.append(body[m:j].upper())
+            m = j
+            continue
+        m += 1
+    return out
+
+
 def split_ctes(sql):
     """Parse `WITH [RECURSIVE] a [(cols)] AS (...), ... <final select>`
     into (recursive_flag, [(name, cols_or_None, body), ...],
     final_select) with a balanced-paren scanner (bodies contain nested
-    parens and commas)."""
+    parens and commas). The caller asserts round-trip reassembly, so a
+    mis-split cannot silently stage a truncated body."""
     s = sql.strip()
     assert s[:4].upper() == "WITH", "oracle is not a WITH query"
     i = 4
@@ -58,6 +107,10 @@ def split_ctes(sql):
     def scan_parens(k):
         depth, m = 0, k
         while True:
+            m2 = skip_inert(s, m)
+            if m2 != m:
+                m = m2
+                continue
             if s[m] == "(":
                 depth += 1
             elif s[m] == ")":
@@ -92,7 +145,60 @@ def split_ctes(sql):
         while s[i] in " \t\n\r":
             i += 1
         if s[i] != ",":
-            return recursive, ctes, s[i:]
+            final = s[i:]
+            # Round-trip safety net: reassembling the parse must give
+            # back the original SQL modulo whitespace, or the scanner
+            # mis-split (e.g. on a construct it doesn't know).
+            rebuilt = (("WITH RECURSIVE " if recursive else "WITH ")
+                       + ", ".join(f"{n}{' ' + c if c else ''} {kw} ({b})"
+                                   for n, c, kw, b in ctes)
+                       + " " + final)
+            norm = lambda t: " ".join(t.split())
+            assert norm(rebuilt) == norm(s), \
+                "split_ctes round-trip mismatch — refusing to stage"
+            return recursive, ctes, final
+
+
+def assert_chunkable(body, chunk_col):
+    """Soundness preconditions for appending `WHERE <col> % N = c` to a
+    CTE body (ADVICE r15): (1) no top-level set operator — the appended
+    filter would silently bind only to the LAST arm, duplicating the
+    other arms once per chunk; (2) no top-level WHERE/GROUP BY/QUALIFY/
+    ORDER BY/HAVING/LIMIT/WINDOW — the append must become the query's
+    sole WHERE clause over the whole body; (3) every window function in
+    the body must PARTITION BY the chunk column — filtering whole
+    partitions before a per-partition window is identity, filtering
+    anything else changes the oracle's semantics."""
+    toks = toplevel_tokens(body)
+    banned = {"UNION", "EXCEPT", "INTERSECT", "WHERE", "GROUP",
+              "QUALIFY", "ORDER", "HAVING", "LIMIT", "WINDOW"}
+    hit = sorted(set(toks) & banned)
+    assert not hit, (
+        f"cannot chunk this CTE: top-level {hit} would make the appended "
+        f"WHERE unsound/invalid — stage it un-chunked or rewrite the oracle")
+    # Every OVER (...) must partition by chunk_col.
+    import re
+    for m in re.finditer(r"\bOVER\s*\(", body, re.I):
+        depth, j = 0, m.end() - 1
+        while True:
+            j2 = skip_inert(body, j)
+            if j2 != j:
+                j = j2
+                continue
+            if body[j] == "(":
+                depth += 1
+            elif body[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        grp = body[m.end():j]
+        pb = re.search(
+            r"PARTITION\s+BY\s+(.*?)(?:\bORDER\s+BY\b|\bROWS\b|\bRANGE\b|\bGROUPS\b|$)",
+            grp, re.I | re.S)
+        assert pb and re.search(rf"\b{re.escape(chunk_col)}\b", pb.group(1)), (
+            f"cannot chunk on {chunk_col!r}: window OVER ({grp.strip()[:80]}...) "
+            f"does not PARTITION BY it — chunking would change its semantics")
 
 
 def main():
@@ -111,6 +217,10 @@ def main():
         i = args.index("--chunks")
         chunks = int(args[i + 1])
         del args[i:i + 2]
+    # --chunks without --chunk-col (or vice versa) must not silently
+    # fall through to the un-chunked OOM path.
+    assert (chunk_col is None) == (chunks == 1), \
+        "--chunk-col and --chunks must be given together"
     out_dir, sf_dir, name, stage_cte = args
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
@@ -134,8 +244,12 @@ def main():
     for n, cols, kw, body in ctes[: cut + 1]:
         if n == stage_cte and chunk_col and chunks > 1:
             assert cols is None, "chunking a column-list CTE is unsupported"
+            assert_chunkable(body, chunk_col)
+            # LIMIT 0 schema probe: streamable without materializing the
+            # body's window/cross-join input, unlike a constant-false
+            # WHERE that only helps if the optimizer collapses it.
             con.execute(
-                f"CREATE TEMP TABLE {n} AS SELECT * FROM ({body}\n) q WHERE 1=0")
+                f"CREATE TEMP TABLE {n} AS SELECT * FROM ({body}\n) q LIMIT 0")
             for c in range(chunks):
                 con.execute(
                     f"INSERT INTO {n} {body}\nWHERE {chunk_col} % {chunks} = {c}")

@@ -1,6 +1,12 @@
 #!/usr/bin/env python3
 """Dev-only: production-file-shape twin of the sf0.1 / sf1 dirs.
 
+SUPERSEDED in r16: gen_scale/gen_sf1/gen_sf10 now write the ~32-row-
+group production shape by default (gen_scale.write_rg), so the rgtest
+twin is only needed for the driver's read-only /root/testdata dirs.
+Kept for history and for reshaping testdata sf0.1 when measuring
+decade 2.
+
 The driver's parquet (and gen_sf1.py's) write each table as ONE file
 with ONE row group — so a Spark scan gets exactly one task no matter
 how large the table, and every narrow per-row stage downstream runs on

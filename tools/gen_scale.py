@@ -16,7 +16,15 @@ The other 8 tables are copied from sf0.001 (tiny fillers so Bench's
 warmup and unrelated queries still resolve paths).
 
 NOT part of the shipped library — generation + measurement only.
+
+Since r16 every table is written in the PRODUCTION FILE SHAPE —
+~32 row groups per file (gen_rgtest.py's rule) — instead of pyarrow's
+default single row group. Three rounds of scaling adjudication
+(PERF.md r13/r14/r15 rgtest blocks) traced every phantom superlinear
+flag to the one-row-group fixture serializing the scan stage; making
+the production shape the default retires that confound.
 """
+import math
 import random
 import shutil
 import sys
@@ -24,6 +32,17 @@ import sys
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+
+def write_rg(table, path, groups=32):
+    """Write `table` with the production ~`groups`-row-group shape so
+    scan parallelism grows with data. Tiny dims (<= groups rows) stay
+    one row group — ceil-div would make one row group per ROW, which is
+    not the documented production shape either (see gen_rgtest.py)."""
+    n = table.num_rows
+    rg = (n or 1) if n <= groups else math.ceil(n / groups)
+    pq.write_table(table, path, row_group_size=rg)
+    return rg
 
 VOCAB = ("spark line column order sort scan value fast slow query agg "
          "table hash key group batch part stream filter customer vector "
@@ -76,9 +95,9 @@ def main():
         shutil.copy(f"/root/testdata/sf0.001/{t}.parquet",
                     f"{out}/{t}.parquet")
     rng = random.Random(seed)
-    pq.write_table(gen_docs(n_docs, rng), f"{out}/documents.parquet")
-    pq.write_table(gen_vecs(n_vecs, seed), f"{out}/embeddings.parquet")
-    print(f"wrote {out}: {n_docs} docs, {n_vecs} vecs")
+    write_rg(gen_docs(n_docs, rng), f"{out}/documents.parquet")
+    write_rg(gen_vecs(n_vecs, seed), f"{out}/embeddings.parquet")
+    print(f"wrote {out}: {n_docs} docs, {n_vecs} vecs (32-rg shape)")
 
 
 if __name__ == "__main__":

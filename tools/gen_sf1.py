@@ -83,8 +83,8 @@ def replicate(name, out_dir):
                     type=t.schema.field(nat).type)
         shards.append(pa.table(dict(zip(t.column_names, cols))))
     big = pa.concat_tables(shards)
-    pq.write_table(big, f"{out_dir}/{name}.parquet")
-    print(f"{name}: {t.num_rows} -> {big.num_rows}")
+    rg = gen_scale.write_rg(big, f"{out_dir}/{name}.parquet")
+    print(f"{name}: {t.num_rows} -> {big.num_rows} (rg_size={rg})")
 
 
 def main():
@@ -98,10 +98,10 @@ def main():
     for t in OFFSETS:
         replicate(t, out)
     rng = random.Random(7)
-    pq.write_table(gen_scale.gen_docs(50000, rng),
-                   f"{out}/documents.parquet")
-    pq.write_table(gen_scale.gen_vecs(20000, 7),
-                   f"{out}/embeddings.parquet")
+    gen_scale.write_rg(gen_scale.gen_docs(50000, rng),
+                       f"{out}/documents.parquet")
+    gen_scale.write_rg(gen_scale.gen_vecs(20000, 7),
+                       f"{out}/embeddings.parquet")
     print(f"documents: 50000 generated; embeddings: 20000 generated")
     print(f"wrote {out}")
 

@@ -57,7 +57,11 @@ NAME_OF = {
 def replicate(src, name, out_dir):
     t = pq.read_table(f"{src}/{name}.parquet")
     # Shard-at-a-time append: lineitem at sf10 is 60M rows — writing
-    # per-replica row groups avoids holding the 10x concat in memory.
+    # per-replica keeps memory bounded. Row-group size targets the
+    # production ~32-row-group shape over the FULL 10x file (each
+    # shard contributes ~3-4 groups), matching gen_scale.write_rg.
+    import math
+    rg_size = math.ceil(t.num_rows * REPLICAS / 32)
     writer = None
     for r in range(REPLICAS):
         cols = []
@@ -79,7 +83,7 @@ def replicate(src, name, out_dir):
         if writer is None:
             writer = pq.ParquetWriter(f"{out_dir}/{name}.parquet",
                                       shard.schema)
-        writer.write_table(shard)
+        writer.write_table(shard, row_group_size=rg_size)
     writer.close()
     print(f"{name}: {t.num_rows} -> {t.num_rows * REPLICAS}")
 
@@ -95,10 +99,10 @@ def main():
     for t in OFFSETS:
         replicate(src, t, out)
     rng = random.Random(7)
-    pq.write_table(gen_scale.gen_docs(500000, rng),
-                   f"{out}/documents.parquet")
-    pq.write_table(gen_scale.gen_vecs(200000, 7),
-                   f"{out}/embeddings.parquet")
+    gen_scale.write_rg(gen_scale.gen_docs(500000, rng),
+                       f"{out}/documents.parquet")
+    gen_scale.write_rg(gen_scale.gen_vecs(200000, 7),
+                       f"{out}/embeddings.parquet")
     print("documents: 500000 generated; embeddings: 200000 generated")
     print(f"wrote {out}")
 
