@@ -3,7 +3,7 @@
 out-spills DuckDB at big scale factors.
 
 Usage: python3 tools/check_staged.py <verify_out_dir> <sf_dir> <query> <cte_to_stage>
-           [--chunk-col COL --chunks N] [--json OUT]
+           [--chunk-col COL --chunks N] [--json OUT] [--db FILE [--reuse]]
 
 Runs the SAME oracle SQL as check.py, but materializes the CTE chain up
 to and including <cte_to_stage> into temp tables (each preceding CTE
@@ -205,6 +205,7 @@ def main():
     args = [a for a in sys.argv[1:]]
     json_out = None
     chunk_col, chunks = None, 1
+    db_file, reuse = None, False
     if "--json" in args:
         i = args.index("--json")
         json_out = args[i + 1]
@@ -217,10 +218,18 @@ def main():
         i = args.index("--chunks")
         chunks = int(args[i + 1])
         del args[i:i + 2]
+    if "--db" in args:
+        i = args.index("--db")
+        db_file = args[i + 1]
+        del args[i:i + 2]
+    if "--reuse" in args:
+        reuse = True
+        args.remove("--reuse")
     # --chunks without --chunk-col (or vice versa) must not silently
     # fall through to the un-chunked OOM path.
     assert (chunk_col is None) == (chunks == 1), \
         "--chunk-col and --chunks must be given together"
+    assert not (reuse and db_file is None), "--reuse requires --db"
     out_dir, sf_dir, name, stage_cte = args
 
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))[name]
@@ -230,18 +239,54 @@ def main():
     cut = names.index(stage_cte)
     prefix = "WITH RECURSIVE " if recursive else "WITH "
 
-    con = duckdb.connect()
+    # --db persists staged tables to a DuckDB file so a FAMILY of
+    # oracles sharing a byte-identical CTE prefix (e.g. the 7 graph_*
+    # queries over the same corpus->shingle->pairs chain) pays the
+    # expensive materialization ONCE; --reuse skips tables already
+    # present. Soundness: _staged_meta records the md5 of each staged
+    # body, and reuse asserts the incoming body hashes identically —
+    # a same-named CTE with different text fails loudly instead of
+    # silently reusing the wrong relation.
+    import hashlib
+    con = duckdb.connect(db_file) if db_file else duckdb.connect()
     con.execute("SET temp_directory='.tmp'")
+    kind = "TABLE" if db_file else "TEMP TABLE"
+    if db_file:
+        con.execute("CREATE TABLE IF NOT EXISTS _staged_meta "
+                    "(name VARCHAR PRIMARY KEY, body_md5 VARCHAR)")
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
-    # Materialize every CTE up to the staged one, in order; temp tables
+            f"CREATE OR REPLACE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    def staged_already(n, body):
+        if not reuse:
+            return False
+        row = con.execute(
+            "SELECT body_md5 FROM _staged_meta WHERE name = ?", [n]).fetchone()
+        if row is None:
+            return False
+        h = hashlib.md5(body.encode()).hexdigest()
+        assert row[0] == h, (
+            f"--reuse: staged table {n!r} was built from a DIFFERENT body "
+            f"(md5 {row[0]} vs {h}) — use a fresh --db")
+        return True
+
+    def record(n, body):
+        if db_file:
+            con.execute("INSERT OR REPLACE INTO _staged_meta VALUES (?, ?)",
+                        [n, hashlib.md5(body.encode()).hexdigest()])
+
+    # Materialize every CTE up to the staged one, in order; staged tables
     # shadow nothing (no base table shares a CTE name) and later bodies
-    # resolve earlier names to the temp tables. Each CTE is re-wrapped
+    # resolve earlier names to the staged tables. Each CTE is re-wrapped
     # as a single-CTE WITH of the SAME name so column-list renames and
     # recursive self-references keep their original resolution; the body
     # text is unchanged.
     for n, cols, kw, body in ctes[: cut + 1]:
+        if staged_already(n, body):
+            print(f"    reused {n}", flush=True)
+            continue
         if n == stage_cte and chunk_col and chunks > 1:
             assert cols is None, "chunking a column-list CTE is unsupported"
             assert_chunkable(body, chunk_col)
@@ -249,16 +294,17 @@ def main():
             # body's window/cross-join input, unlike a constant-false
             # WHERE that only helps if the optimizer collapses it.
             con.execute(
-                f"CREATE TEMP TABLE {n} AS SELECT * FROM ({body}\n) q LIMIT 0")
+                f"CREATE {kind} {n} AS SELECT * FROM ({body}\n) q LIMIT 0")
             for c in range(chunks):
                 con.execute(
                     f"INSERT INTO {n} {body}\nWHERE {chunk_col} % {chunks} = {c}")
                 print(f"    staged chunk {c + 1}/{chunks} of {n}", flush=True)
         else:
             con.execute(
-                f"CREATE TEMP TABLE {n} AS {prefix}{n} {cols or ''} {kw} ({body}) "
+                f"CREATE {kind} {n} AS {prefix}{n} {cols or ''} {kw} ({body}) "
                 f"SELECT * FROM {n}")
             print(f"    staged {n}", flush=True)
+        record(n, body)
     tail = ctes[cut + 1:]
     rest_sql = final if not tail else (
         prefix + ", ".join(f"{n} {cols or ''} {kw} ({b})" for n, cols, kw, b in tail)
