@@ -43,6 +43,28 @@ object Bench {
         s""""task_ms":$taskMs,"cpu_ms":$cpuMs,"heap_mb":$heapMb}"""
   }
 
+  /** Fixed stage-dense calibration micro-query: 8 chained shuffles
+    * (groupBy-sum with a per-round key remap so no two rounds share a
+    * partitioning) over an 8M-row `spark.range` — data-independent,
+    * registry-independent, deterministic. The r14/r15 sweeps sat in
+    * box-wide capacity windows (same binary, ~12% total swing, effective
+    * parallelism halved) that each cost a round of prose adjudication;
+    * timing THIS probe at sweep start / between passes / end turns the
+    * window into a number on the record: cross-round totals divide by
+    * the window's measured capacity (BASELINE.md anchor table) instead
+    * of requiring a caveat per round. The probe's shape matches the
+    * stage-dense family the windows inflate most (graph_*,
+    * dedup_clusters*: many short shuffle stages, little scan). */
+  private def calibrationProbe(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    var df = spark.range(0L, 8000000L, 1L, 32)
+      .select((col("id") % 1000003L).as("k"), col("id").as("v"))
+    for (i <- 1 to 8)
+      df = df.groupBy(col("k")).agg(sum(col("v")).as("v"))
+        .select(((col("k") * 48271L + lit(i)) % 1000003L).as("k"), col("v"))
+    df.agg(sum(col("v"))).collect()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -131,7 +153,27 @@ object Bench {
       }
     })
     val acc = scala.collection.mutable.Map.empty[String, Vector[Rep]]
+    // Calibration readings: one untimed probe first (its JIT/codegen
+    // warm-up must not land on reading #1), then a timed probe before
+    // each pass and after the last — reps+1 points bracketing the sweep.
+    calibrationProbe(spark)
+    val calib = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    def timedProbe(): Unit = {
+      val gc0 = gcMillis(); val jit0 = jitMillis()
+      val cgen0 = codegenCompiles()
+      val task0 = taskMsAcc.get(); val cpu0 = cpuMsAcc.get()
+      val t0 = System.nanoTime()
+      calibrationProbe(spark)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      try org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
+      catch { case _: java.util.concurrent.TimeoutException => () }
+      calib += Rep(elapsed, gcMillis() - gc0, heapUsedMb(),
+        jitMillis() - jit0, codegenCompiles() - cgen0,
+        taskMsAcc.get() - task0, cpuMsAcc.get() - cpu0)
+      System.gc()
+    }
     for (rep <- 1 to reps) {
+      timedProbe()
       for ((name, fn) <- rng.shuffle(named)) {
         // stderr marker so per-query attribution of Spark warnings (e.g.
         // "Broadcasting large task binary") is greppable from a sweep log
@@ -176,6 +218,11 @@ object Bench {
         // timed region starting from the same clean slate.
         System.gc()
       }
+    }
+    timedProbe()
+    val calibMedian = {
+      val ts = calib.map(_.t).sorted
+      if (ts.isEmpty) -1.0 else ts((ts.size - 1) / 2)
     }
     // A failed query must not masquerade as a fast one: report -1.
     // Lower median for even rep counts — the conservative index that
@@ -230,7 +277,10 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +
       s""""order":"seeded-random-per-pass","n_queries":${results.size},"failed":${failed.size},""" +
-      s""""failed_queries":$failedNamesFull,"sf":"$sfDir","queries":$allQs}"""
+      s""""failed_queries":$failedNamesFull,"sf":"$sfDir",""" +
+      s""""calib_median":${f3(calibMedian)},""" +
+      s""""calibration":${calib.map(_.json).mkString("[", ",", "]")},""" +
+      s""""queries":$allQs}"""
     // a filtered dev run must not clobber the committed full-registry
     // detail file with a partial one — it writes the same detail to the
     // uncommitted BENCH_ONLY.json instead, so isolated adjudication runs
@@ -250,6 +300,7 @@ object Bench {
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +
       s""""n_queries":${results.size},"failed":${failed.size},""" +
       s""""failed_queries":$failedNames,"detail":"BENCH_FULL.json",""" +
+      s""""calib_median":${f3(calibMedian)},""" +
       s""""queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
