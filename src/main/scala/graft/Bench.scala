@@ -65,10 +65,29 @@ object Bench {
     df.agg(sum(col("v"))).collect()
   }
 
+  /** Shuffle/spill directory for the measurement mains: tmpfs when the
+    * box has one (r16 A/B, PERF.md: the stage-dense family — graph_*,
+    * dedup_clusters*, keep_best — runs 0.69x total with shuffle files
+    * on /dev/shm vs the shared virtio /tmp, per-query 0.52-0.76x, and
+    * the calibration probe's rep spread collapses from 4.49-5.76 s to
+    * 4.27-4.36 s: the disk was both a tax and a noise source). On a
+    * real cluster this is the standard fast-local-storage shuffle-dir
+    * practice; at these bench SFs one query's shuffle is MBs, far under
+    * the tmpfs size. SPARK_LOCAL_DIRS (Spark's own env knob) takes
+    * precedence when set; a box without a writable /dev/shm falls back
+    * to Spark's default. */
+  private[graft] def localDir(): Option[String] = {
+    if (sys.env.contains("SPARK_LOCAL_DIRS")) None
+    else {
+      val d = new java.io.File("/dev/shm/graft-shuffle")
+      if ((d.isDirectory || d.mkdirs()) && d.canWrite) Some(d.getPath) else None
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       // AQE on (runtime coalesce/skew/broadcast re-plan) and runtime bloom
@@ -93,6 +112,7 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "2000")
+    val spark = localDir().fold(b0)(d => b0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/shuffle-machinery spin-up otherwise

@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
 object AnnWitness {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -36,6 +36,7 @@ object AnnWitness {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.aggregatePushDown", "true")
       .config("spark.ui.enabled", "false")
+    val spark = graft.Bench.localDir().fold(b0)(d => b0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id)").collect()

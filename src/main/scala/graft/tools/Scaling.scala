@@ -24,7 +24,7 @@ object Scaling {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "2").toInt)
-    val spark = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -37,6 +37,9 @@ object Scaling {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "2000")
+    // Same tmpfs shuffle-dir policy as Bench (r16 A/B) — BOTH decade
+    // sides measured under it, so ratios are unaffected by the level.
+    val spark = graft.Bench.localDir().fold(b0)(d => b0.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id)").collect()
@@ -88,6 +91,7 @@ object Scaling {
     val json =
       s"""{"reps":$reps,"data_factor":10,"total_sf001":${f(totS)},""" +
       s""""total_sf01":${f(totL)},"total_ratio":${f(totL / totS)},""" +
+      s""""small_dir":"$smallDir","large_dir":"$largeDir",""" +
       s""""superlinear":${superlinear.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""queries":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(

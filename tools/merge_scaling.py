@@ -19,8 +19,10 @@ with open("SCALING2.json") as f:
 
 d1.pop("decade2", None)
 d1["decade2"] = {
-    "small_dir": "/root/testdata/sf0.1",
-    "large_dir": "target/sf1",
+    # dirs come from the run itself when present (Scaling.scala records
+    # them since r16); the literals are the pre-r16 defaults.
+    "small_dir": d2.get("small_dir", "/root/testdata/sf0.1"),
+    "large_dir": d2.get("large_dir", "target/sf1"),
     "reps": d2["reps"],
     "data_factor": d2["data_factor"],
     "total_small": d2["total_sf001"],
