@@ -65,6 +65,25 @@ object Bench {
     df.agg(sum(col("v"))).collect()
   }
 
+  /** Fixed scan-dense calibration probe, the stage-dense probe's
+    * opposite pole (r16 verdict task 3: the stage-dense probe and the
+    * mixed registry normalized ~15% apart across contexts because a
+    * window can hit scans and shuffles differently — two probes turn
+    * "which kind of window is this" into data). Shape: four independent
+    * full scans of the sweep's own lineitem parquet, each hashing every
+    * column per row, aggregated with ZERO wide stages — parquet decode
+    * + per-row CPU, no shuffle. Deterministic given the fixture;
+    * cross-context comparisons at the same SF are exactly the use
+    * case. */
+  private def scanProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val hashed = li.select(xxhash64(li.columns.map(col): _*).as("h"))
+    (1 to 4).map(i => hashed.select((col("h") + lit(i.toLong)).as("h")))
+      .reduce(_ unionAll _)
+      .agg(sum(col("h"))).collect()
+  }
+
   /** Shuffle/spill directory for the measurement mains: tmpfs when the
     * box has one (r16 A/B, PERF.md: the stage-dense family — graph_*,
     * dedup_clusters*, keep_best — runs 0.69x total with shuffle files
@@ -80,7 +99,62 @@ object Bench {
     if (sys.env.contains("SPARK_LOCAL_DIRS")) None
     else {
       val d = new java.io.File("/dev/shm/graft-shuffle")
-      if ((d.isDirectory || d.mkdirs()) && d.canWrite) Some(d.getPath) else None
+      if ((d.isDirectory || d.mkdirs()) && d.canWrite) {
+        // Stale shuffle dirs from killed JVMs accumulate in RAM-backed
+        // tmpfs across runs (r16 ADVICE): sweep dead-owner subdirs at
+        // startup, then refuse tmpfs if <8 GiB would remain free —
+        // better the slow default dir than an OOM-killing one.
+        sweepStale(d)
+        if (d.getUsableSpace >= 8L * 1024 * 1024 * 1024) Some(d.getPath)
+        else None
+      } else None
+    }
+  }
+
+  /** Delete blockmgr-* and spark-* subdirs left by JVMs that are no longer
+    * alive. Liveness is per-subdir via an `owner.pid` marker we write
+    * for our own runs; unmarked dirs (pre-marker leftovers or crashed
+    * writers) are treated as stale. The current JVM marks its dir right
+    * after Spark creates it — see markOwned below. */
+  private def sweepStale(root: java.io.File): Unit = {
+    val subs = Option(root.listFiles()).getOrElse(Array.empty)
+    for (s <- subs if s.isDirectory &&
+         (s.getName.startsWith("blockmgr-") || s.getName.startsWith("spark-"))) {
+      val marker = new java.io.File(s, "graft-owner.pid")
+      val alive =
+        if (!marker.isFile) false
+        else scala.util.Try {
+          val pid = new String(
+            java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
+          java.nio.file.Files.isDirectory(
+            java.nio.file.Paths.get(s"/proc/$pid"))
+        }.getOrElse(false)
+      if (!alive) deleteRecursively(s)
+    }
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
+  /** Stamp this JVM's pid into every shuffle subdir it created under
+    * the tmpfs root, so the next run's sweepStale can tell live from
+    * dead. Call once after the SparkSession is up. */
+  private[graft] def markOwned(): Unit = {
+    val root = new java.io.File("/dev/shm/graft-shuffle")
+    if (root.isDirectory) {
+      val pid = ProcessHandle.current().pid()
+      val subs = Option(root.listFiles()).getOrElse(Array.empty)
+      for (s <- subs if s.isDirectory &&
+           (s.getName.startsWith("blockmgr-") || s.getName.startsWith("spark-"))) {
+        val marker = new java.io.File(s, "graft-owner.pid")
+        if (!marker.exists()) scala.util.Try {
+          java.nio.file.Files.write(marker.toPath,
+            pid.toString.getBytes("UTF-8")): Unit
+        }: Unit
+      }
     }
   }
 
@@ -114,6 +188,7 @@ object Bench {
       .config("spark.ui.retainedTasks", "2000")
     val spark = localDir().fold(b0)(d => b0.config("spark.local.dir", d))
       .getOrCreate()
+    markOwned()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/shuffle-machinery spin-up otherwise
     // lands entirely on whichever query happens to run first. The second
@@ -177,20 +252,27 @@ object Bench {
     // warm-up must not land on reading #1), then a timed probe before
     // each pass and after the last — reps+1 points bracketing the sweep.
     calibrationProbe(spark)
+    scanProbe(spark, sfDir)
     val calib = scala.collection.mutable.ArrayBuffer.empty[Rep]
-    def timedProbe(): Unit = {
+    val calibScan = scala.collection.mutable.ArrayBuffer.empty[Rep]
+    def timedInto(buf: scala.collection.mutable.ArrayBuffer[Rep])(
+        probe: => Unit): Unit = {
       val gc0 = gcMillis(); val jit0 = jitMillis()
       val cgen0 = codegenCompiles()
       val task0 = taskMsAcc.get(); val cpu0 = cpuMsAcc.get()
       val t0 = System.nanoTime()
-      calibrationProbe(spark)
+      probe
       val elapsed = (System.nanoTime() - t0) / 1e9
       try org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(spark)
       catch { case _: java.util.concurrent.TimeoutException => () }
-      calib += Rep(elapsed, gcMillis() - gc0, heapUsedMb(),
+      buf += Rep(elapsed, gcMillis() - gc0, heapUsedMb(),
         jitMillis() - jit0, codegenCompiles() - cgen0,
         taskMsAcc.get() - task0, cpuMsAcc.get() - cpu0)
       System.gc()
+    }
+    def timedProbe(): Unit = {
+      timedInto(calib)(calibrationProbe(spark))
+      timedInto(calibScan)(scanProbe(spark, sfDir))
     }
     for (rep <- 1 to reps) {
       timedProbe()
@@ -240,10 +322,12 @@ object Bench {
       }
     }
     timedProbe()
-    val calibMedian = {
-      val ts = calib.map(_.t).sorted
+    def medOf(buf: scala.collection.mutable.ArrayBuffer[Rep]): Double = {
+      val ts = buf.map(_.t).sorted
       if (ts.isEmpty) -1.0 else ts((ts.size - 1) / 2)
     }
+    val calibMedian = medOf(calib)
+    val calibScanMedian = medOf(calibScan)
     // A failed query must not masquerade as a fast one: report -1.
     // Lower median for even rep counts — the conservative index that
     // is an actual observed timing. The full (median, min, max)
@@ -299,7 +383,9 @@ object Bench {
       s""""order":"seeded-random-per-pass","n_queries":${results.size},"failed":${failed.size},""" +
       s""""failed_queries":$failedNamesFull,"sf":"$sfDir",""" +
       s""""calib_median":${f3(calibMedian)},""" +
+      s""""calib_scan_median":${f3(calibScanMedian)},""" +
       s""""calibration":${calib.map(_.json).mkString("[", ",", "]")},""" +
+      s""""calibration_scan":${calibScan.map(_.json).mkString("[", ",", "]")},""" +
       s""""queries":$allQs}"""
     // a filtered dev run must not clobber the committed full-registry
     // detail file with a partial one — it writes the same detail to the
@@ -321,6 +407,7 @@ object Bench {
       s""""n_queries":${results.size},"failed":${failed.size},""" +
       s""""failed_queries":$failedNames,"detail":"BENCH_FULL.json",""" +
       s""""calib_median":${f3(calibMedian)},""" +
+      s""""calib_scan_median":${f3(calibScanMedian)},""" +
       s""""queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }

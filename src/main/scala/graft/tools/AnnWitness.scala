@@ -38,6 +38,7 @@ object AnnWitness {
       .config("spark.ui.enabled", "false")
     val spark = graft.Bench.localDir().fold(b0)(d => b0.config("spark.local.dir", d))
       .getOrCreate()
+    graft.Bench.markOwned()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id)").collect()
 
@@ -47,13 +48,19 @@ object AnnWitness {
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_ANNW_REPS", "3").toInt)
 
     def run(dir: String): (Double, Long) = {
-      var rows = 0L
-      val times = (1 to reps).map { _ =>
+      var rows = -1L
+      val times = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
         val df = graft.SimilarityQueries.annIvfPipeline(spark, dir, Some(qCap))
-        df.write.format("noop").mode("overwrite").save()
+        // Count the rows from the timed job itself via an observation —
+        // a second full pipeline execution per rep (the r16 shape)
+        // roughly doubled the witness's untimed wall time at sf10.
+        val obs = new org.apache.spark.sql.Observation(s"annw_$rep")
+        df.observe(obs, org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("rows"))
+          .write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        rows = df.count()
+        if (rows < 0) rows = obs.get("rows").asInstanceOf[Long]
         spark.catalog.clearCache()
         System.gc()
         dt

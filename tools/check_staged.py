@@ -14,7 +14,8 @@ copies exceed the box's disk) — the SQL text of every CTE body and of
 the remainder is unchanged, so the compared semantics are unchanged.
 
 --chunk-col/--chunks additionally materializes the staged CTE itself in
-N passes, appending `WHERE <col> % N = i` to its body. This is only
+N passes, appending `WHERE abs(<col>) % N = i` (NULL keys land in pass
+0) to its body. This is only
 sound when <col> is a row-wise key of the staged CTE — every window
 function in the body must PARTITION BY it (filtering whole partitions
 before or after a per-partition window is identical). Used when the
@@ -64,9 +65,9 @@ def skip_inert(s, m):
     return m
 
 
-def toplevel_tokens(body):
-    """Yield uppercased word tokens of `body` that sit at paren depth 0,
-    outside literals/comments."""
+def toplevel_tokens_pos(body):
+    """Yield (UPPER_token, start, end) word tokens of `body` that sit at
+    paren depth 0, outside literals/comments."""
     depth, m, out = 0, 0, []
     while m < len(body):
         m2 = skip_inert(body, m)
@@ -82,11 +83,36 @@ def toplevel_tokens(body):
             j = m
             while j < len(body) and (body[j].isalnum() or body[j] == "_"):
                 j += 1
-            out.append(body[m:j].upper())
+            out.append((body[m:j].upper(), m, j))
             m = j
             continue
         m += 1
     return out
+
+
+def toplevel_tokens(body):
+    return [t for t, _, _ in toplevel_tokens_pos(body)]
+
+
+def split_top_commas(txt):
+    """Split `txt` on commas at paren depth 0, outside literals/comments."""
+    parts, depth, start, m = [], 0, 0, 0
+    while m < len(txt):
+        m2 = skip_inert(txt, m)
+        if m2 != m:
+            m = m2
+            continue
+        c = txt[m]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(txt[start:m])
+            start = m + 1
+        m += 1
+    parts.append(txt[start:])
+    return parts
 
 
 def split_ctes(sql):
@@ -153,7 +179,15 @@ def split_ctes(sql):
                        + ", ".join(f"{n}{' ' + c if c else ''} {kw} ({b})"
                                    for n, c, kw, b in ctes)
                        + " " + final)
-            norm = lambda t: " ".join(t.split())
+            # Whitespace-insensitive compare, including around punctuation
+            # (ADVICE r16): an oracle written `name(cols) AS` rebuilds as
+            # `name (cols) AS`, which a bare split() norm does not collapse
+            # — spuriously refusing a legitimate staging. Spaces adjacent
+            # to ( ) , differ only in layout in SQL, so stripping them on
+            # BOTH sides keeps the equality check sound.
+            import re as _re
+            norm = lambda t: _re.sub(r"\s*([(),])\s*", r"\1",
+                                     " ".join(t.split()))
             assert norm(rebuilt) == norm(s), \
                 "split_ctes round-trip mismatch — refusing to stage"
             return recursive, ctes, final
@@ -165,19 +199,40 @@ def assert_chunkable(body, chunk_col):
     filter would silently bind only to the LAST arm, duplicating the
     other arms once per chunk; (2) no top-level WHERE/GROUP BY/QUALIFY/
     ORDER BY/HAVING/LIMIT/WINDOW — the append must become the query's
-    sole WHERE clause over the whole body; (3) every window function in
-    the body must PARTITION BY the chunk column — filtering whole
-    partitions before a per-partition window is identity, filtering
-    anything else changes the oracle's semantics."""
-    toks = toplevel_tokens(body)
+    sole WHERE clause over the whole body; (3) a top-level SELECT
+    DISTINCT must select the chunk column — otherwise identical output
+    rows arising in different chunks survive once PER CHUNK instead of
+    once overall (ADVICE r16); (4) every window function in the body
+    must PARTITION BY the chunk column as a BARE column reference —
+    filtering whole partitions before a per-partition window is
+    identity; an expression merely containing the column (e.g.
+    `chunk_col % 2`) is not partition-preserving under the appended
+    filter (ADVICE r16). NULL chunk-column rows are handled by the
+    caller's NULL-safe predicate (they all land in chunk 0), not here."""
+    toks_pos = toplevel_tokens_pos(body)
+    toks = [t for t, _, _ in toks_pos]
     banned = {"UNION", "EXCEPT", "INTERSECT", "WHERE", "GROUP",
               "QUALIFY", "ORDER", "HAVING", "LIMIT", "WINDOW"}
     hit = sorted(set(toks) & banned)
     assert not hit, (
         f"cannot chunk this CTE: top-level {hit} would make the appended "
         f"WHERE unsound/invalid — stage it un-chunked or rewrite the oracle")
-    # Every OVER (...) must partition by chunk_col.
     import re
+    if "DISTINCT" in toks:
+        # Select list = text between the top-level DISTINCT and the first
+        # top-level FROM (aggregate/substring DISTINCT/FROM sit inside
+        # parens, so they never reach depth 0).
+        di = next(e for t, _, e in toks_pos if t == "DISTINCT")
+        fi = next((s for t, s, _ in toks_pos if t == "FROM"), len(body))
+        sel_items = [x.strip() for x in split_top_commas(body[di:fi])]
+        ok = any(x == "*" or x == chunk_col or
+                 re.fullmatch(rf"[A-Za-z_][A-Za-z0-9_]*\.{re.escape(chunk_col)}", x)
+                 for x in sel_items)
+        assert ok, (
+            f"cannot chunk on {chunk_col!r}: top-level SELECT DISTINCT does "
+            f"not select it as a bare column — identical rows from different "
+            f"chunks would each survive, duplicating output across chunks")
+    # Every OVER (...) must partition by chunk_col as a bare column.
     for m in re.finditer(r"\bOVER\s*\(", body, re.I):
         depth, j = 0, m.end() - 1
         while True:
@@ -196,9 +251,15 @@ def assert_chunkable(body, chunk_col):
         pb = re.search(
             r"PARTITION\s+BY\s+(.*?)(?:\bORDER\s+BY\b|\bROWS\b|\bRANGE\b|\bGROUPS\b|$)",
             grp, re.I | re.S)
-        assert pb and re.search(rf"\b{re.escape(chunk_col)}\b", pb.group(1)), (
+        pb_ok = pb is not None and any(
+            e.strip() == chunk_col or
+            re.fullmatch(rf"[A-Za-z_][A-Za-z0-9_]*\.{re.escape(chunk_col)}",
+                         e.strip())
+            for e in split_top_commas(pb.group(1)))
+        assert pb_ok, (
             f"cannot chunk on {chunk_col!r}: window OVER ({grp.strip()[:80]}...) "
-            f"does not PARTITION BY it — chunking would change its semantics")
+            f"does not PARTITION BY it as a bare column — chunking would "
+            f"change its semantics")
 
 
 def main():
@@ -244,16 +305,27 @@ def main():
     # queries over the same corpus->shingle->pairs chain) pays the
     # expensive materialization ONCE; --reuse skips tables already
     # present. Soundness: _staged_meta records the md5 of each staged
-    # body, and reuse asserts the incoming body hashes identically —
-    # a same-named CTE with different text fails loudly instead of
-    # silently reusing the wrong relation.
-    import hashlib
+    # body AND the resolved sf_dir it was built from; reuse asserts both
+    # match — a same-named CTE with different text, or a --db built from
+    # a different scale factor/data dir (ADVICE r16: staged tables from
+    # one dataset mixed with live views over another give a wrong
+    # oracle), fails loudly instead of silently reusing.
+    import hashlib, os
+    sf_real = os.path.realpath(sf_dir)
     con = duckdb.connect(db_file) if db_file else duckdb.connect()
     con.execute("SET temp_directory='.tmp'")
     kind = "TABLE" if db_file else "TEMP TABLE"
     if db_file:
         con.execute("CREATE TABLE IF NOT EXISTS _staged_meta "
-                    "(name VARCHAR PRIMARY KEY, body_md5 VARCHAR)")
+                    "(name VARCHAR PRIMARY KEY, body_md5 VARCHAR, "
+                    "sf_dir VARCHAR)")
+        # Migrate a pre-r17 two-column meta table: sf_dir unknown → NULL,
+        # which the reuse assert below rejects (fail-closed).
+        have = [r[0] for r in con.execute(
+            "SELECT column_name FROM information_schema.columns "
+            "WHERE table_name = '_staged_meta'").fetchall()]
+        if "sf_dir" not in have:
+            con.execute("ALTER TABLE _staged_meta ADD COLUMN sf_dir VARCHAR")
     for t in TABLES:
         con.execute(
             f"CREATE OR REPLACE VIEW {t} AS "
@@ -263,19 +335,23 @@ def main():
         if not reuse:
             return False
         row = con.execute(
-            "SELECT body_md5 FROM _staged_meta WHERE name = ?", [n]).fetchone()
+            "SELECT body_md5, sf_dir FROM _staged_meta WHERE name = ?",
+            [n]).fetchone()
         if row is None:
             return False
         h = hashlib.md5(body.encode()).hexdigest()
         assert row[0] == h, (
             f"--reuse: staged table {n!r} was built from a DIFFERENT body "
             f"(md5 {row[0]} vs {h}) — use a fresh --db")
+        assert row[1] == sf_real, (
+            f"--reuse: staged table {n!r} was built from a DIFFERENT data "
+            f"dir ({row[1]!r} vs {sf_real!r}) — use a fresh --db")
         return True
 
     def record(n, body):
         if db_file:
-            con.execute("INSERT OR REPLACE INTO _staged_meta VALUES (?, ?)",
-                        [n, hashlib.md5(body.encode()).hexdigest()])
+            con.execute("INSERT OR REPLACE INTO _staged_meta VALUES (?, ?, ?)",
+                        [n, hashlib.md5(body.encode()).hexdigest(), sf_real])
 
     # Materialize every CTE up to the staged one, in order; staged tables
     # shadow nothing (no base table shares a CTE name) and later bodies
@@ -296,8 +372,15 @@ def main():
             con.execute(
                 f"CREATE {kind} {n} AS SELECT * FROM ({body}\n) q LIMIT 0")
             for c in range(chunks):
+                # NULL-safe, sign-safe chunk assignment (ADVICE r16):
+                # `col % N = c` is never true for NULL (dropped from every
+                # chunk) and SQL's % keeps the sign of a negative key
+                # (also dropped). abs() and the NULL→chunk-0 arm keep the
+                # chunks a disjoint, COMPLETE partition of the body.
                 con.execute(
-                    f"INSERT INTO {n} {body}\nWHERE {chunk_col} % {chunks} = {c}")
+                    f"INSERT INTO {n} {body}\n"
+                    f"WHERE (abs({chunk_col}) % {chunks} = {c})"
+                    f" OR ({chunk_col} IS NULL AND {c} = 0)")
                 print(f"    staged chunk {c + 1}/{chunks} of {n}", flush=True)
         else:
             con.execute(
