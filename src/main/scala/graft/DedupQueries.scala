@@ -209,7 +209,12 @@ object DedupQueries {
     // path is far more sensitive to box state than a heap-resident
     // cache. The r8 heap pressure was root-caused to the status-store
     // retention leak (fixed in Bench.scala), so the heap-rent argument
-    // no longer binds; stability wins.
+    // no longer binds; stability wins. MEMORY_AND_DISK_SER was the
+    // third candidate (r17 ProfileSer A/B, PERF.md): it OOMs an 8g JVM
+    // outright (transient object-graph + serialization-buffer double
+    // footprint across 32 concurrent cache builds) and measures ~9%
+    // slower at 24g — serialized-in-heap re-imports the rent the tmpfs
+    // spill tier already pays for free. Question closed.
     val ex = shingleIndex(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = ex.toDF("i", "h")
