@@ -69,7 +69,7 @@ object Bench {
     * opposite pole (r16 verdict task 3: the stage-dense probe and the
     * mixed registry normalized ~15% apart across contexts because a
     * window can hit scans and shuffles differently — two probes turn
-    * "which kind of window is this" into data). Shape: four independent
+    * "which kind of window is this" into data). Shape: eight independent
     * full scans of the sweep's own lineitem parquet, each hashing every
     * column per row, aggregated with ZERO wide stages — parquet decode
     * + per-row CPU, no shuffle. Deterministic given the fixture;
@@ -78,8 +78,11 @@ object Bench {
   private def scanProbe(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    val hashed = li.select(xxhash64(li.columns.map(col): _*).as("h"))
-    (1 to 4).map(i => hashed.select((col("h") + lit(i.toLong)).as("h")))
+    // Per-branch hash seed keeps the four scans from being collapsed by
+    // plan dedup; DOUBLE aggregation because summing raw xxhash64 longs
+    // overflows under ANSI mode.
+    (1 to 8).map(i => li.select(
+        xxhash64(lit(i) +: li.columns.map(col): _*).cast("double").as("h")))
       .reduce(_ unionAll _)
       .agg(sum(col("h"))).collect()
   }
