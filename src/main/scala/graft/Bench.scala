@@ -408,7 +408,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,""" +
       s""""n_queries":${results.size},"failed":${failed.size},""" +
-      s""""failed_queries":$failedNames,"detail":"BENCH_FULL.json",""" +
+      s""""failed_queries":$failedNames,"detail":"$detailPath",""" +
       s""""calib_median":${f3(calibMedian)},""" +
       s""""calib_scan_median":${f3(calibScanMedian)},""" +
       s""""queries":$slowest,"sf":"$sfDir"}""")
