@@ -65,27 +65,48 @@ object Bench {
     df.agg(sum(col("v"))).collect()
   }
 
+  /** Number of independent lineitem scan branches in scanProbe. r17 ran
+    * 8 (~1 s at sf0.1), and BASELINE.md recorded ±12% wobble on that
+    * median — one slow rep moves it. r18 (verdict task 4) lengthens the
+    * probe to ~4 s at sf0.1, same shape, so a single slow segment is
+    * amortized inside the run instead of owning a probe point. 64, not
+    * 24: at local[32] extra branches largely ADD PARALLELISM until the
+    * cores saturate (a 24-branch probe measured only 1.5x the 8-branch
+    * wall time in the r18 sweep-1 record), so hitting the 3-4 s target
+    * takes 8x the branches, not 4x. */
+  private val ScanProbeBranches = 64
+
   /** Fixed scan-dense calibration probe, the stage-dense probe's
     * opposite pole (r16 verdict task 3: the stage-dense probe and the
     * mixed registry normalized ~15% apart across contexts because a
     * window can hit scans and shuffles differently — two probes turn
-    * "which kind of window is this" into data). Shape: eight independent
-    * full scans of the sweep's own lineitem parquet, each hashing every
-    * column per row, aggregated with ZERO wide stages — parquet decode
-    * + per-row CPU, no shuffle. Deterministic given the fixture;
-    * cross-context comparisons at the same SF are exactly the use
-    * case. */
+    * "which kind of window is this" into data). Shape:
+    * ScanProbeBranches independent full scans of the sweep's own
+    * lineitem parquet, each hashing every column per row, aggregated
+    * with ZERO wide stages — parquet decode + per-row CPU, no shuffle.
+    * Deterministic given the fixture; cross-context comparisons at the
+    * same SF are exactly the use case. */
   private def scanProbe(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.functions._
     val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    // Per-branch hash seed keeps the four scans from being collapsed by
+    // Per-branch hash seed keeps the branches from being collapsed by
     // plan dedup; DOUBLE aggregation because summing raw xxhash64 longs
     // overflows under ANSI mode.
-    (1 to 8).map(i => li.select(
+    (1 to ScanProbeBranches).map(i => li.select(
         xxhash64(lit(i) +: li.columns.map(col): _*).cast("double").as("h")))
       .reduce(_ unionAll _)
       .agg(sum(col("h"))).collect()
   }
+
+  /** Recorded idle-window scan/stage pole signature per SF-dir name
+    * (BASELINE.md r18 two-pole table, measured with the 24-branch scan
+    * probe on an idle box). Input to the window_flag: a sweep whose
+    * scan/stage ratio moves >10% off this signature ran in a
+    * scan-vs-shuffle ASYMMETRIC window (the r17 sweep-3 load shape),
+    * so family-level comparison replaces the headline total. SFs
+    * without a recorded signature flag on in-sweep calib spread
+    * alone. */
+  private val IdleScanStageRatio: Map[String, Double] = Map.empty
 
   /** Shuffle/spill directory for the measurement mains: tmpfs when the
     * box has one (r16 A/B, PERF.md: the stage-dense family — graph_*,
@@ -101,38 +122,52 @@ object Bench {
   private[graft] def localDir(): Option[String] = {
     if (sys.env.contains("SPARK_LOCAL_DIRS")) None
     else {
-      val d = new java.io.File("/dev/shm/graft-shuffle")
-      if ((d.isDirectory || d.mkdirs()) && d.canWrite) {
+      val root = new java.io.File("/dev/shm/graft-shuffle")
+      if ((root.isDirectory || root.mkdirs()) && root.canWrite) {
         // Stale shuffle dirs from killed JVMs accumulate in RAM-backed
-        // tmpfs across runs (r16 ADVICE): sweep dead-owner subdirs at
+        // tmpfs across runs (r16 ADVICE): sweep dead-pid subroots at
         // startup, then refuse tmpfs if <8 GiB would remain free —
         // better the slow default dir than an OOM-killing one.
-        sweepStale(d)
-        if (d.getUsableSpace >= 8L * 1024 * 1024 * 1024) Some(d.getPath)
-        else None
+        sweepStale(root)
+        // Each measurement JVM gets its OWN pid-named subroot (r17
+        // verdict + ADVICE: the previous marker protocol — stamp a pid
+        // file into every unmarked blockmgr-*/spark-* dir after
+        // getOrCreate — had an ownership race where two near-
+        // simultaneous JVMs could claim each other's dirs and a later
+        // sweep would delete a LIVE JVM's shuffle dir mid-run). With a
+        // per-pid subroot there is nothing to claim: liveness is the
+        // dir name itself against /proc, concurrent mains never share
+        // a subtree, and the marker protocol is gone entirely.
+        val mine = new java.io.File(root, ProcessHandle.current().pid().toString)
+        if (root.getUsableSpace >= 8L * 1024 * 1024 * 1024 &&
+            (mine.isDirectory || mine.mkdirs())) {
+          // Best-effort tidy-up: Spark removes its own dirs inside the
+          // subroot on clean shutdown; this drops the (then-empty) pid
+          // dir too. Crashed runs are caught by the next sweepStale.
+          Runtime.getRuntime.addShutdownHook(
+            new Thread(() => deleteRecursively(mine)))
+          Some(mine.getPath)
+        } else None
       } else None
     }
   }
 
-  /** Delete blockmgr-* and spark-* subdirs left by JVMs that are no longer
-    * alive. Liveness is per-subdir via an `owner.pid` marker we write
-    * for our own runs; unmarked dirs (pre-marker leftovers or crashed
-    * writers) are treated as stale. The current JVM marks its dir right
-    * after Spark creates it — see markOwned below. */
+  /** Delete subroots left by measurement JVMs that are no longer alive.
+    * Since r18 each JVM writes under its own pid-named subroot, so
+    * liveness is just /proc/<pid>. Dirs named blockmgr-* or spark-*
+    * directly under the root can only be leftovers from pre-r18
+    * binaries (which wrote at the root with a marker protocol); no such
+    * binary exists any more — all mains rebuild together — so they are
+    * dead by construction and swept unconditionally. */
   private def sweepStale(root: java.io.File): Unit = {
     val subs = Option(root.listFiles()).getOrElse(Array.empty)
-    for (s <- subs if s.isDirectory &&
-         (s.getName.startsWith("blockmgr-") || s.getName.startsWith("spark-"))) {
-      val marker = new java.io.File(s, "graft-owner.pid")
-      val alive =
-        if (!marker.isFile) false
-        else scala.util.Try {
-          val pid = new String(
-            java.nio.file.Files.readAllBytes(marker.toPath)).trim.toLong
-          java.nio.file.Files.isDirectory(
-            java.nio.file.Paths.get(s"/proc/$pid"))
-        }.getOrElse(false)
-      if (!alive) deleteRecursively(s)
+    for (s <- subs if s.isDirectory) {
+      val n = s.getName
+      val stale =
+        if (n.nonEmpty && n.forall(_.isDigit))
+          !java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"/proc/$n"))
+        else n.startsWith("blockmgr-") || n.startsWith("spark-")
+      if (stale) deleteRecursively(s)
     }
   }
 
@@ -140,25 +175,6 @@ object Bench {
     if (f.isDirectory)
       Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
     f.delete(): Unit
-  }
-
-  /** Stamp this JVM's pid into every shuffle subdir it created under
-    * the tmpfs root, so the next run's sweepStale can tell live from
-    * dead. Call once after the SparkSession is up. */
-  private[graft] def markOwned(): Unit = {
-    val root = new java.io.File("/dev/shm/graft-shuffle")
-    if (root.isDirectory) {
-      val pid = ProcessHandle.current().pid()
-      val subs = Option(root.listFiles()).getOrElse(Array.empty)
-      for (s <- subs if s.isDirectory &&
-           (s.getName.startsWith("blockmgr-") || s.getName.startsWith("spark-"))) {
-        val marker = new java.io.File(s, "graft-owner.pid")
-        if (!marker.exists()) scala.util.Try {
-          java.nio.file.Files.write(marker.toPath,
-            pid.toString.getBytes("UTF-8")): Unit
-        }: Unit
-      }
-    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -191,7 +207,6 @@ object Bench {
       .config("spark.ui.retainedTasks", "2000")
     val spark = localDir().fold(b0)(d => b0.config("spark.local.dir", d))
       .getOrCreate()
-    markOwned()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/shuffle-machinery spin-up otherwise
     // lands entirely on whichever query happens to run first. The second
@@ -331,6 +346,37 @@ object Bench {
     }
     val calibMedian = medOf(calib)
     val calibScanMedian = medOf(calibScan)
+    // Sweep validity gate (r17 verdict task 1, automated from the prose
+    // rule in BASELINE.md): sweep 5 of r17 straddled a drifting window
+    // (in-sweep stage-calib max/min 1.33×) and its probe-median index
+    // overshot the idle anchor by ~11%; the committed record carried no
+    // machine-readable trace. Emit the in-sweep spread of both probes,
+    // the scan/stage pole ratio, and an explicit window_flag so a
+    // window-straddling sweep can never be silently committed as an
+    // anchor. Flag fires when the stage-probe spread is >= 1.3 (the
+    // sweep-5 failure shape) or the pole ratio moves >10% off the
+    // recorded idle signature for this SF (a scan-vs-shuffle asymmetric
+    // window — family-level comparison replaces the headline total).
+    def spreadOf(buf: scala.collection.mutable.ArrayBuffer[Rep]): Double = {
+      val ts = buf.map(_.t).filter(_ > 0)
+      if (ts.size < 2) -1.0 else ts.max / ts.min
+    }
+    val calibSpread = spreadOf(calib)
+    val calibScanSpread = spreadOf(calibScan)
+    val scanStageRatio =
+      if (calibMedian > 0 && calibScanMedian > 0) calibScanMedian / calibMedian
+      else -1.0
+    val idleRatio = IdleScanStageRatio.get(new java.io.File(sfDir).getName)
+    val windowFlag = calibSpread >= 1.3 ||
+      idleRatio.exists(r => scanStageRatio > 0 &&
+        math.abs(scanStageRatio / r - 1.0) > 0.10)
+    def fr(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val gateFields =
+      s""""calib_spread":${fr(calibSpread)},""" +
+      s""""calib_scan_spread":${fr(calibScanSpread)},""" +
+      s""""scan_stage_ratio":${fr(scanStageRatio)},""" +
+      s""""idle_ratio_ref":${idleRatio.map(fr).getOrElse("null")},""" +
+      s""""window_flag":$windowFlag,"""
     // A failed query must not masquerade as a fast one: report -1.
     // Lower median for even rep counts — the conservative index that
     // is an actual observed timing. The full (median, min, max)
@@ -387,6 +433,7 @@ object Bench {
       s""""failed_queries":$failedNamesFull,"sf":"$sfDir",""" +
       s""""calib_median":${f3(calibMedian)},""" +
       s""""calib_scan_median":${f3(calibScanMedian)},""" +
+      gateFields +
       s""""calibration":${calib.map(_.json).mkString("[", ",", "]")},""" +
       s""""calibration_scan":${calibScan.map(_.json).mkString("[", ",", "]")},""" +
       s""""queries":$allQs}"""
@@ -411,6 +458,7 @@ object Bench {
       s""""failed_queries":$failedNames,"detail":"$detailPath",""" +
       s""""calib_median":${f3(calibMedian)},""" +
       s""""calib_scan_median":${f3(calibScanMedian)},""" +
+      gateFields +
       s""""queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -35,7 +35,6 @@ object ProfileSer {
       .config("spark.ui.enabled", "false")
     val spark = graft.Bench.localDir().fold(b0)(d => b0.config("spark.local.dir", d))
       .getOrCreate()
-    graft.Bench.markOwned()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id)").collect()
     val xmx = Runtime.getRuntime.maxMemory() / (1024 * 1024)

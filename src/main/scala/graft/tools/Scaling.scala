@@ -41,7 +41,6 @@ object Scaling {
     // sides measured under it, so ratios are unaffected by the level.
     val spark = graft.Bench.localDir().fold(b0)(d => b0.config("spark.local.dir", d))
       .getOrCreate()
-    graft.Bench.markOwned()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(2000000).selectExpr("sum(id)").collect()
 

@@ -14,8 +14,8 @@ copies exceed the box's disk) — the SQL text of every CTE body and of
 the remainder is unchanged, so the compared semantics are unchanged.
 
 --chunk-col/--chunks additionally materializes the staged CTE itself in
-N passes, appending `WHERE abs(<col>) % N = i` (NULL keys land in pass
-0) to its body. This is only
+N passes, appending `WHERE ((<col> % N) + N) % N = i` (NULL keys land
+in pass 0) to its body. This is only
 sound when <col> is a row-wise key of the staged CTE — every window
 function in the body must PARTITION BY it (filtering whole partitions
 before or after a per-partition window is identical). Used when the
@@ -183,11 +183,32 @@ def split_ctes(sql):
             # (ADVICE r16): an oracle written `name(cols) AS` rebuilds as
             # `name (cols) AS`, which a bare split() norm does not collapse
             # — spuriously refusing a legitimate staging. Spaces adjacent
-            # to ( ) , differ only in layout in SQL, so stripping them on
-            # BOTH sides keeps the equality check sound.
+            # to ( ) , differ only in layout in SQL, so stripping them
+            # keeps the equality check sound — but ONLY outside string
+            # literals / quoted identifiers / comments (ADVICE r17: a
+            # blanket regex would also collapse spacing INSIDE a literal
+            # like 'a (b)', so a parse corruption that altered a literal's
+            # spacing would slip past the safety net). Inert spans compare
+            # VERBATIM; only the SQL-structural text between them is
+            # normalized.
             import re as _re
-            norm = lambda t: _re.sub(r"\s*([(),])\s*", r"\1",
-                                     " ".join(t.split()))
+
+            def norm(t):
+                out, m = [], 0
+                while m < len(t):
+                    m2 = skip_inert(t, m)
+                    if m2 != m:          # literal/ident/comment: verbatim
+                        out.append(t[m:m2])
+                        m = m2
+                        continue
+                    j = m                # non-inert run
+                    while j < len(t) and skip_inert(t, j) == j:
+                        j += 1
+                    out.append(_re.sub(r"\s*([(),])\s*", r"\1",
+                                       " ".join(t[m:j].split())))
+                    m = j
+                return "".join(out)
+
             assert norm(rebuilt) == norm(s), \
                 "split_ctes round-trip mismatch — refusing to stage"
             return recursive, ctes, final
@@ -372,14 +393,20 @@ def main():
             con.execute(
                 f"CREATE {kind} {n} AS SELECT * FROM ({body}\n) q LIMIT 0")
             for c in range(chunks):
-                # NULL-safe, sign-safe chunk assignment (ADVICE r16):
+                # NULL-safe, sign-safe chunk assignment (ADVICE r16+r17):
                 # `col % N = c` is never true for NULL (dropped from every
                 # chunk) and SQL's % keeps the sign of a negative key
-                # (also dropped). abs() and the NULL→chunk-0 arm keep the
-                # chunks a disjoint, COMPLETE partition of the body.
+                # (also dropped). The ((col % N) + N) % N form maps
+                # negatives into [0, N) without abs() — which both
+                # overflows DuckDB's BIGINT on the minimum value (aborting
+                # the staging mid-INSERT) and folds -k and +k into the
+                # same chunk, skewing chunk sizes for sign-symmetric keys.
+                # This plus the NULL→chunk-0 arm keeps the chunks a
+                # disjoint, COMPLETE partition of the body.
                 con.execute(
                     f"INSERT INTO {n} {body}\n"
-                    f"WHERE (abs({chunk_col}) % {chunks} = {c})"
+                    f"WHERE ((({chunk_col} % {chunks}) + {chunks})"
+                    f" % {chunks} = {c})"
                     f" OR ({chunk_col} IS NULL AND {c} = 0)")
                 print(f"    staged chunk {c + 1}/{chunks} of {n}", flush=True)
         else:
