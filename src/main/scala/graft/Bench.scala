@@ -73,8 +73,17 @@ object Bench {
     * 24: at local[32] extra branches largely ADD PARALLELISM until the
     * cores saturate (a 24-branch probe measured only 1.5x the 8-branch
     * wall time in the r18 sweep-1 record), so hitting the 3-4 s target
-    * takes 8x the branches, not 4x. */
-  private val ScanProbeBranches = 64
+    * takes 8x the branches, not 4x.
+    *
+    * Env-overridable (SPARK_GRAFT_SCAN_BRANCHES) because the probe's
+    * cost scales with the sweep's OWN lineitem: 64 branches is ~4 s at
+    * sf0.1 but ~23 s at sf1 and ~4 min at sf10 — a decade batch at
+    * sf10 would spend more wall on probes than on queries. Non-default
+    * runs record scan_branches in the output JSON and SKIP the
+    * idle-ratio half of the window flag (the recorded signatures are
+    * 64-branch numbers; a different shape is not comparable). */
+  private val ScanProbeBranches =
+    sys.env.getOrElse("SPARK_GRAFT_SCAN_BRANCHES", "64").toInt
 
   /** Fixed scan-dense calibration probe, the stage-dense probe's
     * opposite pole (r16 verdict task 3: the stage-dense probe and the
@@ -105,8 +114,16 @@ object Bench {
     * scan-vs-shuffle ASYMMETRIC window (the r17 sweep-3 load shape),
     * so family-level comparison replaces the headline total. SFs
     * without a recorded signature flag on in-sweep calib spread
-    * alone. */
-  private val IdleScanStageRatio: Map[String, Double] = Map.empty
+    * alone.
+    *
+    * Recorded values (BASELINE.md r18): sf0.1 = 1.05 (full-registry
+    * idle sweep, scan 5.79 / stage 5.50); sf1 = 4.15 (midpoint of the
+    * two fresh-JVM d3ext sf1 batches, 4.40 / 3.91 — the batches' own
+    * disagreement is ~12%, so the 10% flag band at sf1 is tight by
+    * construction and a flagged sf1 run means "compare per-family",
+    * not "discard"). */
+  private val IdleScanStageRatio: Map[String, Double] =
+    Map("sf0.1" -> 1.05, "sf1" -> 4.15)
 
   /** Shuffle/spill directory for the measurement mains: tmpfs when the
     * box has one (r16 A/B, PERF.md: the stage-dense family — graph_*,
@@ -357,8 +374,16 @@ object Bench {
     // sweep-5 failure shape) or the pole ratio moves >10% off the
     // recorded idle signature for this SF (a scan-vs-shuffle asymmetric
     // window — family-level comparison replaces the headline total).
+    // The spread EXCLUDES the first timed probe point when 3+ points
+    // exist: point 1 routinely carries attributable JIT warm-up (r18
+    // batch data: stage jit_ms 8359 on point 1 vs 2795 by point 3, scan
+    // 41264 vs 16600), which is a JVM transient, not the window drift
+    // this gate detects — including it makes every short fresh-JVM
+    // batch cry wolf at ~1.3-1.6x. The full per-rep arrays (with each
+    // point's own jit_ms) stay in BENCH_FULL.json regardless.
     def spreadOf(buf: scala.collection.mutable.ArrayBuffer[Rep]): Double = {
-      val ts = buf.map(_.t).filter(_ > 0)
+      val all = buf.map(_.t).filter(_ > 0)
+      val ts = if (all.size >= 3) all.drop(1) else all
       if (ts.size < 2) -1.0 else ts.max / ts.min
     }
     val calibSpread = spreadOf(calib)
@@ -366,7 +391,10 @@ object Bench {
     val scanStageRatio =
       if (calibMedian > 0 && calibScanMedian > 0) calibScanMedian / calibMedian
       else -1.0
-    val idleRatio = IdleScanStageRatio.get(new java.io.File(sfDir).getName)
+    val idleRatio =
+      if (ScanProbeBranches == 64)
+        IdleScanStageRatio.get(new java.io.File(sfDir).getName)
+      else None
     val windowFlag = calibSpread >= 1.3 ||
       idleRatio.exists(r => scanStageRatio > 0 &&
         math.abs(scanStageRatio / r - 1.0) > 0.10)
@@ -375,6 +403,7 @@ object Bench {
       s""""calib_spread":${fr(calibSpread)},""" +
       s""""calib_scan_spread":${fr(calibScanSpread)},""" +
       s""""scan_stage_ratio":${fr(scanStageRatio)},""" +
+      s""""scan_branches":$ScanProbeBranches,""" +
       s""""idle_ratio_ref":${idleRatio.map(fr).getOrElse("null")},""" +
       s""""window_flag":$windowFlag,"""
     // A failed query must not masquerade as a fast one: report -1.
