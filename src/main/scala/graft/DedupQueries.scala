@@ -372,15 +372,49 @@ object DedupQueries {
   /** Train/bench fixture shared by [[decontaminate]] and
     * [[contamFraction]]: docs with doc_id%41 = 0 play the eval set; the
     * train side is every other doc plus planted contaminations (eval
-    * texts with a prefix bolted on, +3000000 ids). */
-  private def contamFixture(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * texts with a prefix bolted on, +3000000 ids).
+    *
+    * `benchMax` (witness hook, tools.DecontamWitness) additionally pins
+    * the eval set to doc_id < benchMax. The generators emit documents
+    * as a seed-identical prefix stream (gen_sf10.py), so the SAME
+    * benchMax selects the IDENTICAL eval docs at every SF — the
+    * production workload shape, where the benchmark suite does not grow
+    * with the training corpus. The registry query passes None: its
+    * fixture deliberately scales the eval set with the corpus so the
+    * contamination path is exercised in proportion at every SF. */
+  private[graft] def contamFixture(s: SparkSession, dir: String,
+      benchMax: Option[Long] = None): (DataFrame, DataFrame) = {
     val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
-    val bench = d.filter(col("doc_id") % 41 === 0)
-    val train = d.filter(col("doc_id") % 41 =!= 0)
+    val isBench = benchMax.foldLeft(col("doc_id") % 41 === 0)(
+      (p, m) => p && col("doc_id") < m)
+    val bench = d.filter(isBench)
+    val train = d.filter(!isBench)
       .unionAll(bench.select((col("doc_id") + 3000000).as("doc_id"),
         concat(lit("prefix padding before the leaked evaluation text "),
           col("text")).as("text")))
     (bench, train)
+  }
+
+  /** The decontaminate pipeline body, parameterized by the fixture's
+    * benchMax so tools.DecontamWitness times the registry-identical
+    * plan with a fixed eval set. */
+  private[graft] def decontaminatePipeline(s: SparkSession, dir: String,
+      benchMax: Option[Long]): DataFrame = {
+    val (bench, train) = contamFixture(s, dir, benchMax)
+    val trainIx = rawShingleIndexOf(train).toDF("train_id", "h")
+    // bench index feeds two branches (the h-join and the sizes);
+    // persist it so the bench scan + shingle explode runs once
+    val benchIx = shingleIndexOf(bench).toDF("bench_id", "h")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val benchSizes = benchIx.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("bench_n"))
+    trainIx.join(benchIx, Seq("h"))
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared"))
+      .join(benchSizes, Seq("bench_id"))
+      .select(col("train_id"), col("bench_id"), col("shared"),
+        (col("shared").cast("double") / col("bench_n")).as("containment"))
+      .filter(col("containment") >= 0.5)
   }
 
   /** Oracle CTEs mirroring [[contamFixture]]. */
@@ -393,23 +427,7 @@ object DedupQueries {
 
   val decontaminate: Q = Q(
     "curate_decontaminate",
-    (s, dir) => {
-      val (bench, train) = contamFixture(s, dir)
-      val trainIx = rawShingleIndexOf(train).toDF("train_id", "h")
-      // bench index feeds two branches (the h-join and the sizes);
-      // persist it so the bench scan + shingle explode runs once
-      val benchIx = shingleIndexOf(bench).toDF("bench_id", "h")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val benchSizes = benchIx.groupBy(col("bench_id"))
-        .agg(count(lit(1)).as("bench_n"))
-      trainIx.join(benchIx, Seq("h"))
-        .groupBy(col("train_id"), col("bench_id"))
-        .agg(count(lit(1)).as("shared"))
-        .join(benchSizes, Seq("bench_id"))
-        .select(col("train_id"), col("bench_id"), col("shared"),
-          (col("shared").cast("double") / col("bench_n")).as("containment"))
-        .filter(col("containment") >= 0.5)
-    },
+    (s, dir) => decontaminatePipeline(s, dir, None),
     Some {
       s"""WITH $ddbContamFixture,
          |tix AS (SELECT doc_id AS train_id, h FROM ${ddbShingleIx("train", capped = false)} t0),
