@@ -204,8 +204,19 @@ def split_ctes(sql):
                     j = m                # non-inert run
                     while j < len(t) and skip_inert(t, j) == j:
                         j += 1
-                    out.append(_re.sub(r"\s*([(),])\s*", r"\1",
-                                       " ".join(t[m:j].split())))
+                    # Collapse whitespace runs to one space (instead of
+                    # split/join, which DROPS boundary whitespace: the
+                    # old norm made `AND 'x'` equal `AND'x'` — ADVICE
+                    # r19); a space adjacent to an inert span is
+                    # token-separating and must survive as one space.
+                    # Only the ends of the whole statement are stripped.
+                    run = _re.sub(r"\s*([(),])\s*", r"\1",
+                                  _re.sub(r"\s+", " ", t[m:j]))
+                    if m == 0:
+                        run = run.lstrip()
+                    if j == len(t):
+                        run = run.rstrip()
+                    out.append(run)
                     m = j
                 return "".join(out)
 

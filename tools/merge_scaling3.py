@@ -17,9 +17,34 @@ vs sf10 batch); the per-batch stage-probe calib_median quantifies how
 far apart those JVMs' windows were — the block records all four so a
 flag adjudicator can normalize before re-running anything.
 
+The four files were produced by HETEROGENEOUS binaries (r19 ADVICE):
+d3ext_sf1_A predates both the warmup-exclusion in Bench's spreadOf and
+the scan_branches field, so its committed calib_spread=1.602 /
+window_flag=true is an all-points artifact (its first stage-probe point
+carries the fresh-JVM JIT warm-up the later binaries exclude). Rather
+than trust per-file fields, calib_spread and window_flag are recomputed
+UNIFORMLY here from each file's calibration array with the same rule
+Bench has emitted since r18 (drop point 1 when 3+ points exist, then
+max/min; flag at >= 1.3); the file's own committed values are kept
+beside them as *_file for provenance. scan_branches / scan_stage_ratio
+are copied via .get (pre-field files record null) so the reader sees
+the probe SHAPE before comparing scan medians across SFs — the sf1
+batches ran 64-branch probes, the sf10 batches 8-branch, and
+Bench.scala documents cross-shape scan numbers as not comparable.
+
 Usage: python3 tools/merge_scaling3.py
 """
 import json
+
+
+def spread_of(cal):
+    """Bench.spreadOf twin: warmup-excluded in-sweep max/min."""
+    ts = [r["t"] for r in cal if r["t"] > 0]
+    if len(ts) >= 3:
+        ts = ts[1:]
+    if len(ts) < 2:
+        return -1.0
+    return round(max(ts) / min(ts), 3)
 
 BATCHES = {
     ("sf1", "A"): "bench/r18/d3ext_sf1_A.json",
@@ -69,8 +94,15 @@ block = {
         f"{sf}_{b}": {
             "calib_median": d["calib_median"],
             "calib_scan_median": d["calib_scan_median"],
-            "calib_spread": d.get("calib_spread"),
-            "window_flag": d.get("window_flag"),
+            "scan_branches": d.get("scan_branches"),
+            "scan_stage_ratio": d.get("scan_stage_ratio"),
+            # uniform recompute (warmup-excluded, Bench r18 spreadOf
+            # rule) across heterogeneous-binary files; committed
+            # per-file values kept as *_file for provenance
+            "calib_spread": spread_of(d["calibration"]),
+            "window_flag": spread_of(d["calibration"]) >= 1.3,
+            "calib_spread_file": d.get("calib_spread"),
+            "window_flag_file": d.get("window_flag"),
         }
         for (sf, b), d in detail.items()
     },
@@ -80,7 +112,11 @@ block = {
              "per-rep attribution + two-pole probes in bench/r18/d3ext_*. "
              "Supersedes nothing: decade3 (52-query, Scaling-main, one JVM "
              "both SFs) stays as the like-method historical row; this block "
-             "is the gate-matching coverage row."),
+             "is the gate-matching coverage row. batch_calib spreads/flags "
+             "are recomputed uniformly (warmup-excluded) across the "
+             "heterogeneous binaries; sf1_A's committed window_flag_file="
+             "true is a pre-warmup-exclusion all-points artifact "
+             "(recomputed spread 1.093, unflagged)."),
     "queries": queries,
 }
 

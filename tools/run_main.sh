@@ -2,7 +2,10 @@
 # Launch a graft measurement main outside sbt with the same JVM options
 # build.sbt injects (Spark 4 on JDK 17 add-opens + UTC session TZ).
 # Usage: run_main.sh <MainClass> [Xmx] [program args...] ; env passes through.
-MAIN="$1"; XMX="${2:-8g}"; shift 2 2>/dev/null || shift 1
+# The Xmx slot is positional but guarded: anything not shaped like a heap
+# size (e.g. a --flag meant for the main) falls through to program args.
+MAIN="$1"; shift
+if [[ "$1" =~ ^[0-9]+[gGmMkK]$ ]]; then XMX="$1"; shift; else XMX="8g"; fi
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
