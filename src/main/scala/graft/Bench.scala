@@ -132,24 +132,27 @@ object Bench {
   private val IdleScanStageRatio: Map[(String, Int), Double] =
     Map(("sf0.1", 64) -> 1.05, ("sf1", 64) -> 4.15, ("sf10", 8) -> 1.75)
 
-  /** Driver-context scan/stage pole signature (same keying). The
-    * driver harness is a structurally different context from an idle
-    * box — r16-r18 all measured its sweeps ~15% apart from idle on the
-    * normalized index, and BASELINE.md's two-pole rule documents load
-    * as pole-ASYMMETRIC — so holding a driver sweep to the IDLE ratio
-    * made BENCH_r18.json (and every future driver BENCH_rN) carry a
-    * permanently-true flag that reads as noise (r18 verdict, What's
-    * wrong item 1). A sweep matching EITHER signature is not
-    * ratio-flagged; `ratio_context` records which one it matched.
+  /** Second recorded pole-shape reference (same keying), labeled
+    * "driver" for its PROVENANCE: pinned from BENCH_r18.json (scan
+    * 4.42 / stage 6.30 = 0.702), the driver-context sweep, because
+    * holding driver sweeps to the idle ratio made every BENCH_rN
+    * carry a permanently-true flag that reads as noise (r18 verdict,
+    * What's wrong item 1). Band ±15% (vs ±10% idle; single-sweep
+    * pin).
     *
-    * Pinned value: sf0.1/64-branch = 0.70, from BENCH_r18.json
-    * (scan 4.42 / stage 6.30) — the only 64-branch driver-context
-    * reading on the record, hence PROVISIONAL: the band is ±15%
-    * (vs ±10% idle) until a second driver sweep confirms it. That
-    * sweep was spread-flagged (1.306, a drifting window), but the
-    * ratio is a same-sweep median-of-4 over median-of-4 — the drift
-    * rescales both poles together (pole-UNIFORM, BASELINE.md r17
-    * reading 1), so the ratio survives the flag. */
+    * IMPORTANT (r19 finding, BASELINE.md): the label is provenance,
+    * not causation. The first two r19 IDLE sweeps matched this
+    * reference (ratio 0.789 / 0.787 — a fast-scan window: scan probe
+    * 4.05-4.21 s vs the r18 idle 4.65-5.79, stage probe flat), so a
+    * ~0.7-0.8 ratio is a window SHAPE the box can show in any
+    * context. Operationally: `ratio_match` names the recorded shape
+    * the sweep ran in; matching ANY recorded shape is unflagged
+    * (known window, measurements valid), but only
+    * `ratio_match:"idle"` sweeps are ANCHOR-ELIGIBLE — the 68-74
+    * index band was measured at the balanced shape, and a
+    * stage-vs-scan asymmetric window makes total/calib-stage
+    * incomparable to it (compare per-query raw instead; the two r19
+    * sweeps read median 0.95x vs the r18 idle anchors that way). */
   private val DriverScanStageRatio: Map[(String, Int), Double] =
     Map(("sf0.1", 64) -> 0.70)
 
@@ -434,15 +437,16 @@ object Bench {
     // (the r17-sweep-5 / r18-sweep-3 estimator failure) — the
     // normalized index itself is invalid, hard stop; "ratio" = the
     // window's pole signature matches NEITHER the idle nor the
-    // driver-context record — an asymmetric window, so family-level
-    // comparison replaces the headline total (not a discard). A sweep
-    // matching the driver pole is a normal driver-context sweep, not
-    // an anomaly.
+    // driver-provenance record — an asymmetric window of UNRECORDED
+    // shape, so family-level comparison replaces the headline total
+    // (not a discard). A sweep matching a recorded shape is a known
+    // window, not an anomaly — but only the idle-balanced shape is
+    // anchor-eligible (see DriverScanStageRatio scaladoc).
     val spreadReason = calibSpread >= 1.3
     val ratioReason = scanStageRatio > 0 &&
       (idleRatio.nonEmpty || driverRatio.nonEmpty) &&
       idleRatio.forall(offBy(_, 0.10)) && driverRatio.forall(offBy(_, 0.15))
-    val ratioContext =
+    val ratioMatch =
       if (scanStageRatio <= 0 || (idleRatio.isEmpty && driverRatio.isEmpty))
         "null"
       else if (idleRatio.exists(!offBy(_, 0.10))) "\"idle\""
@@ -461,7 +465,7 @@ object Bench {
       s""""scan_branches":$ScanProbeBranches,""" +
       s""""idle_ratio_ref":${idleRatio.map(fr).getOrElse("null")},""" +
       s""""driver_ratio_ref":${driverRatio.map(fr).getOrElse("null")},""" +
-      s""""ratio_context":$ratioContext,""" +
+      s""""ratio_match":$ratioMatch,""" +
       s""""window_flag":$windowFlag,""" +
       s""""flag_reasons":$flagReasons,"""
     // A failed query must not masquerade as a fast one: report -1.
