@@ -137,8 +137,12 @@ object Bench {
     * 4.42 / stage 6.30 = 0.702), the driver-context sweep, because
     * holding driver sweeps to the idle ratio made every BENCH_rN
     * carry a permanently-true flag that reads as noise (r18 verdict,
-    * What's wrong item 1). Band ±15% (vs ±10% idle; single-sweep
-    * pin).
+    * What's wrong item 1). Band ±15% (vs ±10% idle). Confirmed by the
+    * second driver-context reading, BENCH_r19.json (scan 4.51 / stage
+    * 6.17 = 0.731, inside the band) — two independent driver sweeps
+    * at 0.702 / 0.731, so the pin is no longer provisional; the 0.70
+    * center stays (midpoint 0.72 is within 3% of it, not worth a
+    * re-key).
     *
     * IMPORTANT (r19 finding, BASELINE.md): the label is provenance,
     * not causation. The first two r19 IDLE sweeps matched this
@@ -457,6 +461,13 @@ object Bench {
       ((if (spreadReason) List("\"spread\"") else Nil) :::
         (if (ratioReason) List("\"ratio\"") else Nil))
         .mkString("[", ",", "]")
+    // Machine-readable anchor eligibility (r19 ADVICE): the rule
+    // "flags empty AND ratio_match == idle" lived only in docs, so a
+    // consumer keying off window_flag alone could anchor a
+    // driver-shaped sweep (window_flag is false for any sweep matching
+    // a recorded shape, including the non-anchorable 0.70 one). Emit
+    // the conjunction itself so no reader has to re-derive it.
+    val anchorEligible = !windowFlag && ratioMatch == "\"idle\""
     def fr(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     val gateFields =
       s""""calib_spread":${fr(calibSpread)},""" +
@@ -467,7 +478,8 @@ object Bench {
       s""""driver_ratio_ref":${driverRatio.map(fr).getOrElse("null")},""" +
       s""""ratio_match":$ratioMatch,""" +
       s""""window_flag":$windowFlag,""" +
-      s""""flag_reasons":$flagReasons,"""
+      s""""flag_reasons":$flagReasons,""" +
+      s""""anchor_eligible":$anchorEligible,"""
     // A failed query must not masquerade as a fast one: report -1.
     // Lower median for even rep counts — the conservative index that
     // is an actual observed timing. The full (median, min, max)

@@ -22,11 +22,16 @@ d3ext_sf1_A predates both the warmup-exclusion in Bench's spreadOf and
 the scan_branches field, so its committed calib_spread=1.602 /
 window_flag=true is an all-points artifact (its first stage-probe point
 carries the fresh-JVM JIT warm-up the later binaries exclude). Rather
-than trust per-file fields, calib_spread and window_flag are recomputed
+than trust per-file fields, calib_spread and the flag are recomputed
 UNIFORMLY here from each file's calibration array with the same rule
 Bench has emitted since r18 (drop point 1 when 3+ points exist, then
 max/min; flag at >= 1.3); the file's own committed values are kept
-beside them as *_file for provenance. scan_branches / scan_stage_ratio
+beside them as *_file for provenance. The recomputed flag is named
+spread_flag, NOT window_flag (r19 ADVICE): it implements only the
+spread leg of Bench's gate — the ratio leg is deliberately skipped
+because the per-batch scan_stage_ratio values were all verified
+in-band by hand, and recomputing it would need the (SF, branch-count)
+signature maps duplicated here. scan_branches / scan_stage_ratio
 are copied via .get (pre-field files record null) so the reader sees
 the probe SHAPE before comparing scan medians across SFs — the sf1
 batches ran 64-branch probes, the sf10 batches 8-branch, and
@@ -99,12 +104,13 @@ block = {
             # uniform recompute (warmup-excluded, Bench r18 spreadOf
             # rule) across heterogeneous-binary files; committed
             # per-file values kept as *_file for provenance
-            "calib_spread": spread_of(d["calibration"]),
-            "window_flag": spread_of(d["calibration"]) >= 1.3,
+            "calib_spread": sp,
+            "spread_flag": sp >= 1.3,
             "calib_spread_file": d.get("calib_spread"),
             "window_flag_file": d.get("window_flag"),
         }
         for (sf, b), d in detail.items()
+        for sp in [spread_of(d["calibration"])]
     },
     "note": ("r18 extension of decade3 to the full 94-query sf10 gate set "
              "(r17 verdict task 5). Fresh-JVM alphabetical-half batches per "
@@ -116,7 +122,9 @@ block = {
              "are recomputed uniformly (warmup-excluded) across the "
              "heterogeneous binaries; sf1_A's committed window_flag_file="
              "true is a pre-warmup-exclusion all-points artifact "
-             "(recomputed spread 1.093, unflagged)."),
+             "(recomputed spread 1.093, unflagged). spread_flag covers "
+             "only the spread leg of Bench's gate (ratio leg verified "
+             "in-band by hand, not recomputed)."),
     "queries": queries,
 }
 
