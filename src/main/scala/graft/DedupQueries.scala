@@ -25,6 +25,16 @@ object DedupQueries {
   private val Trailer = " near duplicate trailer appended for dedup testing"
 
   /** The dedup corpus: documents ∪ exact copies (%7) ∪ near copies (%11). */
+  // r20 A/B note: scattering this scan (Sources.scatter, the fix that
+  // won 2-3x on the ETL loads) was measured a NET LOSS here — paired
+  // isolated runs, stage-probe-flat window: dedup_exact 0.46→0.80 s,
+  // dedup_ngram_jaccard 1.07x, dedup_minhash_lsh 1.10x, graph_kcore
+  // 1.24x (all corpus-scatter-only paths). The corpus consumers reach
+  // their first natural exchange (df-cap window on h / fingerprint
+  // groupBy) after per-doc work that is far lighter than the ETL
+  // loads' string synthesis, so the extra exchange + lost
+  // scan-pipeline fusion outweighs 3→32-task parallelism at bench
+  // scale. Reverted; recorded so it is not re-proposed untested.
   def corpus(s: SparkSession, dir: String): DataFrame = {
     val d = table(s, dir, "documents").select(col("doc_id"), col("text"))
     d.unionAll(
@@ -709,8 +719,24 @@ object DedupQueries {
     * pure analyzer time at sf0.1, so it cuts every round). Typical
     * near-dup min-label loops converge in 2-4 rounds and never pay the
     * round-trip; adversarial long-chain graphs stay OOM-safe. */
+  /** r20: the cut is `localCheckpoint`, not `createDataFrame(df.rdd)`.
+    * Both collapse the analyzed tree to one LogicalRDD leaf, but the
+    * rdd round-trip (a) deserializes every row to external Row objects
+    * and re-encodes them on EVERY scan of the leaf (the 8-round
+    * pagerank chain scans its adjacency leaf 8×), and (b) erases the
+    * leaf's outputPartitioning, so each loop round re-Exchanges a
+    * frame that was explicitly repartitioned on the join key.
+    * localCheckpoint stores the materialized InternalRows once
+    * (MEMORY_AND_DISK — same tier the old persist used) and
+    * LogicalRDD keeps the physical partitioning, so per-round joins
+    * on the cut key need no adjacency-side Exchange. Eager: every
+    * call site materializes immediately anyway (count / first join).
+    * Trade (documented upstream): a localCheckpoint is not
+    * fault-tolerant to executor loss — on a cluster the loop would
+    * recompute from the last cut, which is exactly the recovery story
+    * the old persist(MEMORY_AND_DISK) had. */
   private def cutLineage(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(df.rdd, df.schema)
+    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
 
   private def maybeCutLineage(df: DataFrame, sinceRebase: Int, depth: Int): DataFrame =
     if (sinceRebase < depth) df else cutLineage(df)
@@ -721,8 +747,10 @@ object DedupQueries {
     // candidate-pair plan 8× in every analysis pass of the loop
     val initPlan = edges0.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct()
+    // the checkpoint IS the materialized store — no persist on top
+    // (a persist layer over a checkpointed leaf caches the same rows
+    // twice and pays the IMR build for nothing)
     var edges = cutLineage(initPlan)
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var edgeCount = edges.count()
     var converged = edgeCount == 0
     var rounds = 0
@@ -761,8 +789,12 @@ object DedupQueries {
       // branching ~8/round ⟹ cut every round (see maybeCutLineage);
       // the base is a LogicalRDD after the initial cut, so the Row
       // round-trip over the shrinking edge set is the cheaper side
-      val small = maybeCutLineage(smallPlan, sinceRebase, 1)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val smallCut = maybeCutLineage(smallPlan, sinceRebase, 1)
+      // persist only the UNCUT rounds (a checkpointed round is already
+      // stored); the cut rounds' blocks release via ContextCleaner
+      val small =
+        if (smallCut eq smallPlan) smallCut.persist(StorageLevel.MEMORY_AND_DISK)
+        else smallCut
       sinceRebase = if (small eq smallPlan) sinceRebase + 1 else 0
       // full materialization BEFORE dropping the old round; equal
       // cardinality + one-side inclusion ⟹ set equality (both distinct).
@@ -827,8 +859,12 @@ object DedupQueries {
               .as("cluster_id"))
         // `labels` appears twice in each round's plan — periodic
         // lineage cut (see maybeCutLineage; every round regressed r6)
-        val step = maybeCutLineage(stepPlan, sinceRebase, 4)
-          .persist(StorageLevel.MEMORY_AND_DISK)
+        val stepCut = maybeCutLineage(stepPlan, sinceRebase, 4)
+        // persist only the UNCUT rounds (a checkpointed round is
+        // already stored — see starLabels)
+        val step =
+          if (stepCut eq stepPlan) stepCut.persist(StorageLevel.MEMORY_AND_DISK)
+          else stepCut
         sinceRebase = if (step eq stepPlan) sinceRebase + 1 else 0
         // full count, not limit(1): every partition of `step` must land in
         // the cache BEFORE the previous round is dropped, or the next
@@ -1906,17 +1942,17 @@ object DedupQueries {
       val nE = e.count()
       val gParts = math.max(2, math.min(
         s.sessionState.conf.numShufflePartitions, (nE / 65536L).toInt + 1))
+      // the checkpoint is the store; a persist UNDER the cut would be
+      // materialized once during checkpointing and never read again
       val adj = cutLineage(
         e.select(col("i").as("src"), col("j").as("dst"))
           .unionAll(e.select(col("j").as("src"), col("i").as("dst")))
-          .repartition(gParts, col("src"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .repartition(gParts, col("src")))
       val seeds = cutLineage(
         corpus(s, dir)
           .filter(col("doc_id") % BfsSeedMod === 0)
           .select(col("doc_id").as("v"), lit(0L).as("hop"))
-          .repartition(gParts, col("v"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+          .repartition(gParts, col("v")))
       val dist = (1 to BfsRounds).foldLeft(seeds) { (d, _) =>
         d.unionAll(
           d.join(adj, col("v") === col("src"))

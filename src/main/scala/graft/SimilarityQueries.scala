@@ -1157,16 +1157,19 @@ object SimilarityQueries {
   val rerankMmr: Q = Q(
     "sim_rerank_mmr",
     (s, dir) => {
+      // r20: the cut is localCheckpoint (see DedupQueries.cutLineage) —
+      // the checkpoint stores the InternalRows itself, so the old
+      // persist-under-the-cut (materialized once during checkpointing,
+      // then bypassed by every LogicalRDD scan) is dropped.
       def cut(df: DataFrame): DataFrame =
-        s.createDataFrame(df.rdd, df.schema)
+        df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("neighbor_id").asc)
       val cands = cut(scoredAll(s, dir)
         .withColumn("r", row_number().over(w))
         .filter(col("r") <= MmrCands)
         .select(col("query_id"), col("neighbor_id").as("cand_id"),
-          col("cosine").as("rel"))
-        .persist())
+          col("cosine").as("rel")))
       val emb = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val ce = cands
         .join(emb, col("cand_id") === col("vec_id"))
@@ -1175,8 +1178,7 @@ object SimilarityQueries {
         .join(ce.toDF("query_id", "cj", "ej"), Seq("query_id"))
         .filter(col("ci") =!= col("cj"))
         .select(col("query_id"), col("ci"), col("cj"),
-          H.cosine(col("ei"), col("ej")).as("s"))
-        .persist())
+          H.cosine(col("ei"), col("ej")).as("s")))
       val lam = lit(MmrLambda.toDouble)
       val pickW = Window.partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("cand_id").asc)
@@ -1279,13 +1281,16 @@ object SimilarityQueries {
   val nprobeSweep: Q = Q(
     "sim_ivf_nprobe_sweep",
     (s, dir) => {
-      def cut(df: DataFrame): DataFrame = s.createDataFrame(df.rdd, df.schema)
+      // r20: localCheckpoint cut, persists-under-the-cut dropped (see
+      // DedupQueries.cutLineage — the checkpoint is the store).
+      def cut(df: DataFrame): DataFrame =
+        df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
       val e = table(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val stride = ivfStride(e.count())
       val centroids = e.filter(col("vec_id") % stride === lit(3L % stride))
         .toDF("centroid_id", "c_emb")
       val lists = cut(assignArgmax(e, centroids)
-        .toDF("neighbor_id", "n_emb", "centroid_id").persist())
+        .toDF("neighbor_id", "n_emb", "centroid_id"))
       val queries = e.filter(col("vec_id") % QueryMod === 0)
       val nQ = queries.count()
       val w = Window.partitionBy(col("vec_id"))
@@ -1294,10 +1299,9 @@ object SimilarityQueries {
         .withColumn("crank", row_number().over(w))
         .filter(col("crank") <= NprobeGrid.max)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-          col("centroid_id"), col("crank"))
-        .persist())
+          col("centroid_id"), col("crank")))
       val brute = cut(topK(scoredAll(s, dir), 3)
-        .select(col("query_id"), col("neighbor_id")).persist())
+        .select(col("query_id"), col("neighbor_id")))
       val rows = NprobeGrid.map { np =>
         val scored = pr.filter(col("crank") <= np)
           .join(lists, Seq("centroid_id"))

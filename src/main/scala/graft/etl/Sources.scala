@@ -20,6 +20,27 @@ object Sources {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Scale-adaptive scan scatter (optimization guide §2.5 "input skew":
+    * one huge unsplittable file → repartition immediately after the
+    * read). The bench SF dirs ship each table as ONE small parquet file
+    * (one row group), so a scan is a single partition — and the ETL
+    * loads are otherwise shuffle-free broadcast enrichments, meaning
+    * their entire per-row expression chain (string synthesis + parses +
+    * cleaning) ran on ONE core of local[N] (r20 measurement: the same
+    * chain is 3-4x faster once scattered; dq_profile_wide had applied
+    * the same fix in r11). The branch keys off the scan's OWN partition
+    * count vs the session's parallelism, so at cluster scale — where
+    * the fact scan is already thousands of splits — this is a no-op and
+    * no extra exchange is paid. Hash-distributing on a provided key
+    * avoids round-robin's sort-before-repartition pass; results are
+    * row-order independent (every declared query is canon-sort-hashed).
+    */
+  def scatter(spark: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val want = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 >= want) df
+    else df.repartition(want, key)
+  }
+
   /** `events` loader, adaptive to the two `ts` layouts the driver has
     * shipped: parquet TIMESTAMP(NANOS) (surfaced as a nanos long under
     * the legacy reader conf — converted with integral DIV, not double

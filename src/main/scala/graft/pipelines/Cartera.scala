@@ -30,7 +30,10 @@ object Cartera {
     *  - status 'F' → accounting-format negative `($1,234.56)`
     */
   def rawFact(spark: SparkSession, sfDir: String): DataFrame = {
-    val orders = Sources.table(spark, sfDir, "orders")
+    // Scatter the single-file fact scan before the broadcast-enrichment
+    // + string-synth chain (see Sources.scatter; no-op on a split scan).
+    val orders = Sources.scatter(spark,
+      Sources.table(spark, sfDir, "orders"), col("o_orderkey"))
     val cust = Sources.table(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
     val moneyInt = format_number(floor(col("o_totalprice")).cast("long"), 0)

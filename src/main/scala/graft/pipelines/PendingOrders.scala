@@ -22,7 +22,13 @@ object PendingOrders {
   private def rid = col("l_orderkey") * 8 + col("l_linenumber")
 
   def rawFact(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Sources.table(spark, sfDir, "lineitem")
+    // Scatter the fact scan before the broadcast-join + string-synth
+    // chain: with every dim broadcast there is no exchange anywhere in
+    // this pipeline, so the whole per-row expression tree inherits the
+    // scan's partitioning — one task on the single-file bench fixtures
+    // (Sources.scatter scaladoc; no-op when the scan is already split).
+    val li = Sources.scatter(spark,
+      Sources.table(spark, sfDir, "lineitem"), col("l_orderkey"))
     val orders = Sources.table(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
     val cust = Sources.table(spark, sfDir, "customer")

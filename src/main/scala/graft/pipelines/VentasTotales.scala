@@ -27,7 +27,10 @@ object VentasTotales {
 
   /** The raw sales file (S2/S3): one row per order line, messy. */
   def rawFile(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = Sources.table(spark, sfDir, "lineitem")
+    // Scatter the single-file fact scan before the broadcast-enrichment
+    // + string-synth chain (see Sources.scatter; no-op on a split scan).
+    val li = Sources.scatter(spark,
+      Sources.table(spark, sfDir, "lineitem"), col("l_orderkey"))
     val orders = Sources.table(spark, sfDir, "orders")
       .select(col("o_orderkey"), col("o_custkey"))
     val cust = Sources.table(spark, sfDir, "customer")

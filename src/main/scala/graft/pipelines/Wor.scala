@@ -144,8 +144,14 @@ object Wor {
     * by P8). Null client names (→ fillna 0 → dropped by P7) and ghost
     * clients (→ dropped by the dim lookup) are scattered deterministically. */
   def forecastTables(spark: SparkSession, sfDir: String): DataFrame = {
-    val cust = Sources.table(spark, sfDir, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    // Scatter the single-file dim scan: the ×12 month cross join and the
+    // client-row string synthesis inherit the scan's partitioning (the
+    // months side broadcasts), so unscattered they run one task (see
+    // Sources.scatter; no-op on an already-split scan).
+    val cust = Sources.scatter(spark,
+      Sources.table(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal")),
+      col("c_custkey"))
     val months = spark.range(1, 13).select(col("id").cast("int").as("mes_num"))
     val zonaOf = element_at(arrayLit(ZonaTokens), (col("c_custkey") % 8).cast("int") + 1)
     def week(i: Int): Column =
