@@ -257,7 +257,16 @@ object Bench {
       .config("spark.ui.retainedJobs", "100")
       .config("spark.ui.retainedStages", "200")
       .config("spark.ui.retainedTasks", "2000")
-    val spark = localDir().fold(b0)(d => b0.config("spark.local.dir", d))
+    // r20: optional conf overrides for measurement A/Bs, e.g.
+    // SPARK_GRAFT_CONF="spark.io.compression.codec=zstd;spark.x=y".
+    // Unset (the driver's case) this is a no-op — the bench config the
+    // driver compares against is exactly the block above.
+    val b1 = sys.env.get("SPARK_GRAFT_CONF").fold(b0) { s =>
+      s.split(';').filter(_.contains('=')).foldLeft(b0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    }
+    val spark = localDir().fold(b1)(d => b1.config("spark.local.dir", d))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JVM/codegen/shuffle-machinery spin-up otherwise
