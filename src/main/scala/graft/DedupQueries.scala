@@ -723,18 +723,23 @@ object DedupQueries {
     * Both collapse the analyzed tree to one LogicalRDD leaf, but the
     * rdd round-trip (a) deserializes every row to external Row objects
     * and re-encodes them on EVERY scan of the leaf (the 8-round
-    * pagerank chain scans its adjacency leaf 8×), and (b) erases the
-    * leaf's outputPartitioning, so each loop round re-Exchanges a
-    * frame that was explicitly repartitioned on the join key.
+    * pagerank chain scans its adjacency leaf 8×), and (b) leaves the
+    * leaf with the defaultSizeInBytes sentinel for stats, so the
+    * planner treats a kilobyte label/rank frame as unbroadcastable
+    * and plans SortMergeJoin + per-round Exchanges on BOTH sides.
     * localCheckpoint stores the materialized InternalRows once
-    * (MEMORY_AND_DISK — same tier the old persist used) and
-    * LogicalRDD keeps the physical partitioning, so per-round joins
-    * on the cut key need no adjacency-side Exchange. Eager: every
-    * call site materializes immediately anyway (count / first join).
-    * Trade (documented upstream): a localCheckpoint is not
-    * fault-tolerant to executor loss — on a cluster the loop would
-    * recompute from the last cut, which is exactly the recovery story
-    * the old persist(MEMORY_AND_DISK) had. */
+    * (MEMORY_AND_DISK — same tier the old persist used) and the leaf
+    * carries an honest size estimate, so the per-round joins go back
+    * to being size-driven (BHJ while the small side is small; SMJ/SHJ
+    * when it is not): graph_pagerank 17 Exchanges + 8 SMJ + 8 Sorts →
+    * 9 Exchanges + 8 BHJ + 0 Sorts (plans/r20). Measured pin
+    * (R20OptSpec): outputPartitioning does NOT survive the checkpoint
+    * under AQE — the win is the InternalRow store + honest stats, not
+    * partitioning reuse. Eager: every call site materializes
+    * immediately anyway (count / first join). Trade (documented
+    * upstream): a localCheckpoint is not fault-tolerant to executor
+    * loss — on a cluster the loop recomputes from the last cut, the
+    * same recovery story the old persist(MEMORY_AND_DISK) had. */
   private def cutLineage(df: DataFrame): DataFrame =
     df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
 

@@ -37,9 +37,14 @@ object Sources {
     */
   def scatter(spark: SparkSession, df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val want = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 >= want) df
-    else df.repartition(want, key)
+    if (needScatter(df.rdd.getNumPartitions, want)) df.repartition(want, key)
+    else df
   }
+
+  /** The scatter decision, exposed for the spec: fire only when the
+    * scan is under half the session's parallelism. */
+  private[graft] def needScatter(parts: Int, want: Int): Boolean =
+    parts * 2 < want
 
   /** `events` loader, adaptive to the two `ts` layouts the driver has
     * shipped: parquet TIMESTAMP(NANOS) (surfaced as a nanos long under
