@@ -304,7 +304,25 @@ object DedupQueries {
     * 100 TB shape: shuffles on token hash (df + candidate join) and
     * doc_id (prefix ranking) — all hash-sized keys; candidate volume is
     * governed by rare-token collisions instead of hot-token df², which
-    * is the property that survives a boilerplate-heavy web corpus. */
+    * is the property that survives a boilerplate-heavy web corpus.
+    *
+    * r21 verification rewrite (guide §1.1 stage attribution + §2.3
+    * "shuffle fewer bytes"): the old verification expanded every
+    * candidate pair by ALL of doc i's postings and re-joined on (j, h)
+    * — at sf1 that is 17.3 M candidates × ~52 postings ≈ 0.9 G skinny
+    * join rows, measured **248.7 s of a ~260 s query**
+    * (tools/ProfilePrefix; candidate generation itself was 1.1 s).
+    * Verification now joins the candidate list to a per-doc sorted
+    * token-hash ARRAY table (one row per doc, built from the same
+    * capped index) and counts |A∩B| with the native `array_intersect`
+    * — one row per candidate through two joins, no fan-out, the
+    * intersection runs as codegen over ≤ O(|doc|) array elements.
+    * Exactly the same count: per-doc shingle hashes are distinct (see
+    * [[rawShingleIndexOf]]), so the old per-posting match count and
+    * `size(array_intersect(...))` agree row-for-row — gated by the
+    * unchanged exhaustive oracle. The array table is doc-bounded
+    * (≤ doc shingle count × 8 B per row), so at 100 TB it shuffles
+    * the same bytes the posting table would, once instead of twice. */
   val prefixFilter: Q = Q(
     "dedup_prefix_filter",
     (s, dir) => {
@@ -328,14 +346,18 @@ object DedupQueries {
         .filter(lit(10) * least(col("ni"), col("nj")) >=
           lit(7) * greatest(col("ni"), col("nj")))
         .select(col("i"), col("j")).distinct()
-      val inter = cands
-        .join(ex.toDF("i", "h"), Seq("i"))
-        .join(ex.toDF("j", "h"), Seq("j", "h"))
-        .groupBy(col("i"), col("j")).agg(count(lit(1)).as("c"))
-      val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      inter
-        .join(sizes.toDF("i", "na"), Seq("i"))
-        .join(sizes.toDF("j", "nb"), Seq("j"))
+      // per-doc token-set arrays: size(toks) == the old per-doc posting
+      // count (hashes are distinct within a doc), sort_array only for
+      // plan determinism
+      val docToks = ex.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("h"))).as("toks"),
+          count(lit(1)).as("n"))
+      cands
+        .join(docToks.toDF("i", "ti", "na").hint("shuffle_hash"), Seq("i"))
+        .join(docToks.toDF("j", "tj", "nb").hint("shuffle_hash"), Seq("j"))
+        .select(col("i"), col("j"),
+          size(array_intersect(col("ti"), col("tj"))).cast("long").as("c"),
+          col("na"), col("nb"))
         .select(col("i"), col("j"),
           (col("c").cast("double") / (col("na") + col("nb") - col("c")))
             .as("jaccard"))
@@ -735,13 +757,34 @@ object DedupQueries {
     * 9 Exchanges + 8 BHJ + 0 Sorts (plans/r20). Measured pin
     * (R20OptSpec): outputPartitioning does NOT survive the checkpoint
     * under AQE — the win is the InternalRow store + honest stats, not
-    * partitioning reuse. Eager: every call site materializes
-    * immediately anyway (count / first join). Trade (documented
-    * upstream): a localCheckpoint is not fault-tolerant to executor
-    * loss — on a cluster the loop recomputes from the last cut, the
-    * same recovery story the old persist(MEMORY_AND_DISK) had. */
+    * partitioning reuse. Trade (documented upstream): a
+    * localCheckpoint is not fault-tolerant to executor loss — on a
+    * cluster the loop recomputes from the last cut, the same recovery
+    * story the old persist(MEMORY_AND_DISK) had.
+    *
+    * r21: the cut is LAZY (eager=false) — guide §1.3/§5, "fold the
+    * convergence read into the materialization": eager checkpointing
+    * ran one full job (the internal rdd.count()) and every loop round
+    * then ran a SECOND job for its convergence count, so each round
+    * paid ≥2 driver-side job dispatches over kilobyte frames — the
+    * dominant cost of the iterative family at the bottom of the r20
+    * profile (8c/32c ratios 0.66–0.98: round overhead, not compute).
+    * With a lazy cut the caller's next action (the per-round count, or
+    * the query's single terminal job in the fixed-round chains)
+    * computes the checkpoint RDD, caches its blocks via the persist
+    * level, and finalizes the checkpoint at job end — one job does
+    * both. SAFETY CONDITION: the first scan of the returned frame must
+    * not race — i.e. the first downstream stage that reads the leaf
+    * must be the only one reading it until it completes (true for
+    * every caller here: the loop counts scan it alone, and the
+    * fixed-round chains order every scan behind the previous round's
+    * broadcast/shuffle). Two CONCURRENT stages over a not-yet-
+    * materialized leaf would each compute it (correct, since blocks
+    * store once, but duplicated work) — multi-consumer one-shot DAGs
+    * like sim_ivf_nprobe_sweep keep their EAGER cuts for exactly that
+    * reason (see SimilarityQueries). */
   private def cutLineage(df: DataFrame): DataFrame =
-    df.localCheckpoint(true, StorageLevel.MEMORY_AND_DISK)
+    df.localCheckpoint(false, StorageLevel.MEMORY_AND_DISK)
 
   private def maybeCutLineage(df: DataFrame, sinceRebase: Int, depth: Int): DataFrame =
     if (sinceRebase < depth) df else cutLineage(df)
@@ -754,7 +797,9 @@ object DedupQueries {
       .filter(col("src") =!= col("dst")).distinct()
     // the checkpoint IS the materialized store — no persist on top
     // (a persist layer over a checkpointed leaf caches the same rows
-    // twice and pays the IMR build for nothing)
+    // twice and pays the IMR build for nothing). r21: the cut is lazy,
+    // so the count below is the single job that computes, caches AND
+    // finalizes the checkpoint — not a second pass over it.
     var edges = cutLineage(initPlan)
     var edgeCount = edges.count()
     var converged = edgeCount == 0
@@ -801,7 +846,9 @@ object DedupQueries {
         if (smallCut eq smallPlan) smallCut.persist(StorageLevel.MEMORY_AND_DISK)
         else smallCut
       sinceRebase = if (small eq smallPlan) sinceRebase + 1 else 0
-      // full materialization BEFORE dropping the old round; equal
+      // full materialization BEFORE dropping the old round (on cut
+      // rounds this count IS the job that materializes the lazy
+      // checkpoint — one job per round, not checkpoint+count); equal
       // cardinality + one-side inclusion ⟹ set equality (both distinct).
       // left_anti, not except(): both sides are already distinct, and
       // except() would re-distinct each side (two extra aggregations
@@ -933,7 +980,25 @@ object DedupQueries {
     * `max(struct(q, -doc_id))` (the IVF-assignment pattern: the shuffle
     * carries one row per cluster, never the scored membership; a rank
     * window would shuffle every member to discard all but one). The
-    * oracle crosses formulations: recursive-CTE closure + rank window. */
+    * oracle crosses formulations: recursive-CTE closure + rank window.
+    *
+    * r21 SortAggregate note (VERDICT item 4, measured and REJECTED —
+    * do not re-propose untested): the struct-typed max buffer defeats
+    * HashAggregate, so this aggregate sort-aggregates. Two hash-only
+    * rewrites were built, oracle-verified (227/227 both SFs) and
+    * ABBA-measured against identical-code controls at sf0.1:
+    * (a) phase-split groupBy(cluster_id, q)→min(doc_id),count then
+    * argmax over the collapsed rows — min-of-6 ratio 1.29× vs a
+    * 0.95–1.20 control band, a real LOSS: q is a composite double and
+    * near-unique per doc, so phase 1 reduces almost nothing and the
+    * added exchange is pure cost (same envelope at 100 TB — real
+    * quality scores rarely collide); (b) the join-back form max(q) +
+    * join + filter(q = max) + min(doc_id) — numbers at the A/B table
+    * in OPTIMIZATION_r21.md — pays a second scan of the scored
+    * membership plus an extra join and exchange. The single
+    * sort-aggregate keeps map-side partial aggregation (one row per
+    * cluster per partition crosses the exchange), which neither
+    * rewrite preserves at lower total cost. */
   val keepBest: Q = Q(
     "dedup_keep_best",
     (s, dir) => {
@@ -1420,16 +1485,29 @@ object DedupQueries {
     * links that CC would still merge peel away, a precision filter on
     * cluster membership. Each round is one degree aggregate + one
     * semi-join — all shuffles on the node id; rounds needed = the
-    * peeling depth (≤ graph diameter, 2-3 on dup-cluster graphs). Same
-    * driver-loop discipline as k-means/CC: per-round persist + lineage
-    * cut via RDD rebase is unnecessary here because the loop rebuilds
-    * from the persisted edge set each round (plan depth stays linear
-    * in ONE round, not the round count). */
+    * peeling depth (≤ graph diameter, 2-3 on dup-cluster graphs).
+    *
+    * r21: each round CUTS LINEAGE (lazy [[cutLineage]], materialized by
+    * the round's own convergence count — the starLabels discipline).
+    * The previous shape persisted each round WITHOUT a cut on the
+    * claim that "the loop rebuilds from the persisted edge set each
+    * round, so plan depth stays linear" — measured FALSE at sf1
+    * (tools/ProfileKcore): a persist does not truncate the ANALYZED
+    * plan (cache substitution happens at planning), and each round
+    * references the previous frame ~3× (degree branch + two
+    * semi-joins), so the logical tree grows ~3^rounds. The sf1 graph
+    * peels a 1-edge tail for 5 rounds, and round cost exploded with
+    * the tree, not the data: rounds 1.7 / 1.8 / 3.3 / 9.5 / 39.6 s
+    * over a CONSTANT ~20 k edges, plus 41.6 s for the final degree
+    * aggregate re-analyzing the full tree — ~95 s of pure analyzer
+    * time on kilobyte frames. With the per-round cut every round plans
+    * against one LogicalRDD leaf. At sf0.1 (2–3 rounds) the tree never
+    * got deep enough to matter — this is exactly the term that made
+    * kcore's decade ratio superlinear (117.9 s at sf1, r18 sweep). */
   val kcore: Q = Q(
     "graph_kcore",
     (s, dir) => {
-      var edges = ngramPairs(s, dir).select(col("i"), col("j"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      var edges = cutLineage(ngramPairs(s, dir).select(col("i"), col("j")))
       var nEdges = edges.count()
       var converged = nEdges == 0
       var rounds = 0
@@ -1437,14 +1515,13 @@ object DedupQueries {
         val deg = edges.select(explode(array(col("i"), col("j"))).as("v"))
           .groupBy(col("v")).agg(count(lit(1)).as("d"))
         val alive = deg.filter(col("d") >= CoreK).select(col("v"))
-        val next = edges
+        val next = cutLineage(edges
           .join(alive.toDF("i"), Seq("i"), "left_semi")
           .join(alive.toDF("j"), Seq("j"), "left_semi")
-          .select(col("i"), col("j"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
+          .select(col("i"), col("j")))
+        // the count materializes the lazy cut — one job per round
         val n = next.count()
         converged = n == nEdges
-        edges.unpersist()
         edges = next
         nEdges = n
         rounds += 1
@@ -1551,6 +1628,11 @@ object DedupQueries {
       // nodes per partition; grows with the graph at scale.
       val gParts = math.max(2, math.min(
         s.sessionState.conf.numShufflePartitions, (n / 65536L).toInt + 1))
+      // lazy cut (r21): the terminal job's first scan (the init
+      // distinct below) materializes the checkpoint; every later scan
+      // is ordered behind the previous round's broadcast, so the
+      // single-reader safety condition holds and the old separate
+      // checkpoint job folds into the chain job.
       val adjCut = cutLineage(adjd.repartition(gParts, col("src")))
       var ranks = adjCut.select(col("src").as("v")).distinct()
         .select(col("v"), lit(init).as("r"))
@@ -1638,6 +1720,7 @@ object DedupQueries {
     val n = adj.select(col("src")).distinct().count()
     val gParts = math.max(2, math.min(
       s.sessionState.conf.numShufflePartitions, (n / 65536L).toInt + 1))
+    // lazy cut (r21) — same single-reader ordering as pagerank's
     val adjCut = cutLineage(adj.repartition(gParts, col("src")))
     var labels = adjCut.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lbl"))
@@ -1948,7 +2031,11 @@ object DedupQueries {
       val gParts = math.max(2, math.min(
         s.sessionState.conf.numShufflePartitions, (nE / 65536L).toInt + 1))
       // the checkpoint is the store; a persist UNDER the cut would be
-      // materialized once during checkpointing and never read again
+      // materialized once during checkpointing and never read again.
+      // Lazy cuts (r21): the terminal job materializes both leaves —
+      // seeds first (inside round 1's broadcast build), then adj in
+      // round 1's probe stage — each read by exactly one stage until
+      // materialized, so the single-reader condition holds.
       val adj = cutLineage(
         e.select(col("i").as("src"), col("j").as("dst"))
           .unionAll(e.select(col("j").as("src"), col("i").as("dst")))

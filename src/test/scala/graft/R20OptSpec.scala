@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   * input is already split at least half as wide as the session.
   *
   * O2 — the localCheckpoint lineage cut must (a) preserve the
-  * rows/schema it cuts and (b) keep the physical hash partitioning in
-  * the LogicalRDD leaf, so a same-key aggregate above the cut plans
-  * WITHOUT a fresh shuffle — the property that removes the per-round
-  * adjacency exchange from the graph loops. (b) is asserted on the
-  * executed plan, so a Spark upgrade that stops propagating
-  * partitioning through checkpoints fails here instead of silently
-  * re-shuffling every loop round at 100x. */
+  * rows/schema it cuts and (b) leave the LogicalRDD leaf with an
+  * HONEST (small) size estimate instead of the defaultSizeInBytes
+  * sentinel, so the per-round graph-loop joins stay size-driven and
+  * the small side broadcasts (the r20 SMJ→BHJ plan flips). The
+  * checkpoint does NOT preserve outputPartitioning under AQE — a
+  * same-key aggregate above the cut still plans its exchange; that
+  * negative result is pinned in the test body so no future round
+  * builds on the disproven partitioning-preservation claim. */
 class R20OptSpec extends SparkSpec {
 
   test("scatter decision: fires only when the scan is under-split vs the session") {
