@@ -293,17 +293,24 @@ object SketchQueries {
       // expressed relationally. (Production probe path: Spark's own
       // bloom_filter_agg / runtime bloom; this md5-position build exists
       // because its bits are reproducible cross-engine for the oracle.)
-      // UNpersisted on purpose: the bitmap subtree is m/64 rows off a
-      // distinct-members scan and feeds two consumers (Σ bit_count and
-      // the probe join) — recomputing it twice is fully parallel and
-      // cheap, while a persist serializes the plan behind the cache
-      // materialization (A/B at sf0.1: collect 2.43 s, bitmap+persist
-      // 4.68 s, bitmap unpersisted 1.99 s — PERF.md r10).
+      // PERSISTED since r21 (VERDICT r20 item 8 re-A/B): the bitmap
+      // subtree feeds two consumers (Σ bit_count and the probe join);
+      // unpersisted, each consumer recomputes the full members scan +
+      // position explode + bit_or — one redundant corpus pass at any
+      // scale. The r10 A/B that rejected the persist (collect 2.43 s /
+      // bitmap+persist 4.68 s / unpersisted 1.99 s) predates the r16
+      // tmpfs re-base and no longer reproduces: two fresh APPA windows
+      // at sf0.1 read persist 0.97x and 0.78x-vs-0.83x-control
+      // (min-of-6, identical-code controls in set) — locally neutral,
+      // and at 100 TB the saved pass is the win. Block locks serialize
+      // concurrent first readers of a cached partition, so the two AQE
+      // consumer stages cannot duplicate the build.
       val bitmap = positions(members.crossJoin(broadcast(mRow)))
         .select(expr("pos div 64").as("word"),
           expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
         .groupBy(col("word"))
         .agg(expr("bit_or(bit)").as("bits"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bitsSet = bitmap.agg(
         sum(bit_count(col("bits"))).cast("long").as("bits_set"))
       val cust = table(s, dir, "customer").select(col("c_custkey"))
